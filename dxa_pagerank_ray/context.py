@@ -1,0 +1,49 @@
+"""Engine-wide execution defaults and partitioning helpers.
+
+The reference encodes its partitioning in the ChunkID key space
+(``ReadLumpInEdgeListTask.java:142-147``: vertex ``v`` lives on slave
+``(v-1) % numSlaves``).  Here partitioning is an explicit, documented
+column/function per stage; the Ray object store owns placement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Default number of logical graph partitions.  Like the reference's slave
+# count, this is fixed per *run* (pinned CSR actors depend on it) but
+# independent of cluster size: more nodes just means more actors per node
+# hosting fewer partitions each (SURVEY.md §4 "elasticity").
+DEFAULT_NUM_PARTITIONS = 32
+
+# Vertex-state broadcast threshold for the scatter step of a superstep.
+# Below this many vertices the per-superstep rank vector is shipped to
+# edge tasks via a single ``ray.put`` (a few MB); above it the engine
+# uses the shuffle-join scatter path.  8 bytes * 3 arrays * 1e7 = ~240MB
+# of worker-heap per task at the limit — acceptable on 4+ GB workers.
+BROADCAST_VERTEX_LIMIT = 10_000_000
+
+
+def part_of(v: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Partition id of vertex ids ``v`` (mirrors the reference's
+    round-robin ``(v-1) % numSlaves`` discipline for dense ids, and is a
+    plain modulo of the 64-bit hash for hashed ids)."""
+    return (v % np.int64(num_partitions)).astype(np.int64)
+
+
+def quiet_data_context() -> None:
+    """Apply the engine's DataContext defaults (idempotent).
+
+    Order never matters for keyed dataflow (all joins/aggregates key on
+    vertex id, never row order), so ``preserve_order`` stays off and the
+    streaming executor is free to pipeline.
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.execution_options.preserve_order = False
+    ctx.enable_progress_bars = False
+    try:  # present on Ray >= 2.40
+        ctx.execution_options.verbose_progress = False
+    except AttributeError:  # pragma: no cover
+        pass

@@ -1,0 +1,147 @@
+"""Single-process numpy oracles for the graph algorithms (FIXTURES.md F5).
+
+These are the conformance surface standing in for the unrunnable DXRAM
+reference: the PageRank oracle implements the reference's "lump"
+recurrence exactly (SURVEY.md §3.2; ``RunLumpPrRoundTask.java:101-112``,
+``MainPR.java:156-197``, ``Vertex.java:65-67``), with the one documented
+deviation that the initial dangling mass is the *correct*
+``|dangling|/N`` rather than the reference's MetaChunk-init quirk of
+``1/N`` (``MetaChunk.java:20``) — both reach the same fixed point (the
+survey verified agreement to <1e-13 at convergence).
+
+All oracles take a dense-id edge array ``(src, dst)`` with vertices
+``0..n-1`` and run in O(E) numpy; they are deliberately simple (<100 LoC
+each) and independent of any engine code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def out_degrees(src: np.ndarray, n: int) -> np.ndarray:
+    return np.bincount(src, minlength=n).astype(np.int64)
+
+
+def pagerank_lump(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    damping: float = 0.85,
+    threshold: float = 1e-6,
+    max_rounds: int = 200,
+):
+    """Reference-semantics lump PageRank.
+
+    Per normal round, only non-dangling vertices update
+    (``RunLumpPrRoundTask.java:71-76``):
+
+        PR'(v) = (1-d)/N + d * sum_{u->v} PR(u)/outdeg(u) + d * danglingPR/N
+
+    dangling vertices stay frozen at their init value; their mass rides
+    the lumped scalar ``danglingPR = 1 - sum_nondangling PR'``
+    (``MainPR.java:156-167``).  Error = L1 delta over updated vertices;
+    stop at ``err <= threshold`` or ``max_rounds``.  A final
+    dangling-restore round applies the same formula to dangling vertices
+    only (``MainPR.java:185-197``, ``RunLumpPrRoundTask.java:77-83``).
+
+    Returns ``(pr, rounds, errs)``.
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    outdeg = out_degrees(src, n)
+    nondangling = outdeg != 0
+    pr = np.full(n, 1.0 / n, dtype=np.float64)
+    dangling_pr = float(np.sum(~nondangling)) / n  # correct initial mass
+    d = damping
+    errs: list[float] = []
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        contrib = pr[src] / outdeg[src]
+        gathered = np.bincount(dst, weights=contrib, minlength=n)
+        new_pr = (1.0 - d) / n + d * gathered + d * dangling_pr / n
+        err = float(np.sum(np.abs(new_pr[nondangling] - pr[nondangling])))
+        pr = np.where(nondangling, new_pr, pr)
+        dangling_pr = 1.0 - float(np.sum(pr[nondangling]))
+        errs.append(err)
+        if err <= threshold:
+            break
+    # Dangling restore: same formula, dangling vertices only, using the
+    # post-loop dangling mass.
+    contrib = pr[src] / outdeg[src]
+    gathered = np.bincount(dst, weights=contrib, minlength=n)
+    restored = (1.0 - d) / n + d * gathered + d * dangling_pr / n
+    pr = np.where(nondangling, pr, restored)
+    return pr, rounds, errs
+
+
+def connected_components(src: np.ndarray, dst: np.ndarray, n: int,
+                         max_rounds: int = 10_000) -> np.ndarray:
+    """Hash-min label exchange on the *undirected* edge set; labels
+    canonicalize to the minimum member vertex id.  Exact-match contract
+    (north_rule)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_rounds):
+        # candidate = min over incoming neighbor labels (plus own)
+        cand = labels.copy()
+        np.minimum.at(cand, v, labels[u])
+        if np.array_equal(cand, labels):
+            break
+        labels = cand
+    return labels
+
+
+def label_propagation(src: np.ndarray, dst: np.ndarray, n: int,
+                      rounds: int = 10) -> np.ndarray:
+    """Synchronous label propagation on the undirected edge set:
+    per round every vertex with >=1 neighbor takes the *mode* of its
+    neighbors' labels, ties broken by the lowest label (deterministic).
+    Fixed round cap; exact-match contract."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        new_labels = labels.copy()
+        if len(u):
+            neigh = labels[u]
+            # count (receiver, neighbor_label) pairs; mode w/ min tie-break
+            order = np.lexsort((neigh, v))
+            rv, rl = v[order], neigh[order]
+            grp = np.flatnonzero(np.r_[True, (rv[1:] != rv[:-1]) | (rl[1:] != rl[:-1])])
+            counts = np.diff(np.r_[grp, len(rv)])
+            gv, gl = rv[grp], rl[grp]
+            # per receiver pick label with max count, then min label:
+            # lexsort makes gl ascending within gv, so stable argmax on
+            # counts gives the lowest label among maxima.
+            best = {}
+            for a, b, c in zip(gv, gl, counts):
+                cur = best.get(a)
+                if cur is None or c > cur[1]:
+                    best[a] = (b, c)
+            for a, (b, _) in best.items():
+                new_labels[a] = b
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return labels
+
+
+def triangle_count(src: np.ndarray, dst: np.ndarray, n: int) -> int:
+    """Exact triangle count of the undirected simple graph underlying
+    ``(src, dst)`` (direction dropped, self-loops and duplicates
+    removed): dense adjacency trace method — fine for oracle scales."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    keep = src != dst
+    a, b = src[keep], dst[keep]
+    adj = np.zeros((n, n), dtype=np.int8)
+    adj[a, b] = 1
+    adj[b, a] = 1
+    a2 = (adj.astype(np.int64) @ adj.astype(np.int64))
+    return int((a2 * adj).sum() // 6)

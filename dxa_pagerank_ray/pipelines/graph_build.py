@@ -1,0 +1,238 @@
+"""Pages -> deduplicated edge table -> degree tables (SURVEY.md §2.11,
+§3.4).
+
+Replaces the reference's two-pass edge-list file reader
+(``ReadLumpInEdgeListTask.java:53-128``: pass 1 counts out-degrees, pass
+2 builds per-slave in-edge lists) with a single streamed extraction plus
+groupby-aggregates — the parsed link Dataset is produced once and both
+degrees and adjacency derive from it.
+
+Shuffle keys per stage (documented per SURVEY.md §4): distinct urls —
+``url``; dense-id assignment — range shuffle on ``url``; id join —
+``src_url`` / ``dst_url`` hash partitions; exact edge dedup —
+``(src, dst)``; out-degrees — ``src``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..context import BROADCAST_VERTEX_LIMIT
+from ..functions.html import extract_text_and_links
+from ..stages.ids import assign_dense_ids
+
+_LINK_SCHEMA = pa.schema([("src_url", pa.string()), ("dst_url", pa.string())])
+
+
+def extract_stage(pages_ds, batch_size: int = 256):
+    """pages -> ``(url, text, links:list<string>)`` — one parse per page
+    (stateless ``map_batches``; html never leaves this stage, so the
+    heavy binary column is dropped as early as possible)."""
+
+    def ex(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        texts, links = [], []
+        for u, h in zip(urls, htmls):
+            t, ls = extract_text_and_links(h, u)
+            texts.append(t)
+            links.append(ls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "links": pa.array(links, pa.list_(pa.string())),
+            }
+        )
+
+    return pages_ds.map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_text_stage(pages_ds, batch_size: int = 256):
+    """pages -> ``(url, text)`` (byte-identity surface vs the oracle)."""
+    return extract_stage(pages_ds, batch_size).select_columns(["url", "text"])
+
+
+def extract_links_stage(pages_ds, batch_size: int = 256):
+    """pages -> ``links(src_url, dst_url)``, duplicates preserved
+    (dedup is its own stage, SURVEY.md §2.7)."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        links = batch["links"]
+        n_per_row = pa.compute.list_value_length(links).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        src = pa.compute.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        flat = pa.compute.list_flatten(links)
+        src_urls = pa.compute.take(batch["url"], pa.array(src))
+        del n_per_row
+        return pa.Table.from_arrays([src_urls, flat], schema=_LINK_SCHEMA)
+
+    return (
+        extract_stage(pages_ds, batch_size)
+        .select_columns(["url", "links"])
+        .map_batches(flatten, batch_format="pyarrow")
+    )
+
+
+def local_distinct(batch: pa.Table) -> pa.Table:
+    """Within-batch distinct (pre-combine before the global shuffle)."""
+    return batch.group_by(batch.column_names).aggregate([])
+
+
+def dedup_edges(edges_ds, num_partitions: int | None = None):
+    """Exact edge dedup — first-class stage (north_star "deduplicated
+    edge table").  Two-level: per-batch distinct (map-side combine, no
+    shuffle) then a global ``groupby(["src", "dst"])``."""
+    from ray.data.aggregate import Count
+
+    pre = edges_ds.map_batches(local_distinct, batch_format="pyarrow")
+    g = pre.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+    return g.select_columns(["src", "dst"])
+
+
+def out_degree_table(edges_ds):
+    """``(v, outdeg)`` over deduplicated edges (A1 of SURVEY.md §2.6);
+    map-side partial counts then a small global sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("src").aggregate([("src", "count")]).rename_columns(
+            ["src", "cnt"]
+        )
+
+    p = edges_ds.map_batches(partial, batch_format="pyarrow")
+    out = p.groupby("src").aggregate(Sum("cnt", alias_name="outdeg"))
+    return out.rename_columns({"src": "v"})
+
+
+@dataclass
+class LinkGraph:
+    """A built link graph: dense-id edges + vertex universe.
+
+    ``edges`` is a materialized Dataset ``(src:int64, dst:int64)``,
+    deduplicated, ids dense in ``0..num_vertices-1`` assigned by sorted
+    url order (deterministic).  ``url_ids`` maps ``url -> v``.
+    """
+
+    edges: "object"
+    num_vertices: int
+    url_ids: "object | None" = None
+
+
+def build_link_graph(pages_ds, num_partitions: int = 32,
+                     batch_size: int = 256) -> LinkGraph:
+    """pages -> LinkGraph.
+
+    Vertex universe = page urls ∪ link-target urls (external targets
+    become dangling vertices, mirroring the reference where every id in
+    ``1..N`` is a vertex whether or not it has edges,
+    ``ReadLumpInEdgeListTask.java:86-128``).
+    """
+    from ray.data.aggregate import Count
+
+    links = extract_links_stage(pages_ds, batch_size).materialize()
+
+    page_urls = pages_ds.select_columns(["url"])
+    dst_urls = links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"})
+    all_urls = page_urls.union(dst_urls)
+    distinct_urls = (
+        all_urls.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["url"])
+    )
+    mapping = assign_dense_ids(distinct_urls, "url", "v").materialize()
+    n = mapping.count()
+
+    if links.count() == 0:
+        # Empty link set: hash joins on an empty left side lose the
+        # schema (empty shuffle partitions carry no columns), so short-
+        # circuit with an explicitly-typed empty edge table.
+        import ray.data as rd
+
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        return LinkGraph(edges=rd.from_arrow(empty).materialize(),
+                         num_vertices=int(n), url_ids=mapping)
+
+    if n <= BROADCAST_VERTEX_LIMIT:
+        # Broadcast id lookup: ship (sorted url-hash, dense id) numpy
+        # arrays once via ray.put (16 B/vertex — ~160 MB at the 1e7
+        # limit) and resolve both endpoints per batch with searchsorted.
+        # No shuffle at all for the id join; this is the default path.
+        e = _map_ids_broadcast(links, mapping)
+    else:
+        # Scale path: two hash-partitioned joins.  NOTE Ray 2.49's hash
+        # join breaks on *empty* right partitions, which can only occur
+        # for tiny inputs — unreachable here since n > the broadcast
+        # limit guarantees dense partitions.
+        e = links.join(mapping, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("src_url",), right_on=("url",))
+        e = e.rename_columns({"v": "src"})
+        e = e.join(mapping, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("dst_url",), right_on=("url",))
+        e = e.rename_columns({"v": "dst"}).select_columns(["src", "dst"])
+    edges = dedup_edges(e, num_partitions).materialize()
+    return LinkGraph(edges=edges, num_vertices=int(n), url_ids=mapping)
+
+
+def _map_ids_broadcast(links, mapping):
+    """links(src_url, dst_url) -> (src, dst) via a broadcast hash->id
+    lookup table (``ray.put`` once, ``ray.get`` zero-copy per task)."""
+    import ray
+
+    from ..stages.ids import hash64
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": pa.array(hash64(batch["url"]), pa.int64()), "v": batch["v"]}
+        )
+
+    hv = pa.concat_tables(
+        mapping.map_batches(add_hash, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    h = hv["h"].to_numpy(zero_copy_only=False)
+    v = hv["v"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    ref = ray.put((h[order], v[order]))
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        hs_sorted, vs_sorted = ray.get(ref)
+
+        def lookup(urls):
+            hh = hash64(urls)
+            i = np.searchsorted(hs_sorted, hh)
+            i = np.clip(i, 0, len(hs_sorted) - 1)
+            if not np.array_equal(hs_sorted[i], hh):
+                raise ValueError("url missing from id mapping")
+            return vs_sorted[i]
+
+        return pa.table(
+            {
+                "src": pa.array(lookup(batch["src_url"]), pa.int64()),
+                "dst": pa.array(lookup(batch["dst_url"]), pa.int64()),
+            }
+        )
+
+    return links.map_batches(to_ids, batch_format="pyarrow")
+
+
+def edges_to_numpy(edges_ds) -> tuple[np.ndarray, np.ndarray]:
+    """Collect an edge Dataset to driver numpy arrays — test/oracle
+    helper ONLY (never used in pipelines; at scale edges stay
+    distributed)."""
+    t = pa.concat_tables(
+        [b for b in edges_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+    )
+    return (
+        t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+        t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )

@@ -1,0 +1,80 @@
+"""Extraction: pinned oracle semantics + distributed byte-identity
+(BASELINE.json input_hint: byte-identical extracted text per url)."""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from dxa_pagerank_ray.functions.html import extract_links, extract_text, normalize_url
+from dxa_pagerank_ray.pipelines.graph_build import extract_links_stage, extract_text_stage
+from dxa_pagerank_ray.sources.pages import expected_links, pages_dataset, pages_table
+
+
+def test_extract_text_pinned_semantics():
+    html = (
+        b"<html><head><title>T</title><style>b{}</style></head>"
+        b"<body><h1>A  B</h1><p>c &amp; d</p><script>var x=1;</script>"
+        b"<noscript>no</noscript>e</body></html>"
+    )
+    assert extract_text(html) == "A B c & d e"
+
+
+def test_extract_text_handles_malformed():
+    assert extract_text(b"<p>unclosed <b>bold") == "unclosed bold"
+    assert extract_text(b"") == ""
+    assert extract_text("plain text, no tags") == "plain text, no tags"
+    # invalid utf-8 is replaced, not fatal
+    assert extract_text(b"<p>a\xffb</p>") == "a�b"
+
+
+def test_extract_links_resolution_and_filtering():
+    html = (
+        b'<body><a href="/x">r</a><a href="https://Other.Example:443/y">a</a>'
+        b'<a href="#frag">f</a><a href="mailto:a@b">m</a>'
+        b'<a href="p2#sec">rel</a><a href="/x">dup</a></body>'
+    )
+    links = extract_links(html, "https://site0.example/p/1")
+    assert links == [
+        "https://site0.example/x",
+        "https://other.example/y",
+        "https://site0.example/p/p2",  # RFC 3986 relative resolution
+        "https://site0.example/x",  # duplicate preserved
+    ]
+
+
+def test_normalize_url():
+    assert normalize_url("HTTP://A.B:80/", "https://x/") == "http://a.b/"
+    assert normalize_url("ftp://a/b", "https://x/") is None
+    assert normalize_url("", "https://x/") is None
+    assert normalize_url("https://a.b", "https://x/") == "https://a.b/"
+
+
+def test_distributed_text_byte_identity():
+    n = 64
+    pages = pages_table(n, seed=42)
+    ds = rd.from_arrow(pages).repartition(8)
+    out = extract_text_stage(ds).to_pandas().set_index("url")["text"]
+    expected = {u.as_py(): t.as_py() for u, t in zip(pages["url"], pages["text"])}
+    assert len(out) == n
+    for url, text in expected.items():
+        assert out[url] == text, url  # byte-identical per url
+
+
+def test_distributed_fixture_generation_matches_driver():
+    driver = pages_table(32, seed=7).to_pandas().sort_values("url").reset_index(drop=True)
+    dist = (
+        pages_dataset(32, seed=7, override_num_blocks=4)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert driver.equals(dist)
+
+
+def test_distributed_links_match_ground_truth():
+    n = 64
+    ds = rd.from_arrow(pages_table(n, seed=42)).repartition(8)
+    got = extract_links_stage(ds).to_pandas()
+    got_pairs = sorted(zip(got["src_url"], got["dst_url"]))
+    exp_pairs = sorted(zip(*expected_links(n, seed=42)))
+    assert got_pairs == exp_pairs
