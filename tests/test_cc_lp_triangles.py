@@ -1,0 +1,73 @@
+"""CC (exact), label propagation (exact), triangle count (exact) vs
+numpy oracles, on micro-graphs and the built link graph."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dxa_pagerank_ray.oracles import graph_oracles as oracle
+from dxa_pagerank_ray.pipelines.components import connected_components
+from dxa_pagerank_ray.pipelines.graph_build import build_link_graph, edges_to_numpy
+from dxa_pagerank_ray.pipelines.labelprop import label_propagation
+from dxa_pagerank_ray.pipelines.triangles import triangle_count
+from dxa_pagerank_ray.sources.pages import pages_table
+
+CASES = {
+    # two chains + isolated vertex
+    "two_chains": (np.array([0, 1, 3, 4]), np.array([1, 2, 4, 3]), 6),
+    # K3 plus pendant + planted extra triangle 4-5-6
+    "k3_pendant": (np.array([0, 1, 2, 2, 4, 5, 6]),
+                   np.array([1, 2, 0, 3, 5, 6, 4]), 7),
+    # duplicate + reversed edges (must not double count)
+    "dups": (np.array([0, 0, 1, 2, 1]), np.array([1, 1, 2, 0, 0]), 3),
+    # star
+    "star": (np.zeros(5, dtype=np.int64), np.arange(1, 6), 6),
+}
+
+
+def _ds(src, dst):
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).materialize()
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_connected_components_exact(name):
+    src, dst, n = CASES[name]
+    got = connected_components(_ds(src, dst), n)
+    exp = oracle.connected_components(src, dst, n)
+    np.testing.assert_array_equal(got.labels, exp)
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_label_propagation_exact(name):
+    src, dst, n = CASES[name]
+    got = label_propagation(_ds(src, dst), n, rounds=7)
+    exp = oracle.label_propagation(src, dst, n, rounds=7)
+    np.testing.assert_array_equal(got.labels, exp)
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_triangle_count_exact(name):
+    src, dst, n = CASES[name]
+    assert triangle_count(_ds(src, dst), n) == oracle.triangle_count(src, dst, n)
+
+
+def test_all_on_built_link_graph():
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    src, dst = edges_to_numpy(g.edges)
+    n = g.num_vertices
+
+    cc = connected_components(g.edges, n)
+    np.testing.assert_array_equal(cc.labels, oracle.connected_components(src, dst, n))
+
+    lp = label_propagation(g.edges, n, rounds=5)
+    np.testing.assert_array_equal(
+        lp.labels, oracle.label_propagation(src, dst, n, rounds=5)
+    )
+
+    assert triangle_count(g.edges, n) == oracle.triangle_count(src, dst, n)
