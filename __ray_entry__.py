@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline on sf0.001; ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2 +
+graft-added training-data ops); ``oracle_sql()`` carries the DuckDB
+equivalent for every SQL-expressible query (same column names; money
+aggregates in exact integer cents so float summation order cannot cause
+hash mismatches).  Iterative graph algorithms (PageRank, CC, LP) and
+signature/model ops have no SQL oracle — they are conformance-tested
+against single-process numpy oracles in tests/ instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init``/``ray.shutdown`` here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +18,229 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the customer link graph from sf0.001 and run lump
+    PageRank to 1e-8; returns the full rank table (v, pr)."""
+    from dxa_pagerank_ray.context import quiet_data_context
+    from dxa_pagerank_ray.pipelines.pagerank import pagerank
+    from dxa_pagerank_ray.pipelines.testdata_graph import (
+        _num_vertices,
+        customer_edges,
+    )
+
+    quiet_data_context()
+    sf_dir = "/root/testdata/sf0.001"
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    res = pagerank(edges, n, damping=0.85, threshold=1e-8, max_rounds=200)
+    return pa.table(
+        {
+            "v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "pr": pa.array(res.pr, pa.float64()),
+        }
+    )
+
+
+def _q_doc_token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_counts(docs)
+
+
+def _q_doc_quality(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import quality_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_scores(docs)
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.dedup import exact_dedup_keepers
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_keepers(docs)
+
+
+_ANN_QUERY_IDS = [0, 1, 2]
+
+
+def _load_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = np.isin(t["vec_id"].to_numpy(zero_copy_only=False), _ANN_QUERY_IDS)
+    sel = t.filter(pa.array(mask))
+    order = np.argsort(sel["vec_id"].to_numpy(zero_copy_only=False))
+    ids = sel["vec_id"].to_numpy(zero_copy_only=False)[order]
+    from dxa_pagerank_ray.stages.ann import _to_matrix
+
+    mat = _to_matrix(sel["embedding"])[order]
+    return mat, ids
+
+
+def _q_ann_top10(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.ann import brute_force_topk
+
+    q, qids = _load_queries(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return brute_force_topk(emb, q, qids, k=10)
+
+
+def _q_ann_lsh_top10(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.ann import lsh_topk
+
+    q, qids = _load_queries(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return lsh_topk(emb, q, qids, k=10)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_pairs_by_signature,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = minhash_signatures(docs, num_perm=64).materialize()
+    pairs = lsh_candidate_pairs(sigs, num_perm=64, bands=16)
+    pairs_tbl = pa.concat_tables(
+        list(pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    ) if pairs.count() else pa.table({"a": pa.array([], pa.int64()),
+                                      "b": pa.array([], pa.int64())})
+    sigs_tbl = pa.concat_tables(
+        list(sigs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    return verify_pairs_by_signature(pairs_tbl, sigs_tbl, threshold=0.7)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.dedup import simhash_near_dups
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dups(docs, max_hamming=3, bands=4)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.dedup import embedding_near_dups
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return embedding_near_dups(emb, threshold=0.95)
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprints(docs)
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import lang_id
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dxa_pagerank_ray.pipelines import relational as rel
+    from dxa_pagerank_ray.pipelines import testdata_graph as tg
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph family (SURVEY.md §2)
+        "edges_dedup": tg.q_edges_dedup,
+        "out_degrees": tg.q_out_degrees,
+        "dangling_vertices": tg.q_dangling_vertices,
+        "triangle_count": tg.q_triangle_count,
+        "pagerank_top20": tg.q_pagerank_top20,
+        "cc_sizes": tg.q_cc_sizes,
+        "labelprop_sizes": tg.q_labelprop_sizes,
+        # relational operator coverage
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "top_customers_revenue": rel.top_customers_by_revenue,
+        "events_hourly": rel.events_hourly,
+        "lang_doc_stats": rel.lang_doc_stats,
+        # training-data ops (graft-added)
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_quality": _q_doc_quality,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "ann_cosine_top10": _q_ann_top10,
+        "ann_lsh_top10": _q_ann_lsh_top10,
+        "minhash_dup_pairs": _q_minhash_pairs,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "doc_fingerprints": _q_fingerprints,
+        "doc_lang_id": _q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dxa_pagerank_ray.pipelines import relational as rel
+    from dxa_pagerank_ray.pipelines import testdata_graph as tg
+
+    ann_ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    return {
+        "edges_dedup": tg.SQL["edges_dedup"],
+        "out_degrees": tg.SQL["out_degrees"],
+        "dangling_vertices": tg.SQL["dangling_vertices"],
+        "triangle_count": tg.SQL["triangle_count"],
+        "q1_pricing_summary": rel.Q1_SQL,
+        "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
+        "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "lang_doc_stats": rel.LANG_DOC_STATS_SQL,
+        "doc_token_counts": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens "
+            "FROM documents"
+        ),
+        "doc_quality": (
+            r"SELECT doc_id, length(text) AS n_chars, "
+            r"len(regexp_extract_all(text, '\w+')) AS n_tokens, "
+            r"CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)"
+            r" / greatest(length(text), 1) AS punct_ratio "
+            "FROM documents"
+        ),
+        "docs_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "ann_cosine_top10": f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN ({ann_ids})),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+      FROM s)
+SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+""",
+    }

@@ -1,0 +1,240 @@
+"""Relational operator coverage over the TPC-H-ish testdata: filter,
+projection, join, grouped aggregation, sort, limit, windowed aggregates.
+
+These exercise the engine's general dataflow operators (the
+reference's SURVEY.md §2.3/§2.6 inventory generalized) and are the
+DuckDB-oracle-checked half of the correctness gate.
+
+Determinism discipline: money columns have 2 decimals, so every money
+aggregate is computed in **integer cents** (``round(x*100)`` per
+element, int64 sums) in BOTH engines — float sum order then cannot
+produce hash mismatches.  Ratios (averages) divide two exactly-equal
+numbers, giving bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    x = arr.to_numpy(zero_copy_only=False)
+    return np.rint(x * 100.0).astype(np.int64)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: filter on ship date, group by
+    (returnflag, linestatus), multi-aggregate.  Map-side partial
+    aggregation inside ``map_batches`` before the tiny global groupby
+    (SURVEY.md §4: pre-aggregate before shuffling)."""
+    from ray.data.aggregate import Sum
+
+    import datetime as _dt
+
+    cutoff = pa.scalar(_dt.datetime(1998, 9, 2), type=pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_price_cents": pa.array([], pa.int64()),
+                    "sum_disc_price_c4": pa.array([], pa.int64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price_c = _cents(batch["l_extendedprice"])
+        disc_c = _cents(batch["l_discount"])
+        disc_price_c4 = price_c * (100 - disc_c)  # exact int64, 1e-4 units
+        df = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(qty, pa.int64()),
+                "price_c": pa.array(price_c, pa.int64()),
+                "disc_c4": pa.array(disc_price_c4, pa.int64()),
+            }
+        )
+        g = df.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("disc_c4", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_cents",
+             "sum_disc_price_c4", "count_order"]
+        )
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("sum_disc_price_c4", alias_name="sum_disc_price_c4"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg_qty = (
+            batch["sum_qty"].to_numpy(zero_copy_only=False)
+            / batch["count_order"].to_numpy(zero_copy_only=False)
+        )
+        return batch.append_column("avg_qty", pa.array(avg_qty, pa.float64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS sum_disc_price_c4,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers_by_revenue(sf_dir: str, k: int = 10):
+    """customer ⨝ orders ⨝ lineitem revenue ranking: two-stage
+    aggregation (lineitem revenue per orderkey, then per custkey via a
+    broadcast orderkey->custkey lookup — the small side ships once via
+    ``ray.put``), final sort + limit on the tiny aggregate."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o = pa.concat_tables(
+        list(orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    okey = o["o_orderkey"].to_numpy(zero_copy_only=False)
+    ckey = o["o_custkey"].to_numpy(zero_copy_only=False)
+    order_sorted = np.argsort(okey, kind="stable")
+    lookup_ref = ray.put((okey[order_sorted], ckey[order_sorted]))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ok, ck = ray.get(lookup_ref)
+        lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        price_c = _cents(batch["l_extendedprice"])
+        disc_c = _cents(batch["l_discount"])
+        rev_c4 = price_c * (100 - disc_c)
+        i = np.clip(np.searchsorted(ok, lok), 0, len(ok) - 1)
+        cust = np.where(ok[i] == lok, ck[i], -1)
+        keep = cust >= 0
+        t = pa.table({"c_custkey": pa.array(cust[keep], pa.int64()),
+                      "rev": pa.array(rev_c4[keep], pa.int64())})
+        return t.group_by("c_custkey").aggregate([("rev", "sum")]).rename_columns(
+            ["c_custkey", "rev"]
+        )
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        per_batch, batch_format="pyarrow"
+    )
+    agg = ds.groupby("c_custkey").aggregate(Sum("rev", alias_name="revenue_c4"))
+    return agg.sort(["revenue_c4", "c_custkey"], descending=[True, False]).limit(k)
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey AS c_custkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY revenue_c4 DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table
+    (streaming-shaped workload — SURVEY.md §2.9 notes the reference has
+    none; this is the batch-on-log equivalent: window key derived from
+    the timestamp, then grouped aggregation)."""
+    from ray.data.aggregate import Sum
+
+    US_PER_HOUR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = ts // US_PER_HOUR
+        val_c = _cents(batch["value"])
+        t = pa.table({"window": pa.array(win, pa.int64()),
+                      "event_type": batch["event_type"],
+                      "val": pa.array(val_c, pa.int64())})
+        g = t.group_by(["window", "event_type"]).aggregate(
+            [("val", "sum"), ("val", "count")]
+        )
+        return g.rename_columns(["window", "event_type", "sum_value_cents", "n_events"])
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return ds.groupby(["window", "event_type"]).aggregate(
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS window,
+       event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def lang_doc_stats(sf_dir: str):
+    """documents grouped by lang: count + exact average length."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"], "n_chars": batch["n_chars"]})
+        g = t.group_by("lang").aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        return g.rename_columns(["lang", "sum_chars", "n_docs"])
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    out = ds.groupby("lang").aggregate(
+        Sum("sum_chars", alias_name="sum_chars"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg = (
+            batch["sum_chars"].to_numpy(zero_copy_only=False)
+            / batch["n_docs"].to_numpy(zero_copy_only=False)
+        )
+        return batch.append_column("avg_chars", pa.array(avg, pa.float64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+LANG_DOC_STATS_SQL = """
+SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(*) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM documents
+GROUP BY lang
+"""

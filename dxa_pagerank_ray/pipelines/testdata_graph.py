@@ -1,0 +1,194 @@
+"""Graph queries over the driver-provided TPC-H-ish testdata.
+
+The graft correctness gate runs each ``queries()[name](sf_dir)`` against
+DuckDB oracle SQL on the same parquet.  The pages fixture is not part of
+the testdata, so the graph family here derives deterministic edge tables
+from existing integer keys (both engines build the identical graph):
+
+- **supplier->part graph**: ``edges = DISTINCT (l_suppkey, l_partkey)``
+  from ``lineitem`` — a natural bipartite link table with duplicate
+  pairs (exercises the dedup stage).
+- **customer graph**: ``src = o_custkey, dst = o_orderkey % 1500`` from
+  ``orders`` — a non-bipartite graph in customer-id space (triangles,
+  PageRank, components).
+
+All heavy ops run through the engine stages (`dedup_edges`,
+`out_degree_table`, superstep engines); only final small results are
+collected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .components import connected_components
+from .graph_build import dedup_edges, out_degree_table
+from .labelprop import label_propagation
+from .pagerank import pagerank
+from .triangles import triangle_count
+
+CUSTOMER_MOD = 1500
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def supplier_part_edges(sf_dir: str):
+    """Deduplicated ``(src=l_suppkey, dst=l_partkey)`` edge Dataset."""
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["l_suppkey"], "dst": batch["l_partkey"]})
+
+    raw = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+        rename, batch_format="pyarrow"
+    )
+    return dedup_edges(raw)
+
+
+def customer_edges(sf_dir: str):
+    """Deduplicated ``(src=o_custkey, dst=o_orderkey % 1500)`` edges,
+    self-loops removed."""
+
+    def mk(batch: pa.Table) -> pa.Table:
+        src = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        dst = batch["o_orderkey"].to_numpy(zero_copy_only=False) % CUSTOMER_MOD
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    raw = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        mk, batch_format="pyarrow"
+    )
+    return dedup_edges(raw)
+
+
+def _num_vertices(edges_ds) -> int:
+    hi = max(int(edges_ds.max("src")), int(edges_ds.max("dst")))
+    return hi + 1
+
+
+# ---- queries() callables ----------------------------------------------------
+
+
+def q_edges_dedup(sf_dir: str):
+    return supplier_part_edges(sf_dir)
+
+
+def q_out_degrees(sf_dir: str):
+    return out_degree_table(supplier_part_edges(sf_dir))
+
+
+def q_dangling_vertices(sf_dir: str):
+    """Vertices of the supplier->part graph with out-degree 0 (all
+    parts that are never suppliers) — the dangling set of SURVEY.md
+    §2.3 M4, as a broadcast anti-join (semi-join pattern)."""
+    import ray
+
+    edges = supplier_part_edges(sf_dir).materialize()
+    srcs = np.unique(
+        np.concatenate(
+            [b["src"].to_numpy(zero_copy_only=False)
+             for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        + [np.array([], dtype=np.int64)]
+        )
+    )
+    src_ref = ray.put(srcs)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        s = ray.get(src_ref)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        u = np.unique(d)
+        if len(s) == 0:
+            dangling = u
+        else:
+            i = np.clip(np.searchsorted(s, u), 0, len(s) - 1)
+            dangling = u[s[i] != u]
+        return pa.table({"v": pa.array(dangling, pa.int64())})
+
+    cand = edges.map_batches(anti, batch_format="pyarrow")
+    return dedup_edges_like(cand, ["v"])
+
+
+def dedup_edges_like(ds, keys: list[str]):
+    """Generic exact-distinct on ``keys`` (map-side combine + groupby)."""
+    from ray.data.aggregate import Count
+
+    from .graph_build import local_distinct
+
+    pre = ds.map_batches(local_distinct, batch_format="pyarrow")
+    return pre.groupby(keys).aggregate(Count(alias_name="_c")).select_columns(keys)
+
+
+def q_triangle_count(sf_dir: str):
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    cnt = triangle_count(edges, n)
+    return pa.table({"n_triangles": pa.array([cnt], pa.int64())})
+
+
+def q_pagerank_top20(sf_dir: str):
+    """Top-20 customer-graph vertices by lump PageRank (1e-8
+    convergence); no SQL oracle (iterative) — conformance is the numpy
+    oracle in tests/test_testdata_queries.py."""
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    res = pagerank(edges, n, damping=0.85, threshold=1e-8, max_rounds=200)
+    top = np.argsort(-res.pr, kind="stable")[:20]
+    return pa.table({"v": pa.array(top.astype(np.int64), pa.int64()),
+                     "pr": pa.array(res.pr[top], pa.float64())})
+
+
+def q_cc_sizes(sf_dir: str):
+    """(component label, size), customer graph; rows-only driver check +
+    exact numpy-oracle check in tests."""
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    res = connected_components(edges, n)
+    labels, sizes = np.unique(res.labels, return_counts=True)
+    return pa.table({"label": pa.array(labels, pa.int64()),
+                     "size": pa.array(sizes.astype(np.int64), pa.int64())})
+
+
+def q_labelprop_sizes(sf_dir: str):
+    """(label, size) after 5 synchronous LP rounds, customer graph;
+    rows-only driver check + exact numpy-oracle check in tests."""
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    res = label_propagation(edges, n, rounds=5)
+    labels, sizes = np.unique(res.labels, return_counts=True)
+    return pa.table({"label": pa.array(labels, pa.int64()),
+                     "size": pa.array(sizes.astype(np.int64), pa.int64())})
+
+
+# ---- oracle SQL -------------------------------------------------------------
+
+SQL = {
+    "edges_dedup": (
+        "SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem"
+    ),
+    "out_degrees": (
+        "SELECT src AS v, count(*) AS outdeg FROM "
+        "(SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem) "
+        "GROUP BY src"
+    ),
+    "dangling_vertices": (
+        "WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst "
+        "FROM lineitem) "
+        "SELECT DISTINCT dst AS v FROM e "
+        "WHERE dst NOT IN (SELECT src FROM e)"
+    ),
+    "triangle_count": (
+        "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM raw) "
+        "SELECT count(*) AS n_triangles FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+    ),
+}

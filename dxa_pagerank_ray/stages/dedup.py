@@ -1,0 +1,327 @@
+"""Deduplication operators for training-data pipelines (graft-added).
+
+- exact: content-hash partition + per-group min-id keeper.
+- MinHash + LSH: shingle -> minhash signature -> banded bucket groupby
+  -> candidate pairs -> signature-similarity verify.
+- SimHash: 64-bit signature, banded buckets, Hamming verify.
+- n-gram Jaccard: exact verification kernel (used on LSH candidates).
+- embedding cosine near-dup: blocked matmul vs broadcast matrix.
+
+Scale shape: every family is (vectorized per-batch signature) ->
+(groupby on a bucket key) -> (verify within small groups) — the
+all-to-all is always on the compact bucket keys, never on raw text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _base_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Stable 64-bit hashes of the k-char shingles of ``text``."""
+    t = text or ""
+    if len(t) < k:
+        shingles = [t]
+    else:
+        shingles = [t[i : i + k] for i in range(len(t) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+    return np.unique(out)
+
+
+def minhash_signature(text: str, num_perm: int = 64, k: int = 5,
+                      seed: int = 1) -> np.ndarray:
+    """num_perm-wide minhash signature via the (a*x+b) mod p family."""
+    base = _base_shingle_hashes(text, k)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    if len(base) == 0:
+        return np.zeros(num_perm, dtype=np.uint64)
+    x = base.astype(object)[:, None]  # object avoids uint64 overflow
+    vals = (x * a[None, :] + b[None, :]) % _MERSENNE
+    return vals.min(axis=0).astype(np.uint64)
+
+
+class _MinHasher:
+    """Actor-pool stage: permutation coefficients drawn once per actor."""
+
+    def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 1,
+                 text_col: str = "text", id_col: str = "doc_id") -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm, self.k = num_perm, k
+        self.text_col, self.id_col = text_col, id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        base = _base_shingle_hashes(text, self.k)
+        if len(base) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        x = base.astype(object)[:, None]
+        vals = (x * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts]) if texts else (
+            np.zeros((0, self.num_perm), dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "sig": pa.array(list(sigs.astype(np.int64)),
+                                pa.list_(pa.int64(), self.num_perm)),
+            }
+        )
+
+
+def minhash_signatures(docs_ds, num_perm: int = 64, k: int = 5, seed: int = 1,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       concurrency: int = 4):
+    import functools
+
+    cls = functools.partial(_MinHasher, num_perm=num_perm, k=k, seed=seed,
+                            text_col=text_col, id_col=id_col)
+    return docs_ds.map_batches(cls, batch_format="pyarrow",
+                               concurrency=concurrency, batch_size=512)
+
+
+def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,
+                        id_col: str = "doc_id"):
+    """signatures -> (band_id, band_hash, doc_id) -> bucket groupby ->
+    unique candidate pairs (a < b)."""
+    rows_per_band = num_perm // bands
+
+    def bandize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = np.stack(
+            [np.asarray(s, dtype=np.int64) for s in batch["sig"].to_pylist()]
+        ) if batch.num_rows else np.zeros((0, num_perm), dtype=np.int64)
+        out_band, out_hash, out_id = [], [], []
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(r.tobytes(), digest_size=8).digest(), "big"
+                    ) & 0x7FFF_FFFF_FFFF_FFFF
+                    for r in chunk
+                ],
+                dtype=np.int64,
+            ) if len(chunk) else np.array([], dtype=np.int64)
+            # blake2b, not Python hash(): bucket ids must be stable
+            # across worker processes (PYTHONHASHSEED varies)
+            out_band.append(np.full(len(ids), b, dtype=np.int64))
+            out_hash.append(h)
+            out_id.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band), pa.int64()),
+                "bucket": pa.array(np.concatenate(out_hash), pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            }
+        )
+
+    def pairs_of_group(g) -> "object":
+        import pandas as pd
+
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b})
+
+    banded = sigs_ds.map_batches(bandize, batch_format="pyarrow")
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        pairs_of_group, batch_format="pandas"
+    )
+    from .ids import hash64  # noqa: F401  (doc cross-ref)
+    from ..pipelines.testdata_graph import dedup_edges_like
+
+    return dedup_edges_like(pairs, ["a", "b"])
+
+
+def verify_pairs_by_signature(pairs_tbl: pa.Table, sigs_tbl: pa.Table,
+                              threshold: float = 0.7,
+                              id_col: str = "doc_id") -> pa.Table:
+    """Estimate Jaccard as signature agreement; keep pairs >= threshold.
+    (Driver-side: candidate sets are small by construction.)"""
+    ids = sigs_tbl[id_col].to_numpy(zero_copy_only=False)
+    sigs = np.stack(
+        [np.asarray(s, dtype=np.int64) for s in sigs_tbl["sig"].to_pylist()]
+    ) if sigs_tbl.num_rows else np.zeros((0, 1), dtype=np.int64)
+    index = {int(v): i for i, v in enumerate(ids)}
+    a = pairs_tbl["a"].to_numpy(zero_copy_only=False)
+    b = pairs_tbl["b"].to_numpy(zero_copy_only=False)
+    keep_a, keep_b, est = [], [], []
+    for x, y in zip(a, b):
+        sa, sb = sigs[index[int(x)]], sigs[index[int(y)]]
+        sim = float(np.mean(sa == sb))
+        if sim >= threshold:
+            keep_a.append(int(x))
+            keep_b.append(int(y))
+            est.append(sim)
+    return pa.table({"a": pa.array(keep_a, pa.int64()),
+                     "b": pa.array(keep_b, pa.int64()),
+                     "est_jaccard": pa.array(est, pa.float64())})
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact k-shingle Jaccard (verification kernel)."""
+    sa = set(_base_shingle_hashes(text_a, k).tolist())
+    sb = set(_base_shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (stable blake2b word hashes)."""
+    import re
+
+    words = re.findall(r"\w+", (text or "").lower())
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = int.from_bytes(
+            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4,
+                      text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(a, b, hamming) pairs with Hamming distance <= max_hamming.
+    Banding: split the 64-bit signature into ``bands`` chunks; a pair
+    within distance ``bands-1`` shares at least one exact chunk
+    (pigeonhole), so bucket-group on (band, chunk) and verify."""
+    from ..pipelines.testdata_graph import dedup_edges_like
+
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.array([simhash64(t) for t in batch[text_col].to_pylist()],
+                        dtype=np.uint64)
+        out = {
+            "band": [], "bucket": [], id_col: [], "sig": []
+        }
+        for b in range(bands):
+            out["band"].append(np.full(len(ids), b, dtype=np.int64))
+            out["bucket"].append(((sigs >> np.uint64(b * width)) &
+                                  np.uint64(mask)).astype(np.int64))
+            out[id_col].append(ids)
+            out["sig"].append(sigs.astype(np.int64))
+        return pa.table({k: pa.array(np.concatenate(v), pa.int64())
+                         for k, v in out.items()})
+
+    def pairs_of_group(g):
+        import pandas as pd
+
+        rows = sorted(zip(g[id_col].tolist(), g["sig"].tolist()))
+        a, b, ham = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = int(bin(np.uint64(rows[i][1]) ^ np.uint64(rows[j][1])).count("1"))
+                if d <= max_hamming:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    ham.append(d)
+        return pd.DataFrame({"a": a, "b": b, "hamming": ham})
+
+    banded = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        pairs_of_group, batch_format="pandas"
+    )
+    return dedup_edges_like(pairs, ["a", "b", "hamming"])
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+
+def exact_dedup_keepers(docs_ds, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """-> (doc_id = min id per distinct content, n_copies).  Hash the
+    content per batch (stable blake2b), then a compact groupby on the
+    16-byte hash — raw text never shuffles."""
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table({id_col: batch[id_col],
+                         "content_hash": pa.array(hs, pa.string())})
+
+    hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow")
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col),
+                   Count(alias_name="n_copies"))
+        .select_columns([id_col, "n_copies"])
+    )
+
+
+# ---- embedding near-dup ----------------------------------------------------
+
+
+def embedding_near_dups(emb_ds, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> pa.Table:
+    """(a, b) pairs with cosine >= threshold — blocked matmul: each
+    batch scores against the broadcast full matrix (fine to ~1e5
+    vectors; beyond that, bucket with `ann.lsh_topk`'s planes first)."""
+    import ray
+
+    from .ann import _normalize, _to_matrix
+
+    full = pa.concat_tables(
+        list(emb_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    all_ids = full[id_col].to_numpy(zero_copy_only=False)
+    m = _normalize(_to_matrix(full[vec_col]))
+    ref = ray.put((all_ids, m))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_all, mat = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mb = _normalize(_to_matrix(batch[vec_col]))
+        sims = mb @ mat.T
+        rows_a, rows_b, rows_s = [], [], []
+        for i in range(len(ids)):
+            hit = np.flatnonzero((sims[i] >= threshold) & (ids_all > ids[i]))
+            rows_a.extend([int(ids[i])] * len(hit))
+            rows_b.extend(ids_all[hit].tolist())
+            rows_s.extend(sims[i, hit].tolist())
+        return pa.table({"a": pa.array(rows_a, pa.int64()),
+                         "b": pa.array(rows_b, pa.int64()),
+                         "cosine": pa.array(rows_s, pa.float64())})
+
+    return pa.concat_tables(
+        list(
+            emb_ds.map_batches(score, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+    )

@@ -1,0 +1,122 @@
+"""Pre-validation of the driver's correctness gate: run every
+``queries()`` entry at sf0.01 and compare with its ``oracle_sql()``
+DuckDB result — row count, schema names, and exact sorted values
+(the pipelines are engineered for bit-exact agreement).
+
+Queries without SQL oracles (iterative / signature ops) are checked
+against the numpy oracles instead where exact semantics exist.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(obj, rd.Dataset):
+        obj = obj.to_pandas()
+    elif isinstance(obj, pa.Table):
+        obj = obj.to_pandas()
+    return obj
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_ORACLED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.fixture(scope="module")
+def con():
+    return _duck()
+
+
+@pytest.mark.parametrize("name", SQL_ORACLED)
+def test_query_matches_duckdb_oracle(name, con):
+    ray_df = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    sql_df = _canon(con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), name
+    assert len(ray_df) == len(sql_df), name
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_exact=True)
+
+
+def test_pagerank_top20_vs_numpy_oracle():
+    from dxa_pagerank_ray.oracles.graph_oracles import pagerank_lump
+    from dxa_pagerank_ray.pipelines.graph_build import edges_to_numpy
+    from dxa_pagerank_ray.pipelines.testdata_graph import _num_vertices, customer_edges
+
+    edges = customer_edges(SF_DIR).materialize()
+    n = _num_vertices(edges)
+    src, dst = edges_to_numpy(edges)
+    exp_pr, _, _ = pagerank_lump(src, dst, n, 0.85, 1e-8, 200)
+    got = _to_pandas(entrymod.queries()["pagerank_top20"](SF_DIR))
+    exp_top = np.argsort(-exp_pr, kind="stable")[:20]
+    np.testing.assert_array_equal(got["v"].to_numpy(), exp_top)
+    np.testing.assert_allclose(got["pr"].to_numpy(), exp_pr[exp_top], atol=1e-9)
+
+
+def test_cc_lp_sizes_vs_numpy_oracle():
+    from dxa_pagerank_ray.oracles import graph_oracles as oracle
+    from dxa_pagerank_ray.pipelines.graph_build import edges_to_numpy
+    from dxa_pagerank_ray.pipelines.testdata_graph import _num_vertices, customer_edges
+
+    edges = customer_edges(SF_DIR).materialize()
+    n = _num_vertices(edges)
+    src, dst = edges_to_numpy(edges)
+
+    got_cc = _to_pandas(entrymod.queries()["cc_sizes"](SF_DIR))
+    labels = oracle.connected_components(src, dst, n)
+    lab, sz = np.unique(labels, return_counts=True)
+    np.testing.assert_array_equal(got_cc["label"].to_numpy(), lab)
+    np.testing.assert_array_equal(got_cc["size"].to_numpy(), sz)
+
+    got_lp = _to_pandas(entrymod.queries()["labelprop_sizes"](SF_DIR))
+    lp = oracle.label_propagation(src, dst, n, rounds=5)
+    lab2, sz2 = np.unique(lp, return_counts=True)
+    np.testing.assert_array_equal(got_lp["label"].to_numpy(), lab2)
+    np.testing.assert_array_equal(got_lp["size"].to_numpy(), sz2)
+
+
+def test_entry_smoke():
+    out = _to_pandas(entrymod.entry())
+    assert len(out) > 0
+    assert set(out.columns) == {"v", "pr"}
+    assert abs(out["pr"].sum() - 1.0) < 1e-6
+
+
+def test_ann_lsh_recall_vs_brute_force():
+    """LSH ANN is approximate; contract = decent recall at this scale."""
+    exact = _to_pandas(entrymod.queries()["ann_cosine_top10"](SF_DIR))
+    approx = _to_pandas(entrymod.queries()["ann_lsh_top10"](SF_DIR))
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values.tolist()))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values.tolist()))
+    recall = len(e & a) / max(len(e), 1)
+    assert recall >= 0.5, recall
