@@ -1,0 +1,49 @@
+"""CSR partition-actor engine vs the numpy oracle and the broadcast
+engine — identical semantics, different execution."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dxa_pagerank_ray.oracles.graph_oracles import pagerank_lump
+from dxa_pagerank_ray.pipelines.graph_build import build_link_graph, edges_to_numpy
+from dxa_pagerank_ray.pipelines.pagerank import pagerank
+from dxa_pagerank_ray.pipelines.pagerank_csr import pagerank_csr
+from dxa_pagerank_ray.sources.edgelist import README7, parse_edgelist
+from dxa_pagerank_ray.sources.pages import pages_table
+
+
+def test_csr_readme7_vs_oracle(tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text(README7)
+    t, n = parse_edgelist(str(p))
+    edges = rd.from_arrow(t).materialize()
+    src, dst = edges_to_numpy(edges)
+    exp_pr, exp_rounds, exp_errs = pagerank_lump(src, dst, n, 0.85, 1e-9, 200)
+    res = pagerank_csr(edges, n, num_partitions=3, threshold=1e-9, max_rounds=200)
+    assert res.rounds == exp_rounds
+    np.testing.assert_allclose(res.pr, exp_pr, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(res.errs, exp_errs, rtol=1e-6, atol=1e-12)
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_csr_on_built_graph_matches_broadcast_engine(parts):
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    bcast = pagerank(g.edges, g.num_vertices, threshold=1e-8)
+    csr = pagerank_csr(g.edges, g.num_vertices, num_partitions=parts,
+                       threshold=1e-8)
+    assert csr.rounds == bcast.rounds
+    np.testing.assert_allclose(csr.pr, bcast.pr, atol=1e-12, rtol=0)
+    assert abs(csr.pr.sum() - 1.0) < 1e-9
+
+
+def test_csr_empty_graph():
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    ).materialize()
+    res = pagerank_csr(empty, 3, num_partitions=2, threshold=1e-9)
+    np.testing.assert_allclose(res.pr, np.full(3, 1 / 3), atol=1e-12)
