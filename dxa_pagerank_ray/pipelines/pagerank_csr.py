@@ -146,6 +146,51 @@ def _make_actor_cls():
         def get_state(self):
             return self.lo, self.pr
 
+        def write_ckpt(self, base: str, it: int) -> dict:
+            """Write this partition's vertex-state slice (per-partition
+            lineage: each actor persists only its own id range, the Ray
+            analogue of the per-slave ``.pageRank`` files of
+            ``PRInfoTask.java:52-97`` — but mid-run, for resume)."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            d = os.path.join(base, f"iter={it:05d}")
+            os.makedirs(d, exist_ok=True)
+            name = f"part={self.p:03d}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "v": pa.array(
+                            np.arange(self.lo, self.hi, dtype=np.int64),
+                            pa.int64(),
+                        ),
+                        "pr": pa.array(self.pr, pa.float64()),
+                    }
+                ),
+                os.path.join(d, name),
+            )
+            return {"part": self.p, "file": name, "rows": self.size,
+                    "v_lo": self.lo, "v_hi": self.hi}
+
+        def load_ckpt(self, base: str, it: int) -> int:
+            """Restore this partition's slice from its own lineage file."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(base, f"iter={it:05d}", f"part={self.p:03d}.parquet")
+            )
+            pr = t["pr"].to_numpy(zero_copy_only=False)
+            if len(pr) != self.size:
+                raise ValueError(
+                    f"checkpoint partition {self.p} has {len(pr)} rows, "
+                    f"expected {self.size} (partition count changed?)"
+                )
+            self.pr = pr.astype(np.float64)
+            return self.size
+
     return CSRPartition
 
 
@@ -204,7 +249,40 @@ class PageRankCSR:
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
         self.num_dangling = sum(ray.get([a.num_dangling.remote() for a in self.actors]))
 
-    def run(self, threshold: float = 1e-6, max_rounds: int = 100) -> PageRankResult:
+    def _write_manifest(self, base: str, it: int, lineage: list[dict],
+                        dangling_pr: float, errs: list[float],
+                        seconds: list[float], threshold: float) -> None:
+        import json
+        import os
+
+        d = os.path.join(base, f"iter={it:05d}")
+        manifest = {
+            "iter": it,
+            "num_vertices": self.n,
+            "columns": ["pr"],
+            "scalars": {"dangling_pr": dangling_pr, "damping": self.d,
+                        "threshold": threshold},
+            "partitions": sorted(lineage, key=lambda x: x["part"]),
+            "metrics": [
+                {"round": i + 1, "err": e, "seconds": s}
+                for i, (e, s) in enumerate(zip(errs, seconds))
+            ],
+        }
+        tmp = os.path.join(d, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, "MANIFEST.json"))
+
+    def run(self, threshold: float = 1e-6, max_rounds: int = 100,
+            checkpoint_dir: str | None = None, checkpoint_every: int = 0,
+            resume: bool = False) -> PageRankResult:
+        """Iterate supersteps; optionally checkpoint every k rounds
+        (actors write their own partition files — the MANIFEST is the
+        completeness marker, written last) and resume from the latest
+        complete checkpoint (topology is rebuilt from the edge source by
+        ``__init__``; only the iterated vertex state + scalars restore)."""
+        import json
+        import os
         import time
 
         import ray
@@ -214,6 +292,28 @@ class PageRankCSR:
         seconds: list[float] = []
         rounds = 0
         converged = False
+        resumed_from = None
+        if resume and checkpoint_dir is not None:
+            from ..state.checkpoint import latest_checkpoint
+
+            it = latest_checkpoint(checkpoint_dir)
+            if it is not None:
+                with open(os.path.join(checkpoint_dir, f"iter={it:05d}",
+                                       "MANIFEST.json")) as f:
+                    manifest = json.load(f)
+                if len(manifest["partitions"]) != self.P:
+                    raise ValueError(
+                        f"checkpoint has {len(manifest['partitions'])} "
+                        f"partitions, engine has {self.P}"
+                    )
+                ray.get([a.load_ckpt.remote(checkpoint_dir, it)
+                         for a in self.actors])
+                dangling_pr = float(manifest["scalars"]["dangling_pr"])
+                errs = [m["err"] for m in manifest["metrics"]]
+                seconds = [m["seconds"] for m in manifest["metrics"]]
+                rounds = it
+                resumed_from = it
+                converged = len(errs) > 0 and errs[-1] <= threshold
         while rounds < max_rounds and not converged:
             t0 = time.perf_counter()
             rounds += 1
@@ -236,6 +336,14 @@ class PageRankCSR:
             errs.append(err)
             seconds.append(time.perf_counter() - t0)
             converged = err <= threshold
+            if (checkpoint_dir is not None and checkpoint_every > 0
+                    and rounds % checkpoint_every == 0):
+                lineage = ray.get(
+                    [a.write_ckpt.remote(checkpoint_dir, rounds)
+                     for a in self.actors]
+                )
+                self._write_manifest(checkpoint_dir, rounds, lineage,
+                                     dangling_pr, errs, seconds, threshold)
         if self.num_dangling:
             outs = [
                 a.compute.options(num_returns=self.P).remote()
@@ -256,7 +364,8 @@ class PageRankCSR:
         for lo, slice_pr in _ray.get([a.get_state.remote() for a in self.actors]):
             pr[lo : lo + len(slice_pr)] = slice_pr
         return PageRankResult(pr=pr, rounds=rounds, errs=errs,
-                              round_seconds=seconds, converged=converged)
+                              round_seconds=seconds, converged=converged,
+                              resumed_from=resumed_from)
 
 
 def pagerank_csr(edges_ds, num_vertices: int, num_partitions: int = 8,

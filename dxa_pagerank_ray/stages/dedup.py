@@ -87,12 +87,11 @@ class _MinHasher:
 def minhash_signatures(docs_ds, num_perm: int = 64, k: int = 5, seed: int = 1,
                        text_col: str = "text", id_col: str = "doc_id",
                        concurrency: int = 4):
-    import functools
-
-    cls = functools.partial(_MinHasher, num_perm=num_perm, k=k, seed=seed,
-                            text_col=text_col, id_col=id_col)
-    return docs_ds.map_batches(cls, batch_format="pyarrow",
-                               concurrency=concurrency, batch_size=512)
+    return docs_ds.map_batches(
+        _MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, k=k, seed=seed,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency, batch_size=512)
 
 
 def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,

@@ -41,6 +41,35 @@ def test_csr_on_built_graph_matches_broadcast_engine(parts):
     assert abs(csr.pr.sum() - 1.0) < 1e-9
 
 
+def test_csr_checkpoint_resume(tmp_path):
+    """Interrupt after 5 rounds (last complete ckpt: round 4), rebuild a
+    fresh engine, resume — final ranks must be bit-equal to the
+    uninterrupted run (FIXTURES.md F6)."""
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    ck = str(tmp_path / "ckpt")
+    full = PageRankCSR(g.edges, g.num_vertices, num_partitions=4).run(
+        threshold=1e-8, max_rounds=40
+    )
+    PageRankCSR(g.edges, g.num_vertices, num_partitions=4).run(
+        threshold=1e-8, max_rounds=5, checkpoint_dir=ck, checkpoint_every=2
+    )
+    resumed = PageRankCSR(g.edges, g.num_vertices, num_partitions=4).run(
+        threshold=1e-8, max_rounds=40, checkpoint_dir=ck, resume=True
+    )
+    assert resumed.resumed_from == 4
+    assert resumed.rounds == full.rounds
+    np.testing.assert_array_equal(resumed.pr, full.pr)
+    np.testing.assert_allclose(resumed.errs, full.errs, rtol=1e-9, atol=1e-15)
+    # partition-count mismatch must be rejected, not silently misread
+    with pytest.raises(ValueError):
+        PageRankCSR(g.edges, g.num_vertices, num_partitions=2).run(
+            checkpoint_dir=ck, resume=True
+        )
+
+
 def test_csr_empty_graph():
     empty = rd.from_arrow(
         pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
