@@ -111,6 +111,17 @@ def _q_ann_lsh_top10(sf_dir: str):
     return lsh_topk(emb, q, qids, k=10)
 
 
+def _q_ann_ivf_top10(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.ann import ivf_topk
+
+    q, qids = _load_queries(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return ivf_topk(emb, q, qids, k=10, n_centroids=16, nprobe=6)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -194,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "ann_cosine_top10": _q_ann_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
+        "ann_ivf_top10": _q_ann_ivf_top10,
         "minhash_dup_pairs": _q_minhash_pairs,
         "simhash_dup_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,

@@ -96,6 +96,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     res = eng.run(threshold=1e-6, max_rounds=100)
     superstep_time = time.perf_counter() - t0
+    eng.shutdown()  # release the pool's CPU reservation for the suite below
     warm = res.round_seconds[1:] if len(res.round_seconds) > 1 else res.round_seconds
     per_round = sorted(warm)[len(warm) // 2]
     out.update(

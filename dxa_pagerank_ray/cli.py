@@ -1,0 +1,264 @@
+"""CLI driver — the ``ray job submit`` entry point (north_rule).
+
+The reference's single entry point is ``MainPR.main`` with positional
+args (``MainPR.java:38-49``); here each algorithm is a subcommand over
+a pages-Parquet (or edges-Parquet) input:
+
+    ray job submit -- python -m dxa_pagerank_ray pagerank \
+        --pages /data/pages --out /out/run1 --partitions 64 \
+        --checkpoint-dir /out/run1/ckpt --checkpoint-every 5 [--resume]
+
+Outputs under ``--out``:
+
+    ranks/part=*.parquet   (or labels/ for cc/labelprop)  — partitioned
+    statistics.json        — the modernized ``statistics.out``
+                             (``PrStatisticsJob.java:66-91``): config,
+                             INPUT_TIME / EXECUTION_TIME split, and the
+                             per-round  Round/Error/Time table
+
+This module owns ``ray.init`` (guarded) — the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_vertex_table(out_dir: str, name: str, col: str,
+                        values: np.ndarray, num_partitions: int) -> None:
+    """Partitioned vertex-keyed output: one file per contiguous id range
+    (resumable/partition-skippable — never one giant file)."""
+    d = os.path.join(out_dir, name)
+    os.makedirs(d, exist_ok=True)
+    n = len(values)
+    bounds = np.linspace(0, n, num_partitions + 1).astype(np.int64)
+    for p in range(num_partitions):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        pq.write_table(
+            pa.table({"v": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                      col: pa.array(values[lo:hi])}),
+            os.path.join(d, f"part={p:03d}.parquet"),
+        )
+
+
+def _statistics(out_dir: str, fields: dict, rounds_table=None) -> None:
+    stats = dict(fields)
+    if rounds_table is not None:
+        stats["rounds_table"] = rounds_table
+    with open(os.path.join(out_dir, "statistics.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+
+
+def _load_graph(args):
+    """pages-Parquet -> link graph, or a prebuilt edges-Parquet."""
+    import ray.data as rd
+
+    from .pipelines.graph_build import build_link_graph
+
+    t0 = time.perf_counter()
+    if args.pages:
+        pages = rd.read_parquet(args.pages)
+        g = build_link_graph(pages, num_partitions=args.partitions)
+        edges, n = g.edges, g.num_vertices
+        url_ids = g.url_ids
+    else:
+        edges = rd.read_parquet(args.edges).materialize()
+        n = args.num_vertices
+        if n is None:
+            mx = -1
+            for b in edges.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow"):
+                if b.num_rows:
+                    mx = max(mx,
+                             int(pa.compute.max(b["src"]).as_py()),
+                             int(pa.compute.max(b["dst"]).as_py()))
+            n = mx + 1
+        url_ids = None
+    return edges, n, url_ids, time.perf_counter() - t0
+
+
+def cmd_pagerank(args) -> None:
+    from .pipelines.pagerank_csr import PageRankCSR
+
+    edges, n, url_ids, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    eng = PageRankCSR(edges, n, num_partitions=args.partitions,
+                      damping=args.damping)
+    res = eng.run(threshold=args.threshold, max_rounds=args.max_rounds,
+                  checkpoint_dir=args.checkpoint_dir,
+                  checkpoint_every=args.checkpoint_every,
+                  resume=args.resume)
+    exec_time = time.perf_counter() - t0
+    _write_vertex_table(args.out, "ranks", "pr", res.pr, args.partitions)
+    if url_ids is not None:
+        url_ids.write_parquet(os.path.join(args.out, "url_ids"))
+    _statistics(
+        args.out,
+        {
+            "ALGORITHM": "pagerank",
+            "NUM_PARTITIONS": args.partitions,
+            "NUM_VERTICES": n,
+            "NUM_EDGES": eng.num_edges,
+            "DAMPING_FACTOR": args.damping,
+            "ERROR_THRESHOLD": args.threshold,
+            "NUM_ROUNDS": res.rounds,
+            "CONVERGED": res.converged,
+            "RESUMED_FROM": res.resumed_from,
+            "INPUT_TIME_S": round(input_time, 3),
+            "EXECUTION_TIME_S": round(exec_time, 3),
+        },
+        [{"round": i + 1, "error": e, "seconds": round(s, 4)}
+         for i, (e, s) in enumerate(zip(res.errs, res.round_seconds))],
+    )
+    print(json.dumps({"out": args.out, "rounds": res.rounds,
+                      "converged": res.converged,
+                      "execution_time_s": round(exec_time, 3)}))
+
+
+def cmd_components(args) -> None:
+    from .pipelines.components import connected_components
+
+    edges, n, _, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    res = connected_components(edges, n, max_rounds=args.max_rounds)
+    exec_time = time.perf_counter() - t0
+    _write_vertex_table(args.out, "labels", "label", res.labels,
+                        args.partitions)
+    _statistics(args.out, {
+        "ALGORITHM": "connected_components", "NUM_VERTICES": n,
+        "NUM_COMPONENTS": int(len(np.unique(res.labels))),
+        "NUM_ROUNDS": res.rounds, "INPUT_TIME_S": round(input_time, 3),
+        "EXECUTION_TIME_S": round(exec_time, 3),
+        "CHANGED_PER_ROUND": res.changed_per_round,
+    })
+    print(json.dumps({"out": args.out, "rounds": res.rounds,
+                      "num_components": int(len(np.unique(res.labels)))}))
+
+
+def cmd_labelprop(args) -> None:
+    from .pipelines.labelprop import label_propagation
+
+    edges, n, _, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    res = label_propagation(edges, n, rounds=args.max_rounds)
+    exec_time = time.perf_counter() - t0
+    _write_vertex_table(args.out, "labels", "label", res.labels,
+                        args.partitions)
+    _statistics(args.out, {
+        "ALGORITHM": "label_propagation", "NUM_VERTICES": n,
+        "NUM_LABELS": int(len(np.unique(res.labels))),
+        "NUM_ROUNDS": res.rounds,
+        "INPUT_TIME_S": round(input_time, 3),
+        "EXECUTION_TIME_S": round(exec_time, 3),
+        "CHANGED_PER_ROUND": res.changed_per_round,
+    })
+    print(json.dumps({"out": args.out,
+                      "num_labels": int(len(np.unique(res.labels)))}))
+
+
+def cmd_triangles(args) -> None:
+    from .pipelines.triangles import triangle_count
+
+    edges, n, _, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    count = triangle_count(edges, n)
+    exec_time = time.perf_counter() - t0
+    _statistics(args.out, {
+        "ALGORITHM": "triangle_count", "NUM_VERTICES": n,
+        "NUM_TRIANGLES": int(count),
+        "INPUT_TIME_S": round(input_time, 3),
+        "EXECUTION_TIME_S": round(exec_time, 3),
+    })
+    print(json.dumps({"out": args.out, "triangles": int(count)}))
+
+
+def cmd_synth_pages(args) -> None:
+    from .sources.pages import write_pages_parquet
+
+    write_pages_parquet(args.out, args.n, seed=args.seed,
+                        override_num_blocks=args.partitions)
+    print(json.dumps({"out": args.out, "n_pages": args.n}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="dxa_pagerank_ray",
+        description="Ray-Data-native link-graph analytics engine",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_common(p, graph=True):
+        if graph:
+            src = p.add_mutually_exclusive_group(required=True)
+            src.add_argument("--pages", help="pages Parquet dir "
+                             "(url, warc_ts, html, text, lang)")
+            src.add_argument("--edges", help="prebuilt edges Parquet dir "
+                             "(src, dst int64)")
+            p.add_argument("--num-vertices", type=int, default=None,
+                           help="with --edges: vertex count "
+                           "(default: max id + 1)")
+            p.add_argument("--max-rounds", type=int, default=100)
+        p.add_argument("--out", required=True)
+        p.add_argument("--partitions", type=int, default=8)
+
+    p = sub.add_parser("pagerank", help="lump PageRank (CSR actor engine)")
+    add_common(p)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--threshold", type=float, default=1e-6)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_pagerank)
+
+    p = sub.add_parser("components", help="hash-min connected components")
+    add_common(p)
+    p.set_defaults(fn=cmd_components)
+
+    p = sub.add_parser("labelprop", help="synchronous label propagation")
+    add_common(p)
+    p.set_defaults(fn=cmd_labelprop)
+
+    p = sub.add_parser("triangles", help="triangle count")
+    add_common(p)
+    p.set_defaults(fn=cmd_triangles)
+
+    p = sub.add_parser("synth-pages", help="write the deterministic "
+                       "synthetic pages fixture")
+    add_common(p, graph=False)
+    p.add_argument("--n", type=int, required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_synth_pages)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    from .context import quiet_data_context
+
+    quiet_data_context()
+    try:
+        args.fn(args)
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

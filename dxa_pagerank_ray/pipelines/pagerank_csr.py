@@ -249,6 +249,16 @@ class PageRankCSR:
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
         self.num_dangling = sum(ray.get([a.num_dangling.remote() for a in self.actors]))
 
+    def shutdown(self) -> None:
+        """Kill the partition actors and release their CPU reservation.
+        A pool that outlives its run starves later stages on a small
+        cluster (P actors x fractional CPUs stay reserved)."""
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
     def _write_manifest(self, base: str, it: int, lineage: list[dict],
                         dangling_pr: float, errs: list[float],
                         seconds: list[float], threshold: float) -> None:

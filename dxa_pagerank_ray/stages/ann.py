@@ -3,9 +3,12 @@
 - ``brute_force_topk``: exact cosine top-k — numpy matmul per batch
   against a broadcast query matrix (``ray.put`` once), per-batch local
   top-k, tiny global merge on the driver.  O(N·Q·D) distributed.
-- ``lsh_topk``: the scale path — random-hyperplane LSH bucketing: only
-  vectors sharing a bucket with a query are scored.  Approximate; the
-  bench/e2e tests measure its recall against brute force.
+- ``lsh_topk``: random-hyperplane LSH bucketing — only vectors sharing
+  a bucket with a query are scored.  Approximate; the bench/e2e tests
+  measure its recall against brute force.
+- ``ivf_topk``: IVF variant — spherical k-means cells trained on a
+  bounded driver-side sample, queries probe the ``nprobe`` nearest
+  cells; scanned fraction ~ nprobe/n_centroids.
 """
 
 from __future__ import annotations
@@ -25,6 +28,31 @@ def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.maximum(norms, 1e-30)
+
+
+def _merge_topk(parts: pa.Table, qids: np.ndarray, k: int) -> pa.Table:
+    """Driver-side merge of per-batch candidate (qi, neighbor_id, sim)
+    rows into the final (query_id, neighbor_id, rank) table — ties
+    broken by lower neighbor id, self-matches excluded."""
+    qi = parts["qi"].to_numpy(zero_copy_only=False)
+    nid = parts["neighbor_id"].to_numpy(zero_copy_only=False)
+    sim = parts["sim"].to_numpy(zero_copy_only=False)
+    out_q, out_n, out_r = [], [], []
+    for j in range(len(qids)):
+        mask = (qi == j) & (nid != qids[j])
+        order = np.lexsort((nid[mask], -sim[mask]))[:k]
+        sel_n = nid[mask][order]
+        out_q.append(np.full(len(sel_n), qids[j], dtype=np.int64))
+        out_n.append(sel_n)
+        out_r.append(np.arange(1, len(sel_n) + 1, dtype=np.int64))
+    cat = lambda xs: (np.concatenate(xs) if xs else np.array([], dtype=np.int64))  # noqa: E731
+    return pa.table(
+        {
+            "query_id": pa.array(cat(out_q), pa.int64()),
+            "neighbor_id": pa.array(cat(out_n), pa.int64()),
+            "rank": pa.array(cat(out_r), pa.int64()),
+        }
+    )
 
 
 def brute_force_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray,
@@ -67,24 +95,7 @@ def brute_force_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray,
             )
         )
     )
-    qi = parts["qi"].to_numpy(zero_copy_only=False)
-    nid = parts["neighbor_id"].to_numpy(zero_copy_only=False)
-    sim = parts["sim"].to_numpy(zero_copy_only=False)
-    out_q, out_n, out_r = [], [], []
-    for j in range(len(qids)):
-        mask = (qi == j) & (nid != qids[j])
-        order = np.lexsort((nid[mask], -sim[mask]))[:k]
-        sel_n = nid[mask][order]
-        out_q.append(np.full(len(sel_n), qids[j], dtype=np.int64))
-        out_n.append(sel_n)
-        out_r.append(np.arange(1, len(sel_n) + 1, dtype=np.int64))
-    return pa.table(
-        {
-            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-            "rank": pa.array(np.concatenate(out_r), pa.int64()),
-        }
-    )
+    return _merge_topk(parts, qids, k)
 
 
 def lsh_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
@@ -150,24 +161,86 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             )
         )
     )
-    qi = parts["qi"].to_numpy(zero_copy_only=False)
-    nid = parts["neighbor_id"].to_numpy(zero_copy_only=False)
-    sim = parts["sim"].to_numpy(zero_copy_only=False)
-    out_q, out_n, out_r = [], [], []
-    for j in range(len(qids)):
-        mask = (qi == j) & (nid != qids[j])
-        order = np.lexsort((nid[mask], -sim[mask]))[:k]
-        sel_n = nid[mask][order]
-        out_q.append(np.full(len(sel_n), qids[j], dtype=np.int64))
-        out_n.append(sel_n)
-        out_r.append(np.arange(1, len(sel_n) + 1, dtype=np.int64))
-    return pa.table(
-        {
-            "query_id": pa.array(np.concatenate(out_q) if out_q else
-                                 np.array([], dtype=np.int64), pa.int64()),
-            "neighbor_id": pa.array(np.concatenate(out_n) if out_n else
-                                    np.array([], dtype=np.int64), pa.int64()),
-            "rank": pa.array(np.concatenate(out_r) if out_r else
-                             np.array([], dtype=np.int64), pa.int64()),
-        }
+    return _merge_topk(parts, qids, k)
+
+
+def train_ivf_centroids(emb_ds, n_centroids: int = 16, sample_n: int = 4096,
+                        iters: int = 10, seed: int = 7,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means on a driver-side sample -> (C, d) unit
+    centroids.  The sample is a bounded ``limit()`` read (the training
+    set stays O(sample_n) regardless of dataset size); at 100 TB the
+    same code trains on a pushed-down sampled read."""
+    batches = list(
+        emb_ds.limit(sample_n).iter_batches(batch_size=sample_n,
+                                            batch_format="pyarrow")
     )
+    m = _normalize(
+        np.concatenate([_to_matrix(b[vec_col]) for b in batches], axis=0)
+    )
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            sel = m[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 7,
+             centroids: np.ndarray | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """IVF (inverted-file) approximate top-k: vectors partition into
+    Voronoi cells of k-means centroids; each query scores only the
+    ``nprobe`` nearest cells.  Scanned fraction ~ nprobe/n_centroids —
+    the scale path when LSH selectivity is hard to tune.  Same output
+    schema as ``brute_force_topk``; recall measured in tests."""
+    import ray
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb_ds, n_centroids, seed=seed,
+                                        vec_col=vec_col)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # per-query probe lists: nprobe nearest centroids
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    state_ref = ray.put((qn, probes, centroids))
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qn_, probes_, cents_ = ray.get(state_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        assign = np.argmax(m @ cents_.T, axis=1)  # (n,)
+        rows = []
+        for j in range(qn_.shape[0]):
+            hit = np.isin(assign, probes_[j])
+            if not hit.any():
+                continue
+            sims = m[hit] @ qn_[j]
+            rows.append(
+                pa.table(
+                    {
+                        "qi": pa.array(np.full(int(hit.sum()), j, dtype=np.int64)),
+                        "neighbor_id": pa.array(ids[hit], pa.int64()),
+                        "sim": pa.array(sims, pa.float64()),
+                    }
+                )
+            )
+        if not rows:
+            return pa.table({"qi": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.concat_tables(rows)
+
+    parts = pa.concat_tables(
+        list(
+            emb_ds.map_batches(score, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+    )
+    return _merge_topk(parts, qids, k)

@@ -19,36 +19,52 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-_MERSENNE = (1 << 61) - 1
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanches the weak polynomial shingle
+    hash into a uniform 64-bit value (vectorized, wraparound uint64)."""
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
 
 
 def _base_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Stable 64-bit hashes of the k-char shingles of ``text``."""
-    t = text or ""
-    if len(t) < k:
-        shingles = [t]
-    else:
-        shingles = [t[i : i + k] for i in range(len(t) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
-        )
-    return np.unique(out)
+    """Unique 64-bit hashes of the k-byte (UTF-8) shingles of ``text``.
+
+    Fully vectorized: sliding byte windows -> polynomial hash (uint64
+    wraparound) -> splitmix64 mix.  No per-shingle Python calls — this
+    is the hot kernel of the minhash stage."""
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    kk = min(k, len(b))
+    win = np.lib.stride_tricks.sliding_window_view(b, kk).astype(np.uint64)
+    pows = np.uint64(0x100000001B3) ** np.arange(kk, dtype=np.uint64)
+    return np.unique(_mix64(win @ pows))
 
 
 def minhash_signature(text: str, num_perm: int = 64, k: int = 5,
                       seed: int = 1) -> np.ndarray:
-    """num_perm-wide minhash signature via the (a*x+b) mod p family."""
-    base = _base_shingle_hashes(text, k)
+    """num_perm-wide minhash via the multiply-shift family
+    ``h_i(x) = a_i*x + b_i (mod 2^64)``, odd ``a_i`` (vectorized native
+    uint64 wraparound — the standard practical min-wise family)."""
+    a, b = _perm_coeffs(num_perm, seed)
+    return _signature(_base_shingle_hashes(text, k), a, b, num_perm)
+
+
+def _perm_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(2) \
+        + np.uint64(1)  # odd multipliers
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _signature(base: np.ndarray, a: np.ndarray, b: np.ndarray,
+               num_perm: int) -> np.ndarray:
     if len(base) == 0:
         return np.zeros(num_perm, dtype=np.uint64)
-    x = base.astype(object)[:, None]  # object avoids uint64 overflow
-    vals = (x * a[None, :] + b[None, :]) % _MERSENNE
-    return vals.min(axis=0).astype(np.uint64)
+    vals = base[:, None] * a[None, :] + b[None, :]  # (S, P) wraparound
+    return vals.min(axis=0)
 
 
 class _MinHasher:
@@ -56,19 +72,13 @@ class _MinHasher:
 
     def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 1,
                  text_col: str = "text", id_col: str = "doc_id") -> None:
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a, self.b = _perm_coeffs(num_perm, seed)
         self.num_perm, self.k = num_perm, k
         self.text_col, self.id_col = text_col, id_col
 
     def signature(self, text: str) -> np.ndarray:
-        base = _base_shingle_hashes(text, self.k)
-        if len(base) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        x = base.astype(object)[:, None]
-        vals = (x * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return vals.min(axis=0).astype(np.uint64)
+        return _signature(_base_shingle_hashes(text, self.k),
+                          self.a, self.b, self.num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -91,7 +101,7 @@ def minhash_signatures(docs_ds, num_perm: int = 64, k: int = 5, seed: int = 1,
         _MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, k=k, seed=seed,
                                    text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=512)
+        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=512)
 
 
 def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,
@@ -197,14 +207,19 @@ def simhash64(text: str) -> int:
     words = re.findall(r"\w+", (text or "").lower())
     if not words:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in words:
-        h = int.from_bytes(
-            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
-        )
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    hs = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            for w in words
+        ],
+        dtype=np.uint64,  # explicit uint64: hashes >= 2^63 must not
+    )                     # coerce to Python-object arrays
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (W, 64)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << shifts).sum())
 
 
 def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4,

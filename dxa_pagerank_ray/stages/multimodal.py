@@ -276,7 +276,7 @@ class FrameSampler:
 
 def decode_images(ds, concurrency: int = 4, batch_size: int = 64, **kw):
     return ds.map_batches(ImageDecoder, fn_constructor_kwargs=kw,
-                          batch_format="pyarrow", concurrency=concurrency,
+                          batch_format="pyarrow", concurrency=(1, concurrency),
                           batch_size=batch_size)
 
 
@@ -285,12 +285,12 @@ def resize_images(ds, out_w: int = 16, out_h: int = 16,
     return ds.map_batches(
         ImageResizer,
         fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h, **kw),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size)
+        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=batch_size)
 
 
 def audio_features(ds, concurrency: int = 4, batch_size: int = 64, **kw):
     return ds.map_batches(AudioFeatures, fn_constructor_kwargs=kw,
-                          batch_format="pyarrow", concurrency=concurrency,
+                          batch_format="pyarrow", concurrency=(1, concurrency),
                           batch_size=batch_size)
 
 
@@ -298,4 +298,4 @@ def sample_frames(ds, every_k: int = 2, concurrency: int = 4,
                   batch_size: int = 32, **kw):
     return ds.map_batches(
         FrameSampler, fn_constructor_kwargs=dict(every_k=every_k, **kw),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size)
+        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=batch_size)

@@ -101,7 +101,7 @@ class LangId:
 
 def lang_id(docs_ds, concurrency: int = 4):
     return docs_ds.map_batches(LangId, batch_format="pyarrow",
-                               concurrency=concurrency, batch_size=1024)
+                               concurrency=(1, concurrency), batch_size=1024)
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",

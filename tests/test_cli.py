@@ -1,0 +1,86 @@
+"""CLI driver (`python -m dxa_pagerank_ray ...`) — in-process via
+``cli.main`` (pytest's Ray session is reused; the CLI only owns
+``ray.init`` when none exists, the ray-job-submit contract)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from dxa_pagerank_ray.cli import main
+from dxa_pagerank_ray.oracles.graph_oracles import pagerank_lump
+from dxa_pagerank_ray.pipelines.graph_build import build_link_graph, edges_to_numpy
+from dxa_pagerank_ray.sources.pages import pages_table
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages") / "pages")
+    rd.from_arrow(pages_table(64, seed=42)).repartition(2).write_parquet(d)
+    return d
+
+
+def _read_vertex_col(out_dir: str, name: str, col: str) -> np.ndarray:
+    d = os.path.join(out_dir, name)
+    tabs = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))]
+    import pyarrow as pa
+
+    t = pa.concat_tables(tabs)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    out = np.empty(len(v), dtype=t[col].to_numpy(zero_copy_only=False).dtype)
+    out[v] = t[col].to_numpy(zero_copy_only=False)
+    return out
+
+
+def test_cli_pagerank_vs_oracle(pages_dir, tmp_path):
+    out = str(tmp_path / "pr_out")
+    main(["pagerank", "--pages", pages_dir, "--out", out,
+          "--partitions", "3", "--threshold", "1e-8"])
+    stats = json.load(open(os.path.join(out, "statistics.json")))
+    assert stats["ALGORITHM"] == "pagerank" and stats["CONVERGED"]
+    assert len(stats["rounds_table"]) == stats["NUM_ROUNDS"]
+    pr = _read_vertex_col(out, "ranks", "pr")
+    g = build_link_graph(rd.read_parquet(pages_dir), num_partitions=3)
+    src, dst = edges_to_numpy(g.edges)
+    exp, _, _ = pagerank_lump(src, dst, g.num_vertices, 0.85, 1e-8, 100)
+    np.testing.assert_allclose(pr, exp, atol=1e-6, rtol=0)
+    # url mapping written alongside
+    assert os.path.isdir(os.path.join(out, "url_ids"))
+
+
+def test_cli_components_and_triangles_on_edges(tmp_path):
+    import pyarrow as pa
+
+    edges_dir = str(tmp_path / "edges")
+    # two components {0,1,2} (a triangle) and {3,4}
+    t = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 4], pa.int64())})
+    rd.from_arrow(t).write_parquet(edges_dir)
+
+    out = str(tmp_path / "cc_out")
+    main(["components", "--edges", edges_dir, "--out", out])
+    labels = _read_vertex_col(out, "labels", "label")
+    np.testing.assert_array_equal(labels, [0, 0, 0, 3, 3])
+
+    out2 = str(tmp_path / "tri_out")
+    main(["triangles", "--edges", edges_dir, "--out", out2])
+    stats = json.load(open(os.path.join(out2, "statistics.json")))
+    assert stats["NUM_TRIANGLES"] == 1
+
+
+def test_cli_resume_roundtrip(pages_dir, tmp_path):
+    out1 = str(tmp_path / "a")
+    ck = str(tmp_path / "ck")
+    main(["pagerank", "--pages", pages_dir, "--out", out1,
+          "--threshold", "1e-8", "--max-rounds", "4",
+          "--checkpoint-dir", ck, "--checkpoint-every", "2"])
+    out2 = str(tmp_path / "b")
+    main(["pagerank", "--pages", pages_dir, "--out", out2,
+          "--threshold", "1e-8", "--checkpoint-dir", ck, "--resume"])
+    stats = json.load(open(os.path.join(out2, "statistics.json")))
+    assert stats["RESUMED_FROM"] == 4 and stats["CONVERGED"]
