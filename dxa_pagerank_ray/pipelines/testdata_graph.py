@@ -22,10 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .components import connected_components
 from .graph_build import dedup_edges, out_degree_table
-from .labelprop import label_propagation
-from .pagerank import pagerank
 from .triangles import triangle_count
 
 CUSTOMER_MOD = 1500
@@ -132,33 +129,48 @@ def q_triangle_count(sf_dir: str):
 
 def q_pagerank_top20(sf_dir: str):
     """Top-20 customer-graph vertices by lump PageRank (1e-8
-    convergence); no SQL oracle (iterative) — conformance is the numpy
-    oracle in tests/test_testdata_queries.py."""
+    convergence) on the pinned CSR engine; no SQL oracle (iterative) —
+    conformance is the numpy oracle in tests/test_entry_oracle.py."""
+    from .pagerank_csr import PageRankCSR
+
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
-    res = pagerank(edges, n, damping=0.85, threshold=1e-8, max_rounds=200)
+    eng = PageRankCSR(edges, n, num_partitions=8, damping=0.85)
+    res = eng.run(threshold=1e-8, max_rounds=200)
+    eng.shutdown()
     top = np.argsort(-res.pr, kind="stable")[:20]
     return pa.table({"v": pa.array(top.astype(np.int64), pa.int64()),
                      "pr": pa.array(res.pr[top], pa.float64())})
 
 
 def q_cc_sizes(sf_dir: str):
-    """(component label, size), customer graph; rows-only driver check +
-    exact numpy-oracle check in tests."""
+    """(component label, size), customer graph, CSR label engine;
+    rows-only driver check + exact numpy-oracle check in tests."""
+    from .labels_csr import LabelCSR
+    from .superstep import undirect
+
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
-    res = connected_components(edges, n)
+    eng = LabelCSR(undirect(edges), n, num_partitions=8)
+    res = eng.connected_components()
+    eng.shutdown()
     labels, sizes = np.unique(res.labels, return_counts=True)
     return pa.table({"label": pa.array(labels, pa.int64()),
                      "size": pa.array(sizes.astype(np.int64), pa.int64())})
 
 
 def q_labelprop_sizes(sf_dir: str):
-    """(label, size) after 5 synchronous LP rounds, customer graph;
-    rows-only driver check + exact numpy-oracle check in tests."""
+    """(label, size) after 5 synchronous LP rounds, customer graph, CSR
+    label engine; rows-only driver check + exact numpy-oracle check in
+    tests."""
+    from .labels_csr import LabelCSR
+    from .superstep import undirect
+
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
-    res = label_propagation(edges, n, rounds=5)
+    eng = LabelCSR(undirect(edges), n, num_partitions=8)
+    res = eng.label_propagation(rounds=5)
+    eng.shutdown()
     labels, sizes = np.unique(res.labels, return_counts=True)
     return pa.table({"label": pa.array(labels, pa.int64()),
                      "size": pa.array(sizes.astype(np.int64), pa.int64())})

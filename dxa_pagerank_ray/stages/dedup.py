@@ -104,11 +104,62 @@ def minhash_signatures(docs_ds, num_perm: int = 64, k: int = 5, seed: int = 1,
         batch_format="pyarrow", concurrency=(1, concurrency), batch_size=512)
 
 
+def _pairs_within_buckets(banded_ds, id_col: str, num_coarse: int = 64):
+    """(band, bucket, id) rows -> unique candidate pairs (a < b).
+
+    The shuffle groups on a COARSE key (``bucket % num_coarse``), not on
+    each of the millions of tiny buckets: ``map_groups`` pays per-group
+    overhead, so pair enumeration runs once per coarse partition with a
+    vectorized (lexsort + boundaries) sweep over all its buckets.  Hub
+    buckets (a boilerplate band shared by everyone) still cost O(m^2)
+    pairs — inherent to LSH; callers bound it with more selective bands.
+    """
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["bucket"].to_numpy(zero_copy_only=False) % num_coarse
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bucket, band))
+        band, bucket, ids = band[order], bucket[order], ids[order]
+        starts = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])]
+        )
+        ends = np.r_[starts[1:], len(band)]
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            a_out.append(ids[s:e][ii])  # ids sorted per bucket -> a < b
+            b_out.append(ids[s:e][jj])
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "b": pa.array(np.concatenate(b_out), pa.int64())})
+
+    pairs = (
+        banded_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_fn, batch_format="pyarrow")
+    )
+    from ..pipelines.testdata_graph import dedup_edges_like
+
+    return dedup_edges_like(pairs, ["a", "b"])
+
+
 def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,
                         id_col: str = "doc_id"):
     """signatures -> (band_id, band_hash, doc_id) -> bucket groupby ->
     unique candidate pairs (a < b)."""
     rows_per_band = num_perm // bands
+    pows = np.uint64(0x100000001B3) ** np.arange(rows_per_band,
+                                                 dtype=np.uint64)
 
     def bandize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -118,17 +169,10 @@ def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,
         out_band, out_hash, out_id = [], [], []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-            h = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(r.tobytes(), digest_size=8).digest(), "big"
-                    ) & 0x7FFF_FFFF_FFFF_FFFF
-                    for r in chunk
-                ],
-                dtype=np.int64,
-            ) if len(chunk) else np.array([], dtype=np.int64)
-            # blake2b, not Python hash(): bucket ids must be stable
-            # across worker processes (PYTHONHASHSEED varies)
+            # vectorized polynomial hash + splitmix64 (stable across
+            # worker processes, unlike Python hash())
+            h = (_mix64(chunk.astype(np.uint64) @ pows)
+                 & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
             out_band.append(np.full(len(ids), b, dtype=np.int64))
             out_hash.append(h)
             out_id.append(ids)
@@ -140,27 +184,8 @@ def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,
             }
         )
 
-    def pairs_of_group(g) -> "object":
-        import pandas as pd
-
-        ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
-
     banded = sigs_ds.map_batches(bandize, batch_format="pyarrow")
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        pairs_of_group, batch_format="pandas"
-    )
-    from .ids import hash64  # noqa: F401  (doc cross-ref)
-    from ..pipelines.testdata_graph import dedup_edges_like
-
-    return dedup_edges_like(pairs, ["a", "b"])
+    return _pairs_within_buckets(banded, id_col)
 
 
 def verify_pairs_by_signature(pairs_tbl: pa.Table, sigs_tbl: pa.Table,
@@ -249,23 +274,51 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4,
         return pa.table({k: pa.array(np.concatenate(v), pa.int64())
                          for k, v in out.items()})
 
-    def pairs_of_group(g):
-        import pandas as pd
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["bucket"].to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("part", pa.array(part, pa.int64()))
 
-        rows = sorted(zip(g[id_col].tolist(), g["sig"].tolist()))
-        a, b, ham = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = int(bin(np.uint64(rows[i][1]) ^ np.uint64(rows[j][1])).count("1"))
-                if d <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    ham.append(d)
-        return pd.DataFrame({"a": a, "b": b, "hamming": ham})
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        """Vectorized in-bucket pair sweep (see _pairs_within_buckets);
+        Hamming verify via xor + bitcount, all numpy."""
+        band = t["band"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sigs = t["sig"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            .view(np.uint64)
+        order = np.lexsort((ids, bucket, band))
+        band, bucket = band[order], bucket[order]
+        ids, sigs = ids[order], sigs[order]
+        starts = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])]
+        )
+        ends = np.r_[starts[1:], len(band)]
+        a_out, b_out, h_out = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            x = sigs[s:e][ii] ^ sigs[s:e][jj]
+            d = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                              axis=1).sum(axis=1)
+            keep = d <= max_hamming
+            a_out.append(ids[s:e][ii][keep])
+            b_out.append(ids[s:e][jj][keep])
+            h_out.append(d[keep].astype(np.int64))
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "b": pa.array(np.concatenate(b_out), pa.int64()),
+                         "hamming": pa.array(np.concatenate(h_out), pa.int64())})
 
     banded = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        pairs_of_group, batch_format="pandas"
+    pairs = (
+        banded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_fn, batch_format="pyarrow")
     )
     return dedup_edges_like(pairs, ["a", "b", "hamming"])
 

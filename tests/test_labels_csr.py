@@ -1,0 +1,71 @@
+"""CSR partition-actor label engine (CC hash-min, label prop) vs the
+broadcast engine and the numpy oracles — identical semantics, pinned
+execution."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dxa_pagerank_ray.oracles import graph_oracles as oracle
+from dxa_pagerank_ray.pipelines.components import connected_components
+from dxa_pagerank_ray.pipelines.graph_build import build_link_graph
+from dxa_pagerank_ray.pipelines.labelprop import label_propagation
+from dxa_pagerank_ray.pipelines.labels_csr import LabelCSR
+from dxa_pagerank_ray.pipelines.superstep import undirect
+from dxa_pagerank_ray.sources.pages import pages_table
+
+CASES = {
+    "two_chains": (np.array([0, 1, 3, 4]), np.array([1, 2, 4, 3]), 6),
+    "k3_pendant": (np.array([0, 1, 2, 2, 4, 5, 6]),
+                   np.array([1, 2, 0, 3, 5, 6, 4]), 7),
+    "star": (np.zeros(5, dtype=np.int64), np.arange(1, 6), 6),
+}
+
+
+def _ds(src, dst):
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ).materialize()
+
+
+@pytest.mark.parametrize("name", list(CASES))
+@pytest.mark.parametrize("parts", [1, 3])
+def test_csr_cc_exact(name, parts):
+    src, dst, n = CASES[name]
+    eng = LabelCSR(undirect(_ds(src, dst)), n, num_partitions=parts)
+    got = eng.connected_components()
+    eng.shutdown()
+    np.testing.assert_array_equal(
+        got.labels, oracle.connected_components(src, dst, n)
+    )
+
+
+@pytest.mark.parametrize("name", list(CASES))
+@pytest.mark.parametrize("parts", [1, 3])
+def test_csr_lp_matches_broadcast(name, parts):
+    src, dst, n = CASES[name]
+    ds = _ds(src, dst)
+    und = undirect(ds)
+    bcast = label_propagation(ds, n, rounds=5)
+    eng = LabelCSR(und, n, num_partitions=parts)
+    got = eng.label_propagation(rounds=5)
+    eng.shutdown()
+    np.testing.assert_array_equal(got.labels, bcast.labels)
+    assert got.rounds == bcast.rounds
+    assert got.changed_per_round == bcast.changed_per_round
+
+
+def test_csr_cc_on_built_graph_matches_broadcast():
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    und = undirect(g.edges)
+    bcast = connected_components(g.edges, g.num_vertices)
+    eng = LabelCSR(und, g.num_vertices, num_partitions=4)
+    got = eng.connected_components()
+    eng.shutdown()
+    np.testing.assert_array_equal(got.labels, bcast.labels)
+    assert got.rounds == bcast.rounds
