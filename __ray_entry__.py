@@ -144,6 +144,15 @@ def _q_minhash_pairs(sf_dir: str):
     return verify_pairs_by_signature(pairs_tbl, sigs_tbl, threshold=0.7)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.dedup import jaccard_verified_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return jaccard_verified_pairs(docs, threshold=0.8)
+
+
 def _q_simhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -208,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top10": _q_ann_ivf_top10,
         "minhash_dup_pairs": _q_minhash_pairs,
         "simhash_dup_pairs": _q_simhash_pairs,
+        "ngram_jaccard_dup_pairs": _q_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "doc_fingerprints": _q_fingerprints,
         "doc_lang_id": _q_lang_id,

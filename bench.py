@@ -111,6 +111,13 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
     )
     queries["pagerank_supersteps"] = round(superstep_time, 3)
 
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        ray.shutdown()
+        out["queries"] = queries
+        out["pages_n"] = 0
+        out["pages_graph_edges"] = 0
+        return out
+
     # ---- pages extraction -> link graph build
     from dxa_pagerank_ray.pipelines.graph_build import build_link_graph
 
@@ -149,7 +156,8 @@ def main() -> None:
     if "--scaling" in sys.argv:
         results = {}
         for lvl in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(lvl))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(lvl),
+                       GRAFT_BENCH_HEADLINE_ONLY="1")
             p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True)
             line = p.stdout.strip().splitlines()[-1]

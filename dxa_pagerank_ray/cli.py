@@ -96,6 +96,8 @@ def cmd_pagerank(args) -> None:
                   checkpoint_dir=args.checkpoint_dir,
                   checkpoint_every=args.checkpoint_every,
                   resume=args.resume)
+    num_edges = eng.num_edges
+    eng.shutdown()  # release actor CPUs before the Ray Data writes below
     exec_time = time.perf_counter() - t0
     _write_vertex_table(args.out, "ranks", "pr", res.pr, args.partitions)
     if url_ids is not None:
@@ -106,7 +108,7 @@ def cmd_pagerank(args) -> None:
             "ALGORITHM": "pagerank",
             "NUM_PARTITIONS": args.partitions,
             "NUM_VERTICES": n,
-            "NUM_EDGES": eng.num_edges,
+            "NUM_EDGES": num_edges,
             "DAMPING_FACTOR": args.damping,
             "ERROR_THRESHOLD": args.threshold,
             "NUM_ROUNDS": res.rounds,

@@ -1,14 +1,17 @@
-"""CSR partition-actor engine for label algorithms (CC, label prop).
+"""CSR shard-actor engine for label algorithms (CC, label prop).
 
 Same execution shape as ``pipelines.pagerank_csr.PageRankCSR`` (the
 Ray-native analogue of the reference's resident-partition superstep
-worker, ``RunLumpPrRoundTask.java:57-65``): P actors pin contiguous
-vertex-id ranges with per-target-partition edge blocks built once;
-each superstep exchanges P x P sparse partials actor-to-actor through
-the object store instead of re-shuffling the edge table every round —
-at scale this removes the per-round all-to-all of the broadcast engine
-(`pipelines.superstep`), which stays as the semantics reference and
-small-graph default.
+worker, ``RunLumpPrRoundTask.java:57-65``): A shard actors (default:
+cluster CPUs) each pin a contiguous range of the P fixed logical
+partitions, with per-target-shard edge blocks built once; each
+superstep exchanges A x A sparse partials actor-to-actor through the
+object store instead of re-shuffling the edge table every round.
+Label reductions (min for CC, integer mode counts for LP) are
+associative and commutative, so results are identical at any shard
+count without the ordered-reduction machinery PageRank needs;
+checkpoint lineage files stay keyed by logical partition, so a run
+checkpointed at A=32 resumes at A=8.
 
 Message kinds:
 - connected components: per-dst **min** of neighbor labels (hash-min,
@@ -16,7 +19,7 @@ Message kinds:
   broadcast engine / numpy oracle exactly.
 - label propagation: per-dst **mode** of neighbor labels with lowest-
   label tie-break; partials are (dst, label, count) triples combined
-  per target partition — deterministic, exact match vs the oracle.
+  per target shard — deterministic, exact match vs the oracle.
 
 Both expect a *symmetrized* edge Dataset (callers pass
 ``superstep.undirect(edges)`` for directed input, mirroring the
@@ -28,21 +31,27 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .pagerank_csr import _bounds
+from .pagerank_csr import _bounds, _shard_parts, default_num_actors
 
 
 def _make_label_actor_cls():
     import ray
 
     @ray.remote
-    class LabelPartition:
-        def __init__(self, part_id: int, bounds: np.ndarray):
-            self.p = part_id
+    class LabelShard:
+        def __init__(self, shard_id: int, bounds: np.ndarray,
+                     shard_parts: np.ndarray):
+            self.s = shard_id
             self.bounds = bounds
+            self.sp = shard_parts
             self.P = len(bounds) - 1
-            self.lo = int(bounds[part_id])
-            self.hi = int(bounds[part_id + 1])
+            self.A = len(shard_parts) - 1
+            self.p_lo = int(shard_parts[shard_id])
+            self.p_hi = int(shard_parts[shard_id + 1])
+            self.lo = int(bounds[self.p_lo])
+            self.hi = int(bounds[self.p_hi])
             self.size = self.hi - self.lo
+            self.shard_lo = bounds[shard_parts[:-1]]  # vertex lo per shard
             self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
             self._edge_src: list[np.ndarray] = []
             self._edge_dst: list[np.ndarray] = []
@@ -61,15 +70,15 @@ def _make_label_actor_cls():
                    if self._edge_dst else np.array([], dtype=np.int64))
             self._edge_src = self._edge_dst = []
             src_local = src - self.lo
-            tp = np.searchsorted(self.bounds, dst, side="right") - 1
-            order = np.lexsort((dst, tp))
-            src_local, dst, tp = src_local[order], dst[order], tp[order]
-            starts = np.searchsorted(tp, np.arange(self.P))
-            ends = np.searchsorted(tp, np.arange(self.P), side="right")
+            ts = np.searchsorted(self.shard_lo, dst, side="right") - 1
+            order = np.lexsort((dst, ts))
+            src_local, dst, ts = src_local[order], dst[order], ts[order]
+            starts = np.searchsorted(ts, np.arange(self.A))
+            ends = np.searchsorted(ts, np.arange(self.A), side="right")
             self.blocks = [
-                (src_local[starts[q]:ends[q]].astype(np.int64),
-                 (dst[starts[q]:ends[q]] - int(self.bounds[q])).astype(np.int64))
-                for q in range(self.P)
+                (src_local[starts[b]:ends[b]],
+                 (dst[starts[b]:ends[b]] - int(self.shard_lo[b])).astype(np.int64))
+                for b in range(self.A)
             ]
             return int(len(dst))
 
@@ -79,16 +88,16 @@ def _make_label_actor_cls():
         # ---- connected components (hash-min) ----
         def cc_compute(self):
             out = []
-            for q in range(self.P):
-                src_l, dst_l = self.blocks[q]
+            for b in range(self.A):
+                src_l, dst_l = self.blocks[b]
                 if len(dst_l) == 0:
                     out.append((np.array([], dtype=np.int64),
                                 np.array([], dtype=np.int64)))
                     continue
                 vals = self.labels[src_l]
-                b = np.flatnonzero(np.r_[True, dst_l[1:] != dst_l[:-1]])
-                out.append((dst_l[b], np.minimum.reduceat(vals, b)))
-            return tuple(out) if self.P > 1 else out[0]
+                bd = np.flatnonzero(np.r_[True, dst_l[1:] != dst_l[:-1]])
+                out.append((dst_l[bd], np.minimum.reduceat(vals, bd)))
+            return tuple(out) if self.A > 1 else out[0]
 
         def cc_apply(self, *partials) -> int:
             idx = np.concatenate([p[0] for p in partials]) if partials else \
@@ -96,7 +105,7 @@ def _make_label_actor_cls():
             if len(idx) == 0:
                 return 0
             vals = np.concatenate([p[1] for p in partials])
-            # sort-merge the (at most P) sorted partials instead of
+            # sort-merge the (at most A) sorted partials instead of
             # ufunc.at (which is an order of magnitude slower)
             order = np.argsort(idx, kind="stable")
             idx, vals = idx[order], vals[order]
@@ -111,8 +120,8 @@ def _make_label_actor_cls():
         # ---- label propagation (mode, min tie-break) ----
         def lp_compute(self):
             out = []
-            for q in range(self.P):
-                src_l, dst_l = self.blocks[q]
+            for b in range(self.A):
+                src_l, dst_l = self.blocks[b]
                 if len(dst_l) == 0:
                     out.append((np.array([], dtype=np.int64),
                                 np.array([], dtype=np.int64),
@@ -121,10 +130,12 @@ def _make_label_actor_cls():
                 lab = self.labels[src_l]
                 order = np.lexsort((lab, dst_l))
                 d, l = dst_l[order], lab[order]
-                b = np.flatnonzero(np.r_[True, (d[1:] != d[:-1]) | (l[1:] != l[:-1])])
-                cnt = np.diff(np.r_[b, len(d)])
-                out.append((d[b], l[b], cnt))
-            return tuple(out) if self.P > 1 else out[0]
+                bd = np.flatnonzero(
+                    np.r_[True, (d[1:] != d[:-1]) | (l[1:] != l[:-1])]
+                )
+                cnt = np.diff(np.r_[bd, len(d)])
+                out.append((d[bd], l[bd], cnt))
+            return tuple(out) if self.A > 1 else out[0]
 
         def lp_apply(self, *partials) -> int:
             ds = np.concatenate([p[0] for p in partials]) if partials else \
@@ -133,7 +144,7 @@ def _make_label_actor_cls():
                 return 0
             ls = np.concatenate([p[1] for p in partials])
             cs = np.concatenate([p[2] for p in partials])
-            # combine counts across source partitions
+            # combine counts across source shards
             order = np.lexsort((ls, ds))
             ds, ls, cs = ds[order], ls[order], cs[order]
             b = np.flatnonzero(np.r_[True, (ds[1:] != ds[:-1]) | (ls[1:] != ls[:-1])])
@@ -153,42 +164,92 @@ def _make_label_actor_cls():
         def get_state(self):
             return self.lo, self.labels
 
-    return LabelPartition
+        def write_ckpt(self, base: str, it: int) -> list[dict]:
+            """One file per owned LOGICAL partition (resume works at any
+            shard count)."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            d = os.path.join(base, f"iter={it:05d}")
+            os.makedirs(d, exist_ok=True)
+            lineage = []
+            for p in range(self.p_lo, self.p_hi):
+                lo, hi = int(self.bounds[p]), int(self.bounds[p + 1])
+                name = f"part={p:03d}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {
+                            "v": pa.array(np.arange(lo, hi, dtype=np.int64),
+                                          pa.int64()),
+                            "label": pa.array(
+                                self.labels[lo - self.lo : hi - self.lo],
+                                pa.int64()),
+                        }
+                    ),
+                    os.path.join(d, name),
+                )
+                lineage.append({"part": p, "file": name, "rows": hi - lo,
+                                "v_lo": lo, "v_hi": hi})
+            return lineage
+
+        def load_ckpt(self, base: str, it: int) -> int:
+            import os
+
+            import pyarrow.parquet as pq
+
+            for p in range(self.p_lo, self.p_hi):
+                t = pq.read_table(
+                    os.path.join(base, f"iter={it:05d}", f"part={p:03d}.parquet")
+                )
+                lab = t["label"].to_numpy(zero_copy_only=False)
+                lo, hi = int(self.bounds[p]), int(self.bounds[p + 1])
+                if len(lab) != hi - lo:
+                    raise ValueError(
+                        f"checkpoint partition {p} has {len(lab)} rows, "
+                        f"expected {hi - lo} (partition count changed?)"
+                    )
+                self.labels[lo - self.lo : hi - self.lo] = lab
+            return self.size
+
+    return LabelShard
 
 
 class LabelCSR:
-    """Pinned label-partition pool over a symmetrized edge Dataset."""
+    """Pinned label-shard pool over a symmetrized edge Dataset."""
 
     def __init__(self, und_edges_ds, num_vertices: int,
-                 num_partitions: int = 8,
-                 num_cpus_per_actor: float | None = None):
+                 num_partitions: int = 32, num_actors: int | None = None,
+                 num_cpus_per_actor: float = 1.0):
         import ray
 
         self.n = num_vertices
         self.P = num_partitions
+        self.A = num_actors or default_num_actors(num_partitions)
         self.bounds = _bounds(num_vertices, num_partitions)
-        if num_cpus_per_actor is None:
-            total = ray.cluster_resources().get("CPU", num_partitions)
-            num_cpus_per_actor = min(1.0, max(total / num_partitions / 2, 0.01))
+        self.sp = _shard_parts(num_partitions, self.A)
+        shard_lo = self.bounds[self.sp[:-1]]
         cls = _make_label_actor_cls()
         self.actors = [
-            cls.options(num_cpus=num_cpus_per_actor).remote(p, self.bounds)
-            for p in range(num_partitions)
+            cls.options(num_cpus=num_cpus_per_actor).remote(
+                a, self.bounds, self.sp
+            )
+            for a in range(self.A)
         ]
         pending = []
         for batch in und_edges_ds.iter_batches(batch_size=1 << 20,
                                                batch_format="pyarrow"):
             src = batch["src"].to_numpy(zero_copy_only=False)
-            owner = np.searchsorted(self.bounds, src, side="right") - 1
+            owner = np.searchsorted(shard_lo, src, side="right") - 1
             order = np.argsort(owner, kind="stable")
             t = batch.take(pa.array(order))
             osort = owner[order]
-            starts = np.searchsorted(osort, np.arange(self.P))
-            ends = np.searchsorted(osort, np.arange(self.P), side="right")
-            for p in range(self.P):
-                if ends[p] > starts[p]:
-                    pending.append(self.actors[p].add_edges.remote(
-                        t.slice(starts[p], ends[p] - starts[p])))
+            starts = np.searchsorted(osort, np.arange(self.A))
+            ends = np.searchsorted(osort, np.arange(self.A), side="right")
+            for a in range(self.A):
+                if ends[a] > starts[a]:
+                    pending.append(self.actors[a].add_edges.remote(
+                        t.slice(starts[a], ends[a] - starts[a])))
         ray.get(pending)
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
 
@@ -196,49 +257,110 @@ class LabelCSR:
         import ray
 
         outs = [
-            getattr(a, compute_name).options(num_returns=self.P).remote()
-            if self.P > 1 else [getattr(a, compute_name).remote()]
+            getattr(a, compute_name).options(num_returns=self.A).remote()
+            if self.A > 1 else [getattr(a, compute_name).remote()]
             for a in self.actors
         ]
         changed = ray.get(
             [
-                getattr(self.actors[q], apply_name).remote(
-                    *[outs[p][q] for p in range(self.P)]
+                getattr(self.actors[b], apply_name).remote(
+                    *[outs[a][b] for a in range(self.A)]
                 )
-                for q in range(self.P)
+                for b in range(self.A)
             ]
         )
         return int(sum(changed))
 
-    def connected_components(self, max_rounds: int = 200):
+    def _resume(self, checkpoint_dir: str | None, resume: bool):
+        """-> (start_round, changed history) restored from the latest
+        complete checkpoint, or (0, []) after a label reset."""
+        import json
+        import os
+
         import ray
 
+        if resume and checkpoint_dir is not None:
+            from ..state.checkpoint import latest_checkpoint
+
+            it = latest_checkpoint(checkpoint_dir)
+            if it is not None:
+                with open(os.path.join(checkpoint_dir, f"iter={it:05d}",
+                                       "MANIFEST.json")) as f:
+                    manifest = json.load(f)
+                if len(manifest["partitions"]) != self.P:
+                    raise ValueError(
+                        f"checkpoint has {len(manifest['partitions'])} "
+                        f"partitions, engine has {self.P}"
+                    )
+                ray.get([a.load_ckpt.remote(checkpoint_dir, it)
+                         for a in self.actors])
+                return it, [m["changed"] for m in manifest["metrics"]]
+        ray.get([a.reset_labels.remote() for a in self.actors])
+        return 0, []
+
+    def _checkpoint(self, checkpoint_dir: str, it: int,
+                    hist: list[int]) -> None:
+        import json
+        import os
+
+        import ray
+
+        lineage = [
+            x
+            for part in ray.get([a.write_ckpt.remote(checkpoint_dir, it)
+                                 for a in self.actors])
+            for x in part
+        ]
+        d = os.path.join(checkpoint_dir, f"iter={it:05d}")
+        manifest = {
+            "iter": it,
+            "num_vertices": self.n,
+            "columns": ["label"],
+            "scalars": {},
+            "partitions": sorted(lineage, key=lambda x: x["part"]),
+            "metrics": [{"round": i + 1, "changed": c}
+                        for i, c in enumerate(hist)],
+        }
+        tmp = os.path.join(d, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, "MANIFEST.json"))
+
+    def connected_components(self, max_rounds: int = 200,
+                             checkpoint_dir: str | None = None,
+                             checkpoint_every: int = 0, resume: bool = False):
         from .components import ComponentsResult
 
-        ray.get([a.reset_labels.remote() for a in self.actors])
-        hist: list[int] = []
-        rounds = 0
-        for rounds in range(1, max_rounds + 1):
-            changed = self._superstep("cc_compute", "cc_apply")
-            hist.append(changed)
-            if changed == 0:
-                break
+        rounds, hist = self._resume(checkpoint_dir, resume)
+        if not (hist and hist[-1] == 0):
+            while rounds < max_rounds:
+                rounds += 1
+                changed = self._superstep("cc_compute", "cc_apply")
+                hist.append(changed)
+                if (checkpoint_dir is not None and checkpoint_every > 0
+                        and rounds % checkpoint_every == 0):
+                    self._checkpoint(checkpoint_dir, rounds, hist)
+                if changed == 0:
+                    break
         return ComponentsResult(labels=self._collect(), rounds=rounds,
                                 changed_per_round=hist)
 
-    def label_propagation(self, rounds: int = 10):
-        import ray
-
+    def label_propagation(self, rounds: int = 10,
+                          checkpoint_dir: str | None = None,
+                          checkpoint_every: int = 0, resume: bool = False):
         from .labelprop import LabelPropResult
 
-        ray.get([a.reset_labels.remote() for a in self.actors])
-        hist: list[int] = []
-        done = 0
-        for done in range(1, rounds + 1):
-            changed = self._superstep("lp_compute", "lp_apply")
-            hist.append(changed)
-            if changed == 0:
-                break
+        done, hist = self._resume(checkpoint_dir, resume)
+        if not (hist and hist[-1] == 0):
+            while done < rounds:
+                done += 1
+                changed = self._superstep("lp_compute", "lp_apply")
+                hist.append(changed)
+                if (checkpoint_dir is not None and checkpoint_every > 0
+                        and done % checkpoint_every == 0):
+                    self._checkpoint(checkpoint_dir, done, hist)
+                if changed == 0:
+                    break
         return LabelPropResult(labels=self._collect(), rounds=done,
                                changed_per_round=hist)
 

@@ -1,35 +1,43 @@
-"""CSR partition-actor PageRank — the scale/performance engine.
+"""CSR shard-actor PageRank — the scale/performance engine.
 
 This is the Ray-native analogue of the reference's resident-partition
 superstep worker (T1, ``RunLumpPrRoundTask.java:57-65``: each slave's
-vertex partition stays in DXRAM local memory across all rounds).  Here a
-pool of P ``@ray.remote`` actors each pins one contiguous vertex-id
-range: its out-edge CSR (zero-copy numpy from Arrow), its out-degree
-vector and its PageRank slice — built ONCE, reused every superstep.
-Vertex state never touches the driver; only the convergence scalars do
-(the MetaChunk reduce of ``MainPR.java:156-167``).
+vertex partition stays in DXRAM local memory across all rounds), with
+one extra level the reference lacks: **logical partitions are decoupled
+from physical workers**.
+
+- ``num_partitions`` P logical contiguous vertex-id ranges — FIXED per
+  run and across cluster sizes (like the reference's slave count baked
+  into the partition map, ``ReadLumpInEdgeListTask.java:144``).  All
+  per-partition artifacts (CSR blocks, checkpoint lineage files,
+  reduction order) are keyed by p in 0..P-1.
+- ``num_actors`` A shard actors (default: cluster CPUs, capped at P) —
+  each owns a contiguous range of partitions and reserves one CPU.
+  Running the same job at A=8 and A=32 changes only how many shards
+  the fixed partition set is dealt onto — the sandbox evidence for the
+  N-vs-4N-nodes criterion — and results are **bit-identical across A**
+  because every float reduction happens in logical-partition order:
+  per-dst message sums accumulate partials p=0..P-1 in order, and the
+  driver sums per-partition (err, pr_sum) scalars in p order.
 
 Per superstep (block-partitioned SpMV):
 
-1. every actor p computes its per-edge contributions ``pr/outdeg``
-   vectorized and pre-combines them per destination partition q into
-   sparse ``(local_idx, sum)`` partials (map-side combine — the same
-   two-level aggregate that handles hub skew, SURVEY.md §4);
-2. the P×P partial blocks flow actor-to-actor through the object store
-   (``num_returns=P`` — each target gets ONLY its inbound blocks; this
-   is the bulk message exchange replacing per-vertex remote gets,
-   SURVEY.md §2.5 J1);
-3. every actor q accumulates its inbound partials, applies the lump
-   formula to its non-dangling slice, and returns (err, pr_sum)
-   partials; the driver reduces the two scalars and broadcasts
-   ``danglingPR`` into the next round's task args.
+1. every shard computes per-edge contributions ``pr/outdeg`` vectorized
+   and pre-combines them per (source partition p, target partition q)
+   into sparse ``(local_idx, sum)`` partials (map-side combine — the
+   two-level aggregate that also handles hub skew, SURVEY.md §4);
+2. the A x A shard-to-shard messages flow through the object store
+   (``num_returns=A`` — each target shard receives ONLY its inbound
+   (p, q) partials; this is the bulk exchange replacing per-vertex
+   remote gets, SURVEY.md §2.5 J1);
+3. every shard accumulates inbound partials per owned q (in p order),
+   applies the lump formula to its non-dangling slice, and returns
+   per-partition (err, pr_sum) partials; the driver reduces the two
+   scalars in p order and broadcasts ``danglingPR`` into the next
+   round's task args (the MetaChunk reduce of ``MainPR.java:156-167``).
 
-Partition count P is fixed per run (like the reference's slave count,
-``ReadLumpInEdgeListTask.java:144``); cluster size can differ — more
-nodes just host more actors each, which is what makes the N-vs-4N
-scaling run possible without repartitioning.  P² partial blocks per
-superstep bounds P at a few thousand; beyond that a two-level (node,
-actor) exchange tree would be needed.
+Checkpoints are one Parquet file per LOGICAL partition (written by its
+owning shard), so a run checkpointed at A=32 resumes at A=8 unchanged.
 """
 
 from __future__ import annotations
@@ -46,30 +54,45 @@ def _bounds(n: int, num_partitions: int) -> np.ndarray:
     return np.linspace(0, n, num_partitions + 1).astype(np.int64)
 
 
+def _shard_parts(num_partitions: int, num_actors: int) -> np.ndarray:
+    """Deal P logical partitions onto A shards (contiguous, balanced)."""
+    return np.linspace(0, num_partitions, num_actors + 1).astype(np.int64)
+
+
+def default_num_actors(num_partitions: int) -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", num_partitions))
+    return max(1, min(num_partitions, cpus))
+
+
 def _make_actor_cls():
     import ray
 
     @ray.remote
-    class CSRPartition:
-        def __init__(self, part_id: int, bounds: np.ndarray, n: int,
-                     damping: float):
-            self.p = part_id
-            self.bounds = bounds
+    class CSRShard:
+        def __init__(self, shard_id: int, bounds: np.ndarray,
+                     shard_parts: np.ndarray, n: int, damping: float):
+            self.s = shard_id
+            self.bounds = bounds                  # P+1 vertex bounds
+            self.sp = shard_parts                 # A+1 partition bounds
             self.P = len(bounds) - 1
-            self.lo = int(bounds[part_id])
-            self.hi = int(bounds[part_id + 1])
+            self.A = len(shard_parts) - 1
+            self.p_lo = int(shard_parts[shard_id])
+            self.p_hi = int(shard_parts[shard_id + 1])
+            self.lo = int(bounds[self.p_lo])
+            self.hi = int(bounds[self.p_hi])
             self.size = self.hi - self.lo
             self.n = n
             self.d = damping
             self.pr = np.full(self.size, 1.0 / n, dtype=np.float64)
             self.outdeg = np.zeros(self.size, dtype=np.int64)
-            self.blocks: list[tuple[np.ndarray, np.ndarray]] = []
             self._edge_src: list[np.ndarray] = []
             self._edge_dst: list[np.ndarray] = []
 
         def add_edges(self, t: pa.Table) -> int:
-            """Feed a chunk of this partition's out-edges (src in
-            [lo, hi)); callable repeatedly during load."""
+            """Feed a chunk of this shard's out-edges (src in [lo, hi));
+            callable repeatedly during load."""
             src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             self._edge_src.append(src)
@@ -77,26 +100,33 @@ def _make_actor_cls():
             return len(src)
 
         def seal(self) -> int:
-            """Build the pinned CSR: per target-partition edge blocks
-            sorted by dst, plus the local out-degree vector."""
+            """Build the pinned per-(p, q) CSR blocks: edges bucketed by
+            (source partition p, target partition q), each block sorted
+            by dst — the partial for (p, q) is then one reduceat,
+            independent of how partitions are dealt onto shards."""
             src = (np.concatenate(self._edge_src)
                    if self._edge_src else np.array([], dtype=np.int64))
             dst = (np.concatenate(self._edge_dst)
                    if self._edge_dst else np.array([], dtype=np.int64))
             self._edge_src = self._edge_dst = []
             src_local = src - self.lo
-            self.outdeg = np.bincount(src_local, minlength=self.size).astype(np.int64)
+            self.outdeg = np.bincount(src_local,
+                                      minlength=self.size).astype(np.int64)
+            sp = np.searchsorted(self.bounds, src, side="right") - 1
             tp = np.searchsorted(self.bounds, dst, side="right") - 1
-            order = np.lexsort((dst, tp))
-            src_local, dst, tp = src_local[order], dst[order], tp[order]
-            starts = np.searchsorted(tp, np.arange(self.P))
-            ends = np.searchsorted(tp, np.arange(self.P), side="right")
-            self.blocks = []
-            for q in range(self.P):
-                s, e = starts[q], ends[q]
-                self.blocks.append(
-                    (src_local[s:e].astype(np.int64),
-                     (dst[s:e] - int(self.bounds[q])).astype(np.int64))
+            key = sp * self.P + tp
+            order = np.lexsort((dst, key))
+            src_local, dst, key = src_local[order], dst[order], key[order]
+            # block index: (p, q) -> slice
+            self.blocks: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+            starts = (np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+                      if len(key) else np.array([], dtype=np.int64))
+            ends = np.r_[starts[1:], len(key)] if len(starts) else starts
+            for s, e in zip(starts, ends):
+                p, q = divmod(int(key[s]), self.P)
+                self.blocks[(p, q)] = (
+                    src_local[s:e],
+                    (dst[s:e] - int(self.bounds[q])).astype(np.int64),
                 )
             self.inv_outdeg = np.where(
                 self.outdeg > 0, 1.0 / np.maximum(self.outdeg, 1), 0.0
@@ -105,40 +135,58 @@ def _make_actor_cls():
             return int(len(dst))
 
         def compute(self):
-            """Phase 1: sparse (idx, sums) partial per target partition."""
+            """Phase 1: per target shard, the list of (p, q, idx, sums)
+            sparse partials for every owned (p, q) block headed there."""
             contrib = self.pr * self.inv_outdeg
-            out = []
-            for q in range(self.P):
-                src_l, dst_l = self.blocks[q]
-                if len(dst_l) == 0:
-                    out.append((np.array([], dtype=np.int64),
-                                np.array([], dtype=np.float64)))
-                    continue
+            out: list[list] = [[] for _ in range(self.A)]
+            for (p, q), (src_l, dst_l) in self.blocks.items():
                 vals = contrib[src_l]
-                # dst_l is sorted (seal's lexsort) -> reduceat combine
+                # dst_l is sorted within the block -> reduceat combine
                 b = np.flatnonzero(np.r_[True, dst_l[1:] != dst_l[:-1]])
-                out.append((dst_l[b], np.add.reduceat(vals, b)))
-            return tuple(out) if self.P > 1 else out[0]
+                tgt_shard = int(np.searchsorted(self.sp, q, side="right") - 1)
+                out[tgt_shard].append(
+                    (p, q, dst_l[b], np.add.reduceat(vals, b))
+                )
+            return tuple(out) if self.A > 1 else out[0]
 
-        def apply(self, dangling_pr: float, restore: bool, *partials):
-            """Phase 2: accumulate inbound partials, lump formula.
-            Normal round: update non-dangling only (frozen dangling,
-            ``RunLumpPrRoundTask.java:71-76``).  Restore round: update
-            dangling only (``:77-83``)."""
+        def apply(self, dangling_pr: float, restore: bool, *shard_msgs):
+            """Phase 2: accumulate inbound partials per owned partition
+            in SOURCE-PARTITION ORDER (deterministic float reduction
+            independent of shard count), lump formula.  Normal round:
+            update non-dangling only (frozen dangling,
+            ``RunLumpPrRoundTask.java:71-76``); restore round: dangling
+            only (``:77-83``).  Returns per-owned-partition (err,
+            pr_sum) partials."""
+            per_q: dict[int, list] = {}
+            for msg in shard_msgs:
+                for p, q, idx, vals in msg:
+                    per_q.setdefault(q, []).append((p, idx, vals))
             gathered = np.zeros(self.size, dtype=np.float64)
-            for idx, vals in partials:
-                if len(idx):
-                    gathered[idx] += vals
+            for q, entries in per_q.items():
+                off = int(self.bounds[q]) - self.lo
+                for _, idx, vals in sorted(entries, key=lambda e: e[0]):
+                    gathered[off + idx] += vals
             new_pr = (1.0 - self.d) / self.n + self.d * gathered \
                 + self.d * dangling_pr / self.n
             if restore:
                 self.pr = np.where(self.nondangling, self.pr, new_pr)
-                return 0.0, float(self.pr[self.nondangling].sum())
-            err = float(
-                np.abs(new_pr[self.nondangling] - self.pr[self.nondangling]).sum()
-            )
+                return self._partition_scalars(None)
+            errv = np.abs(new_pr - self.pr) * self.nondangling
             self.pr = np.where(self.nondangling, new_pr, self.pr)
-            return err, float(self.pr[self.nondangling].sum())
+            return self._partition_scalars(errv)
+
+        def _partition_scalars(self, errv: np.ndarray | None):
+            """Per owned logical partition: (p, err, pr_sum_nondangling)
+            — the driver reduces these in p order so convergence scalars
+            are bit-identical for any shard count."""
+            out = []
+            for p in range(self.p_lo, self.p_hi):
+                s = int(self.bounds[p]) - self.lo
+                e = int(self.bounds[p + 1]) - self.lo
+                nd = self.nondangling[s:e]
+                err = float(errv[s:e].sum()) if errv is not None else 0.0
+                out.append((p, err, float(self.pr[s:e][nd].sum())))
+            return out
 
         def num_dangling(self) -> int:
             return int((~self.nondangling).sum())
@@ -146,118 +194,142 @@ def _make_actor_cls():
         def get_state(self):
             return self.lo, self.pr
 
-        def write_ckpt(self, base: str, it: int) -> dict:
-            """Write this partition's vertex-state slice (per-partition
-            lineage: each actor persists only its own id range, the Ray
-            analogue of the per-slave ``.pageRank`` files of
-            ``PRInfoTask.java:52-97`` — but mid-run, for resume)."""
+        def write_ckpt(self, base: str, it: int) -> list[dict]:
+            """One Parquet file per OWNED LOGICAL PARTITION (lineage is
+            partition-keyed, so resume works at any shard count — the
+            Ray analogue of the per-slave ``.pageRank`` files of
+            ``PRInfoTask.java:52-97``, but mid-run)."""
             import os
 
             import pyarrow.parquet as pq
 
             d = os.path.join(base, f"iter={it:05d}")
             os.makedirs(d, exist_ok=True)
-            name = f"part={self.p:03d}.parquet"
-            pq.write_table(
-                pa.table(
-                    {
-                        "v": pa.array(
-                            np.arange(self.lo, self.hi, dtype=np.int64),
-                            pa.int64(),
-                        ),
-                        "pr": pa.array(self.pr, pa.float64()),
-                    }
-                ),
-                os.path.join(d, name),
-            )
-            return {"part": self.p, "file": name, "rows": self.size,
-                    "v_lo": self.lo, "v_hi": self.hi}
+            lineage = []
+            for p in range(self.p_lo, self.p_hi):
+                lo, hi = int(self.bounds[p]), int(self.bounds[p + 1])
+                name = f"part={p:03d}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {
+                            "v": pa.array(np.arange(lo, hi, dtype=np.int64),
+                                          pa.int64()),
+                            "pr": pa.array(self.pr[lo - self.lo : hi - self.lo],
+                                           pa.float64()),
+                        }
+                    ),
+                    os.path.join(d, name),
+                )
+                lineage.append({"part": p, "file": name, "rows": hi - lo,
+                                "v_lo": lo, "v_hi": hi})
+            return lineage
 
         def load_ckpt(self, base: str, it: int) -> int:
-            """Restore this partition's slice from its own lineage file."""
+            """Restore owned partitions from their lineage files."""
             import os
 
             import pyarrow.parquet as pq
 
-            t = pq.read_table(
-                os.path.join(base, f"iter={it:05d}", f"part={self.p:03d}.parquet")
-            )
-            pr = t["pr"].to_numpy(zero_copy_only=False)
-            if len(pr) != self.size:
-                raise ValueError(
-                    f"checkpoint partition {self.p} has {len(pr)} rows, "
-                    f"expected {self.size} (partition count changed?)"
+            for p in range(self.p_lo, self.p_hi):
+                t = pq.read_table(
+                    os.path.join(base, f"iter={it:05d}", f"part={p:03d}.parquet")
                 )
-            self.pr = pr.astype(np.float64)
+                pr = t["pr"].to_numpy(zero_copy_only=False)
+                lo, hi = int(self.bounds[p]), int(self.bounds[p + 1])
+                if len(pr) != hi - lo:
+                    raise ValueError(
+                        f"checkpoint partition {p} has {len(pr)} rows, "
+                        f"expected {hi - lo} (partition count changed?)"
+                    )
+                self.pr[lo - self.lo : hi - self.lo] = pr
             return self.size
 
-    return CSRPartition
+    return CSRShard
 
 
 class PageRankCSR:
-    """Builds the pinned actor pool once; ``run`` iterates supersteps.
+    """Builds the pinned shard-actor pool once; ``run`` iterates
+    supersteps.
 
     Load path: the edge Dataset is routed to owners with a streaming
     ``iter_batches`` fan-out (each batch is split by src range and
-    appended to the owning actor) — at cluster scale the same routing
-    runs as a partitioned-Parquet write + per-actor read, which also
+    appended to the owning shard) — at cluster scale the same routing
+    runs as a partitioned-Parquet write + per-shard read, which also
     provides the per-partition lineage for resume.
     """
 
-    def __init__(self, edges_ds, num_vertices: int, num_partitions: int = 8,
-                 damping: float = 0.85,
-                 num_cpus_per_actor: float | None = None):
+    def __init__(self, edges_ds, num_vertices: int, num_partitions: int = 32,
+                 damping: float = 0.85, num_actors: int | None = None,
+                 num_cpus_per_actor: float = 1.0):
         import ray
 
         self.n = num_vertices
         self.P = num_partitions
         self.d = damping
+        self.A = num_actors or default_num_actors(num_partitions)
         self.bounds = _bounds(num_vertices, num_partitions)
-        if num_cpus_per_actor is None:
-            # P is fixed per run; the CPU grant per actor shrinks when
-            # the cluster is smaller than the partition count (more
-            # actors per core — the reference's slaves-vs-cluster-size
-            # decoupling).  Never reserve >=1 each when P > cores or the
-            # pool would deadlock waiting for resources.
-            total = ray.cluster_resources().get("CPU", num_partitions)
-            num_cpus_per_actor = min(1.0, max(total / num_partitions / 2, 0.01))
+        self.sp = _shard_parts(num_partitions, self.A)
+        shard_lo = self.bounds[self.sp[:-1]]  # vertex lo per shard
         cls = _make_actor_cls()
         self.actors = [
             cls.options(num_cpus=num_cpus_per_actor).remote(
-                p, self.bounds, num_vertices, damping
+                a, self.bounds, self.sp, num_vertices, damping
             )
-            for p in range(num_partitions)
+            for a in range(self.A)
         ]
         pending = []
         for batch in edges_ds.iter_batches(batch_size=1 << 20,
                                            batch_format="pyarrow"):
             src = batch["src"].to_numpy(zero_copy_only=False)
-            owner = np.searchsorted(self.bounds, src, side="right") - 1
+            owner = np.searchsorted(shard_lo, src, side="right") - 1
             order = np.argsort(owner, kind="stable")
             t = batch.take(pa.array(order))
             osort = owner[order]
-            starts = np.searchsorted(osort, np.arange(self.P))
-            ends = np.searchsorted(osort, np.arange(self.P), side="right")
-            for p in range(self.P):
-                if ends[p] > starts[p]:
+            starts = np.searchsorted(osort, np.arange(self.A))
+            ends = np.searchsorted(osort, np.arange(self.A), side="right")
+            for a in range(self.A):
+                if ends[a] > starts[a]:
                     pending.append(
-                        self.actors[p].add_edges.remote(
-                            t.slice(starts[p], ends[p] - starts[p])
+                        self.actors[a].add_edges.remote(
+                            t.slice(starts[a], ends[a] - starts[a])
                         )
                     )
         ray.get(pending)
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
-        self.num_dangling = sum(ray.get([a.num_dangling.remote() for a in self.actors]))
+        self.num_dangling = sum(
+            ray.get([a.num_dangling.remote() for a in self.actors])
+        )
 
     def shutdown(self) -> None:
-        """Kill the partition actors and release their CPU reservation.
-        A pool that outlives its run starves later stages on a small
-        cluster (P actors x fractional CPUs stay reserved)."""
+        """Kill the shard actors and release their CPU reservation.  A
+        pool that outlives its run starves later stages."""
         import ray
 
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+    def _exchange(self, dangling_pr: float, restore: bool):
+        """One compute+apply exchange; -> p-ordered (err, pr_sum)."""
+        import ray
+
+        outs = [
+            a.compute.options(num_returns=self.A).remote()
+            if self.A > 1 else [a.compute.remote()]
+            for a in self.actors
+        ]
+        stats = ray.get(
+            [
+                self.actors[b].apply.remote(
+                    dangling_pr, restore, *[outs[a][b] for a in range(self.A)]
+                )
+                for b in range(self.A)
+            ]
+        )
+        flat = sorted((t for s in stats for t in s), key=lambda t: t[0])
+        err = float(np.sum([t[1] for t in flat]))
+        pr_sum = float(np.sum([t[2] for t in flat]))
+        return err, pr_sum
 
     def _write_manifest(self, base: str, it: int, lineage: list[dict],
                         dangling_pr: float, errs: list[float],
@@ -287,10 +359,11 @@ class PageRankCSR:
             checkpoint_dir: str | None = None, checkpoint_every: int = 0,
             resume: bool = False) -> PageRankResult:
         """Iterate supersteps; optionally checkpoint every k rounds
-        (actors write their own partition files — the MANIFEST is the
-        completeness marker, written last) and resume from the latest
-        complete checkpoint (topology is rebuilt from the edge source by
-        ``__init__``; only the iterated vertex state + scalars restore)."""
+        (shards write their owned partitions' files — the MANIFEST is
+        the completeness marker, written last) and resume from the
+        latest complete checkpoint (topology is rebuilt from the edge
+        source by ``__init__``; only the iterated vertex state +
+        scalars restore — at ANY shard count)."""
         import json
         import os
         import time
@@ -327,47 +400,25 @@ class PageRankCSR:
         while rounds < max_rounds and not converged:
             t0 = time.perf_counter()
             rounds += 1
-            outs = [
-                a.compute.options(num_returns=self.P).remote()
-                if self.P > 1 else [a.compute.remote()]
-                for a in self.actors
-            ]
-            stats = ray.get(
-                [
-                    self.actors[q].apply.remote(
-                        dangling_pr, False, *[outs[p][q] for p in range(self.P)]
-                    )
-                    for q in range(self.P)
-                ]
-            )
-            err = float(sum(s[0] for s in stats))
-            pr_sum = float(sum(s[1] for s in stats))
+            err, pr_sum = self._exchange(dangling_pr, restore=False)
             dangling_pr = 1.0 - pr_sum
             errs.append(err)
             seconds.append(time.perf_counter() - t0)
             converged = err <= threshold
             if (checkpoint_dir is not None and checkpoint_every > 0
                     and rounds % checkpoint_every == 0):
-                lineage = ray.get(
-                    [a.write_ckpt.remote(checkpoint_dir, rounds)
-                     for a in self.actors]
-                )
+                lineage = [
+                    x
+                    for part in ray.get(
+                        [a.write_ckpt.remote(checkpoint_dir, rounds)
+                         for a in self.actors]
+                    )
+                    for x in part
+                ]
                 self._write_manifest(checkpoint_dir, rounds, lineage,
                                      dangling_pr, errs, seconds, threshold)
         if self.num_dangling:
-            outs = [
-                a.compute.options(num_returns=self.P).remote()
-                if self.P > 1 else [a.compute.remote()]
-                for a in self.actors
-            ]
-            ray.get(
-                [
-                    self.actors[q].apply.remote(
-                        dangling_pr, True, *[outs[p][q] for p in range(self.P)]
-                    )
-                    for q in range(self.P)
-                ]
-            )
+            self._exchange(dangling_pr, restore=True)
         pr = np.empty(self.n, dtype=np.float64)
         import ray as _ray
 
@@ -378,8 +429,12 @@ class PageRankCSR:
                               resumed_from=resumed_from)
 
 
-def pagerank_csr(edges_ds, num_vertices: int, num_partitions: int = 8,
+def pagerank_csr(edges_ds, num_vertices: int, num_partitions: int = 32,
                  damping: float = 0.85, threshold: float = 1e-6,
-                 max_rounds: int = 100) -> PageRankResult:
-    eng = PageRankCSR(edges_ds, num_vertices, num_partitions, damping)
-    return eng.run(threshold, max_rounds)
+                 max_rounds: int = 100,
+                 num_actors: int | None = None) -> PageRankResult:
+    eng = PageRankCSR(edges_ds, num_vertices, num_partitions, damping,
+                      num_actors=num_actors)
+    res = eng.run(threshold, max_rounds)
+    eng.shutdown()
+    return res

@@ -222,6 +222,84 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def jaccard_verified_pairs(docs_ds, threshold: float = 0.8, k: int = 5,
+                           num_perm: int = 64, bands: int = 16,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """n-gram Jaccard near-dup pairs: MinHash-LSH candidate generation
+    (distributed) followed by **exact** k-shingle Jaccard verification
+    of each candidate — the full precision variant of the signature-
+    estimate path.
+
+    Verification is a broadcast semi-join: the candidate id set (small
+    by construction — LSH has already pruned the N^2 space) is shipped
+    via ``ray.put`` and each batch re-shingles only its candidate docs;
+    the per-pair intersection runs on the driver over the collected
+    shingle sets (sorted-array intersect, no Python sets).
+    """
+    import ray
+
+    sigs = minhash_signatures(docs_ds, num_perm=num_perm, k=k,
+                              text_col=text_col, id_col=id_col).materialize()
+    pairs = pa.concat_tables(
+        list(
+            lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands,
+                                id_col=id_col)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    ) if sigs.count() else pa.table({"a": pa.array([], pa.int64()),
+                                     "b": pa.array([], pa.int64())})
+    a = pairs["a"].to_numpy(zero_copy_only=False) if pairs.num_rows else \
+        np.array([], dtype=np.int64)
+    b = pairs["b"].to_numpy(zero_copy_only=False) if pairs.num_rows else \
+        np.array([], dtype=np.int64)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if len(a) == 0:
+        return empty
+    cand_ids = np.unique(np.concatenate([a, b]))
+    cand_ref = ray.put(cand_ids)
+
+    def shingles_of_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(np.isin(ids, wanted))
+        out_id, out_sh = [], []
+        for i in keep:
+            sh = _base_shingle_hashes(batch[text_col][int(i)].as_py(), k)
+            out_id.append(int(ids[i]))
+            out_sh.append(sh.astype(np.int64))
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "shingles": pa.array(out_sh,
+                                              pa.list_(pa.int64()))})
+
+    sh_tbl = pa.concat_tables(
+        list(
+            docs_ds.map_batches(shingles_of_candidates, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    by_id = {
+        int(v): np.asarray(s, dtype=np.int64)
+        for v, s in zip(sh_tbl[id_col].to_pylist(),
+                        sh_tbl["shingles"].to_pylist())
+    }
+    keep_a, keep_b, jac = [], [], []
+    for x, y in zip(a, b):
+        sa, sb = by_id[int(x)], by_id[int(y)]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 1.0
+        if j >= threshold:
+            keep_a.append(int(x))
+            keep_b.append(int(y))
+            jac.append(j)
+    return pa.table({"a": pa.array(keep_a, pa.int64()),
+                     "b": pa.array(keep_b, pa.int64()),
+                     "jaccard": pa.array(jac, pa.float64())})
+
+
 # ---- SimHash ---------------------------------------------------------------
 
 

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from dxa_pagerank_ray.stages.dedup import (
@@ -89,6 +90,22 @@ def test_simhash_finds_planted_pairs():
     assert {(0, 1), (3, 4), (6, 7)} <= got
     # unrelated docs never pair with originals
     assert all(b - a == 1 for a, b in got)
+
+
+def test_jaccard_verified_pairs_exact_values():
+    from dxa_pagerank_ray.stages.dedup import jaccard_verified_pairs
+
+    t = _docs_with_dups()
+    out = jaccard_verified_pairs(rd.from_arrow(t).repartition(3),
+                                 threshold=0.8)
+    got = {(a, b) for a, b in zip(out["a"].to_pylist(), out["b"].to_pylist())}
+    assert got == {(0, 1), (3, 4), (6, 7)}
+    # verified values are the EXACT n-gram Jaccard, not the estimate
+    texts = {i: t["text"][j].as_py()
+             for j, i in enumerate(t["doc_id"].to_pylist())}
+    for a, b, j in zip(out["a"].to_pylist(), out["b"].to_pylist(),
+                       out["jaccard"].to_pylist()):
+        assert j == pytest.approx(ngram_jaccard(texts[a], texts[b]))
 
 
 def test_exact_dedup_keeps_min_id():

@@ -59,6 +59,43 @@ def test_csr_lp_matches_broadcast(name, parts):
     assert got.changed_per_round == bcast.changed_per_round
 
 
+def test_csr_cc_identical_across_shard_counts():
+    """Fixed P=8 logical partitions on A=1 vs A=4 shards: identical
+    labels and per-round change counts."""
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    und = undirect(g.edges)
+    res = {}
+    for a in (1, 4):
+        eng = LabelCSR(und, g.num_vertices, num_partitions=8, num_actors=a)
+        res[a] = eng.connected_components()
+        eng.shutdown()
+    np.testing.assert_array_equal(res[1].labels, res[4].labels)
+    assert res[1].changed_per_round == res[4].changed_per_round
+
+
+def test_csr_cc_checkpoint_resume(tmp_path):
+    """CC interrupted mid-run resumes from its label checkpoint and
+    lands on the identical fixed point and round count."""
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    und = undirect(g.edges)
+    ck = str(tmp_path / "ck")
+    eng = LabelCSR(und, g.num_vertices, num_partitions=4)
+    full = eng.connected_components()
+    eng.shutdown()  # actors reserve whole CPUs: release before rebuilding
+    eng = LabelCSR(und, g.num_vertices, num_partitions=4)
+    eng.connected_components(max_rounds=2, checkpoint_dir=ck,
+                             checkpoint_every=1)
+    eng.shutdown()
+    eng = LabelCSR(und, g.num_vertices, num_partitions=4)
+    resumed = eng.connected_components(checkpoint_dir=ck, resume=True)
+    eng.shutdown()
+    np.testing.assert_array_equal(resumed.labels, full.labels)
+    assert resumed.rounds == full.rounds
+    assert resumed.changed_per_round == full.changed_per_round
+
+
 def test_csr_cc_on_built_graph_matches_broadcast():
     pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
     g = build_link_graph(pages, num_partitions=4)

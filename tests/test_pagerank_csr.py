@@ -41,6 +41,51 @@ def test_csr_on_built_graph_matches_broadcast_engine(parts):
     assert abs(csr.pr.sum() - 1.0) < 1e-9
 
 
+def test_csr_bit_identical_across_shard_counts():
+    """The N-vs-4N story: fixed P logical partitions dealt onto A=1 vs
+    A=4 shard actors must give BIT-identical ranks and error traces
+    (all float reductions run in logical-partition order)."""
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    res = {}
+    for a in (1, 4):
+        eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=8,
+                          num_actors=a)
+        res[a] = eng.run(threshold=1e-8, max_rounds=40)
+        eng.shutdown()
+    np.testing.assert_array_equal(res[1].pr, res[4].pr)
+    assert res[1].errs == res[4].errs
+    assert res[1].rounds == res[4].rounds
+
+
+def test_csr_resume_across_shard_counts(tmp_path):
+    """Checkpoint written at A=4 resumes at A=2 (lineage is per logical
+    partition, not per shard)."""
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    ck = str(tmp_path / "ck")
+    eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=8,
+                      num_actors=4)
+    full = eng.run(threshold=1e-8, max_rounds=40)
+    eng.shutdown()
+    eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=8,
+                      num_actors=4)
+    eng.run(threshold=1e-8, max_rounds=3, checkpoint_dir=ck,
+            checkpoint_every=1)
+    eng.shutdown()
+    eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=8,
+                      num_actors=2)
+    resumed = eng.run(threshold=1e-8, max_rounds=40, checkpoint_dir=ck,
+                      resume=True)
+    eng.shutdown()
+    assert resumed.resumed_from == 3
+    np.testing.assert_array_equal(resumed.pr, full.pr)
+
+
 def test_csr_checkpoint_resume(tmp_path):
     """Interrupt after 5 rounds (last complete ckpt: round 4), rebuild a
     fresh engine, resume — final ranks must be bit-equal to the
@@ -50,15 +95,17 @@ def test_csr_checkpoint_resume(tmp_path):
     pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
     g = build_link_graph(pages, num_partitions=4)
     ck = str(tmp_path / "ckpt")
-    full = PageRankCSR(g.edges, g.num_vertices, num_partitions=4).run(
-        threshold=1e-8, max_rounds=40
-    )
-    PageRankCSR(g.edges, g.num_vertices, num_partitions=4).run(
-        threshold=1e-8, max_rounds=5, checkpoint_dir=ck, checkpoint_every=2
-    )
-    resumed = PageRankCSR(g.edges, g.num_vertices, num_partitions=4).run(
-        threshold=1e-8, max_rounds=40, checkpoint_dir=ck, resume=True
-    )
+    eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=4)
+    full = eng.run(threshold=1e-8, max_rounds=40)
+    eng.shutdown()  # actors reserve whole CPUs: release before rebuilding
+    eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=4)
+    eng.run(threshold=1e-8, max_rounds=5, checkpoint_dir=ck,
+            checkpoint_every=2)
+    eng.shutdown()
+    eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=4)
+    resumed = eng.run(threshold=1e-8, max_rounds=40, checkpoint_dir=ck,
+                      resume=True)
+    eng.shutdown()
     assert resumed.resumed_from == 4
     assert resumed.rounds == full.rounds
     np.testing.assert_array_equal(resumed.pr, full.pr)
