@@ -26,26 +26,7 @@ import json
 import os
 import time
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
-
-
-def _write_vertex_table(out_dir: str, name: str, col: str,
-                        values: np.ndarray, num_partitions: int) -> None:
-    """Partitioned vertex-keyed output: one file per contiguous id range
-    (resumable/partition-skippable — never one giant file)."""
-    d = os.path.join(out_dir, name)
-    os.makedirs(d, exist_ok=True)
-    n = len(values)
-    bounds = np.linspace(0, n, num_partitions + 1).astype(np.int64)
-    for p in range(num_partitions):
-        lo, hi = int(bounds[p]), int(bounds[p + 1])
-        pq.write_table(
-            pa.table({"v": pa.array(np.arange(lo, hi, dtype=np.int64)),
-                      col: pa.array(values[lo:hi])}),
-            os.path.join(d, f"part={p:03d}.parquet"),
-        )
 
 
 def _statistics(out_dir: str, fields: dict, rounds_table=None) -> None:
@@ -95,11 +76,13 @@ def cmd_pagerank(args) -> None:
     res = eng.run(threshold=args.threshold, max_rounds=args.max_rounds,
                   checkpoint_dir=args.checkpoint_dir,
                   checkpoint_every=args.checkpoint_every,
-                  resume=args.resume)
+                  resume=args.resume, collect_state=False)
     num_edges = eng.num_edges
+    # shards write their own partitions (K1 sink); the dense rank
+    # vector never touches the driver
+    eng.write_ranks(os.path.join(args.out, "ranks"))
     eng.shutdown()  # release actor CPUs before the Ray Data writes below
     exec_time = time.perf_counter() - t0
-    _write_vertex_table(args.out, "ranks", "pr", res.pr, args.partitions)
     if url_ids is not None:
         url_ids.write_parquet(os.path.join(args.out, "url_ids"))
     _statistics(
@@ -125,47 +108,43 @@ def cmd_pagerank(args) -> None:
                       "execution_time_s": round(exec_time, 3)}))
 
 
-def cmd_components(args) -> None:
-    from .pipelines.components import connected_components
+def _run_label_alg(args, alg: str) -> None:
+    from .pipelines.labels_csr import LabelCSR
+    from .pipelines.superstep import undirect
 
     edges, n, _, input_time = _load_graph(args)
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
-    res = connected_components(edges, n, max_rounds=args.max_rounds)
+    eng = LabelCSR(undirect(edges), n, num_partitions=args.partitions)
+    kw = dict(checkpoint_dir=args.checkpoint_dir,
+              checkpoint_every=args.checkpoint_every, resume=args.resume,
+              collect_state=False)
+    if alg == "connected_components":
+        res = eng.connected_components(max_rounds=args.max_rounds, **kw)
+    else:
+        res = eng.label_propagation(rounds=args.max_rounds, **kw)
+    labs, _sizes = eng.label_sizes()
+    eng.write_labels(os.path.join(args.out, "labels"))
+    eng.shutdown()
     exec_time = time.perf_counter() - t0
-    _write_vertex_table(args.out, "labels", "label", res.labels,
-                        args.partitions)
     _statistics(args.out, {
-        "ALGORITHM": "connected_components", "NUM_VERTICES": n,
-        "NUM_COMPONENTS": int(len(np.unique(res.labels))),
-        "NUM_ROUNDS": res.rounds, "INPUT_TIME_S": round(input_time, 3),
-        "EXECUTION_TIME_S": round(exec_time, 3),
-        "CHANGED_PER_ROUND": res.changed_per_round,
-    })
-    print(json.dumps({"out": args.out, "rounds": res.rounds,
-                      "num_components": int(len(np.unique(res.labels)))}))
-
-
-def cmd_labelprop(args) -> None:
-    from .pipelines.labelprop import label_propagation
-
-    edges, n, _, input_time = _load_graph(args)
-    os.makedirs(args.out, exist_ok=True)
-    t0 = time.perf_counter()
-    res = label_propagation(edges, n, rounds=args.max_rounds)
-    exec_time = time.perf_counter() - t0
-    _write_vertex_table(args.out, "labels", "label", res.labels,
-                        args.partitions)
-    _statistics(args.out, {
-        "ALGORITHM": "label_propagation", "NUM_VERTICES": n,
-        "NUM_LABELS": int(len(np.unique(res.labels))),
+        "ALGORITHM": alg, "NUM_VERTICES": n,
+        "NUM_LABELS": int(len(labs)),
         "NUM_ROUNDS": res.rounds,
         "INPUT_TIME_S": round(input_time, 3),
         "EXECUTION_TIME_S": round(exec_time, 3),
         "CHANGED_PER_ROUND": res.changed_per_round,
     })
-    print(json.dumps({"out": args.out,
-                      "num_labels": int(len(np.unique(res.labels)))}))
+    print(json.dumps({"out": args.out, "rounds": res.rounds,
+                      "num_labels": int(len(labs))}))
+
+
+def cmd_components(args) -> None:
+    _run_label_alg(args, "connected_components")
+
+
+def cmd_labelprop(args) -> None:
+    _run_label_alg(args, "label_propagation")
 
 
 def cmd_triangles(args) -> None:
@@ -211,6 +190,9 @@ def build_parser() -> argparse.ArgumentParser:
                            help="with --edges: vertex count "
                            "(default: max id + 1)")
             p.add_argument("--max-rounds", type=int, default=100)
+            p.add_argument("--checkpoint-dir", default=None)
+            p.add_argument("--checkpoint-every", type=int, default=0)
+            p.add_argument("--resume", action="store_true")
         p.add_argument("--out", required=True)
         p.add_argument("--partitions", type=int, default=8)
 
@@ -218,9 +200,6 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(p)
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--threshold", type=float, default=1e-6)
-    p.add_argument("--checkpoint-dir", default=None)
-    p.add_argument("--checkpoint-every", type=int, default=0)
-    p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_pagerank)
 
     p = sub.add_parser("components", help="hash-min connected components")

@@ -212,6 +212,39 @@ def _make_label_actor_cls():
                 self.labels[lo - self.lo : hi - self.lo] = lab
             return self.size
 
+        def write_labels(self, out_dir: str) -> list[dict]:
+            """Final label sink: one file per owned logical partition
+            (K1 per-partition writer shape, ``PRInfoTask.java:52-97``)."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            os.makedirs(out_dir, exist_ok=True)
+            lineage = []
+            for p in range(self.p_lo, self.p_hi):
+                lo, hi = int(self.bounds[p]), int(self.bounds[p + 1])
+                name = f"part={p:03d}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {
+                            "v": pa.array(np.arange(lo, hi, dtype=np.int64),
+                                          pa.int64()),
+                            "label": pa.array(
+                                self.labels[lo - self.lo : hi - self.lo],
+                                pa.int64()),
+                        }
+                    ),
+                    os.path.join(out_dir, name),
+                )
+                lineage.append({"part": p, "file": name, "rows": hi - lo})
+            return lineage
+
+        def label_counts(self):
+            """(labels, counts) of this shard's slice — partial for the
+            distributed component-size aggregate."""
+            u, c = np.unique(self.labels, return_counts=True)
+            return u, c
+
     return LabelShard
 
 
@@ -328,7 +361,8 @@ class LabelCSR:
 
     def connected_components(self, max_rounds: int = 200,
                              checkpoint_dir: str | None = None,
-                             checkpoint_every: int = 0, resume: bool = False):
+                             checkpoint_every: int = 0, resume: bool = False,
+                             collect_state: bool = True):
         from .components import ComponentsResult
 
         rounds, hist = self._resume(checkpoint_dir, resume)
@@ -342,12 +376,14 @@ class LabelCSR:
                     self._checkpoint(checkpoint_dir, rounds, hist)
                 if changed == 0:
                     break
-        return ComponentsResult(labels=self._collect(), rounds=rounds,
-                                changed_per_round=hist)
+        return ComponentsResult(
+            labels=self._collect() if collect_state else None,
+            rounds=rounds, changed_per_round=hist)
 
     def label_propagation(self, rounds: int = 10,
                           checkpoint_dir: str | None = None,
-                          checkpoint_every: int = 0, resume: bool = False):
+                          checkpoint_every: int = 0, resume: bool = False,
+                          collect_state: bool = True):
         from .labelprop import LabelPropResult
 
         done, hist = self._resume(checkpoint_dir, resume)
@@ -361,8 +397,9 @@ class LabelCSR:
                     self._checkpoint(checkpoint_dir, done, hist)
                 if changed == 0:
                     break
-        return LabelPropResult(labels=self._collect(), rounds=done,
-                               changed_per_round=hist)
+        return LabelPropResult(
+            labels=self._collect() if collect_state else None,
+            rounds=done, changed_per_round=hist)
 
     def _collect(self) -> np.ndarray:
         import ray
@@ -378,3 +415,26 @@ class LabelCSR:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+    def write_labels(self, out_dir: str) -> list[dict]:
+        """Distributed final-label write: every shard writes its owned
+        partitions' Parquet files."""
+        import ray
+
+        parts = ray.get([a.write_labels.remote(out_dir) for a in self.actors])
+        return sorted((x for part in parts for x in part),
+                      key=lambda x: x["part"])
+
+    def label_sizes(self):
+        """(label, size) across the graph via per-shard partial counts
+        merged on the driver (result size = number of distinct labels,
+        not N)."""
+        import ray
+
+        parts = ray.get([a.label_counts.remote() for a in self.actors])
+        labs = np.concatenate([p[0] for p in parts])
+        cnts = np.concatenate([p[1] for p in parts])
+        order = np.argsort(labs, kind="stable")
+        labs, cnts = labs[order], cnts[order]
+        b = np.flatnonzero(np.r_[True, labs[1:] != labs[:-1]])
+        return labs[b], np.add.reduceat(cnts, b)

@@ -244,6 +244,43 @@ def _make_actor_cls():
                 self.pr[lo - self.lo : hi - self.lo] = pr
             return self.size
 
+        def write_ranks(self, out_dir: str) -> list[dict]:
+            """Final rank sink: one file per owned logical partition,
+            written by the owner (the K1 per-partition writer,
+            ``PRInfoTask.java:52-97``) — the driver never materializes
+            the full rank vector."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            os.makedirs(out_dir, exist_ok=True)
+            lineage = []
+            for p in range(self.p_lo, self.p_hi):
+                lo, hi = int(self.bounds[p]), int(self.bounds[p + 1])
+                name = f"part={p:03d}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {
+                            "v": pa.array(np.arange(lo, hi, dtype=np.int64),
+                                          pa.int64()),
+                            "pr": pa.array(self.pr[lo - self.lo : hi - self.lo],
+                                           pa.float64()),
+                        }
+                    ),
+                    os.path.join(out_dir, name),
+                )
+                lineage.append({"part": p, "file": name, "rows": hi - lo})
+            return lineage
+
+        def local_topk(self, k: int):
+            """This shard's k highest ranks -> (global ids, values)."""
+            kk = min(k, self.size)
+            if kk == 0:
+                return (np.array([], dtype=np.int64),
+                        np.array([], dtype=np.float64))
+            part = np.argpartition(-self.pr, kk - 1)[:kk]
+            return part + self.lo, self.pr[part]
+
     return CSRShard
 
 
@@ -309,6 +346,27 @@ class PageRankCSR:
             ray.kill(a)
         self.actors = []
 
+    def write_ranks(self, out_dir: str) -> list[dict]:
+        """Distributed final-rank write: every shard writes its owned
+        partitions' Parquet files; the driver only merges lineage."""
+        import ray
+
+        parts = ray.get([a.write_ranks.remote(out_dir) for a in self.actors])
+        return sorted((x for part in parts for x in part),
+                      key=lambda x: x["part"])
+
+    def top_k(self, k: int = 20):
+        """Distributed top-k: per-shard ``argpartition`` top-k, driver
+        merges A*k candidates (ties broken by lower vertex id) — the
+        driver never holds the dense rank vector."""
+        import ray
+
+        parts = ray.get([a.local_topk.remote(k) for a in self.actors])
+        ids = np.concatenate([p[0] for p in parts])
+        vals = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((ids, -vals))[:k]
+        return ids[order], vals[order]
+
     def _exchange(self, dangling_pr: float, restore: bool):
         """One compute+apply exchange; -> p-ordered (err, pr_sum)."""
         import ray
@@ -357,7 +415,7 @@ class PageRankCSR:
 
     def run(self, threshold: float = 1e-6, max_rounds: int = 100,
             checkpoint_dir: str | None = None, checkpoint_every: int = 0,
-            resume: bool = False) -> PageRankResult:
+            resume: bool = False, collect_state: bool = True) -> PageRankResult:
         """Iterate supersteps; optionally checkpoint every k rounds
         (shards write their owned partitions' files — the MANIFEST is
         the completeness marker, written last) and resume from the
@@ -419,11 +477,18 @@ class PageRankCSR:
                                      dangling_pr, errs, seconds, threshold)
         if self.num_dangling:
             self._exchange(dangling_pr, restore=True)
-        pr = np.empty(self.n, dtype=np.float64)
-        import ray as _ray
+        pr = None
+        if collect_state:
+            # dense driver-side vector: convenience for small/medium N;
+            # at cluster scale pass collect_state=False and use
+            # write_ranks / top_k, which never leave the shards
+            pr = np.empty(self.n, dtype=np.float64)
+            import ray as _ray
 
-        for lo, slice_pr in _ray.get([a.get_state.remote() for a in self.actors]):
-            pr[lo : lo + len(slice_pr)] = slice_pr
+            for lo, slice_pr in _ray.get(
+                [a.get_state.remote() for a in self.actors]
+            ):
+                pr[lo : lo + len(slice_pr)] = slice_pr
         return PageRankResult(pr=pr, rounds=rounds, errs=errs,
                               round_seconds=seconds, converged=converged,
                               resumed_from=resumed_from)

@@ -136,11 +136,11 @@ def q_pagerank_top20(sf_dir: str):
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
     eng = PageRankCSR(edges, n, num_partitions=8, damping=0.85)
-    res = eng.run(threshold=1e-8, max_rounds=200)
+    eng.run(threshold=1e-8, max_rounds=200, collect_state=False)
+    ids, vals = eng.top_k(20)  # distributed per-shard top-k + merge
     eng.shutdown()
-    top = np.argsort(-res.pr, kind="stable")[:20]
-    return pa.table({"v": pa.array(top.astype(np.int64), pa.int64()),
-                     "pr": pa.array(res.pr[top], pa.float64())})
+    return pa.table({"v": pa.array(ids, pa.int64()),
+                     "pr": pa.array(vals, pa.float64())})
 
 
 def q_cc_sizes(sf_dir: str):
@@ -152,9 +152,9 @@ def q_cc_sizes(sf_dir: str):
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
     eng = LabelCSR(undirect(edges), n, num_partitions=8)
-    res = eng.connected_components()
+    eng.connected_components(collect_state=False)
+    labels, sizes = eng.label_sizes()  # per-shard partial counts
     eng.shutdown()
-    labels, sizes = np.unique(res.labels, return_counts=True)
     return pa.table({"label": pa.array(labels, pa.int64()),
                      "size": pa.array(sizes.astype(np.int64), pa.int64())})
 
@@ -169,9 +169,9 @@ def q_labelprop_sizes(sf_dir: str):
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
     eng = LabelCSR(undirect(edges), n, num_partitions=8)
-    res = eng.label_propagation(rounds=5)
+    eng.label_propagation(rounds=5, collect_state=False)
+    labels, sizes = eng.label_sizes()
     eng.shutdown()
-    labels, sizes = np.unique(res.labels, return_counts=True)
     return pa.table({"label": pa.array(labels, pa.int64()),
                      "size": pa.array(sizes.astype(np.int64), pa.int64())})
 
