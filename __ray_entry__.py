@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_customers_revenue": rel.top_customers_by_revenue,
         "events_hourly": rel.events_hourly,
+        "events_sessions": rel.events_sessions,
         "lang_doc_stats": rel.lang_doc_stats,
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": rel.Q1_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "events_sessions": rel.EVENTS_SESSIONS_SQL,
         "lang_doc_stats": rel.LANG_DOC_STATS_SQL,
         "doc_token_counts": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens "

@@ -205,6 +205,81 @@ GROUP BY 1, 2
 """
 
 
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based session windows per user (the custom streaming-window
+    operator the reference lacks, SURVEY.md §2.9): events of one user
+    belong to the same session while consecutive gaps are <= gap.
+
+    Partitioning assumption: sessionization needs ALL of a user's
+    events co-located and time-sorted, so the shuffle key is the user —
+    grouped on a COARSE ``user_id % 64`` key (same pattern as the LSH
+    pair sweep: per-group overhead once per partition, then one
+    vectorized lexsort/boundary sweep handles every user in it)."""
+    GAP_US = gap_minutes * 60_000_000
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["user_id"].to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def sessionize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val_c = _cents(t["value"])
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, val_c = uid[order], ts[order], eid[order], val_c[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user | (np.r_[0, np.diff(ts)] > GAP_US)
+        # per-user session ordinal starting at 1
+        gbrk = np.cumsum(brk)
+        first_of_user = np.where(new_user, gbrk, 0)
+        sess = gbrk - np.maximum.accumulate(first_of_user) + 1
+        # aggregate per (uid, sess): boundaries are exactly the breaks
+        b = np.flatnonzero(brk)
+        e = np.r_[b[1:], len(uid)]
+        counts = e - b
+        sums = np.add.reduceat(val_c, b) if len(b) else np.array([], np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[b], pa.int64()),
+                "session_id": pa.array(sess[b], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "start_ts": pa.array(ts[b], pa.timestamp("us")),
+                "end_ts": pa.array(ts[e - 1], pa.timestamp("us")),
+                "sum_value_cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value"]).map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return ds.groupby("part").map_groups(sessionize, batch_format="pyarrow")
+
+
+EVENTS_SESSIONS_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM g GROUP BY user_id, session_id
+"""
+
+
 def lang_doc_stats(sf_dir: str):
     """documents grouped by lang: count + exact average length."""
     from ray.data.aggregate import Sum
