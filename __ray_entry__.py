@@ -24,9 +24,10 @@ import pyarrow as pa
 
 def entry() -> Any:
     """Flagship: build the customer link graph from sf0.001 and run lump
-    PageRank to 1e-8; returns the full rank table (v, pr)."""
+    PageRank to 1e-8 on the CSR shard-actor engine; returns the full
+    rank table (v, pr)."""
     from dxa_pagerank_ray.context import quiet_data_context
-    from dxa_pagerank_ray.pipelines.pagerank import pagerank
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
     from dxa_pagerank_ray.pipelines.testdata_graph import (
         _num_vertices,
         customer_edges,
@@ -36,7 +37,9 @@ def entry() -> Any:
     sf_dir = "/root/testdata/sf0.001"
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
-    res = pagerank(edges, n, damping=0.85, threshold=1e-8, max_rounds=200)
+    eng = PageRankCSR(edges, n, num_partitions=8, damping=0.85)
+    res = eng.run(threshold=1e-8, max_rounds=200)
+    eng.shutdown()
     return pa.table(
         {
             "v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),

@@ -117,6 +117,26 @@ def test_csr_checkpoint_resume(tmp_path):
         )
 
 
+def test_csr_hub_skew_star():
+    """200k-spoke star (every edge points at vertex 0): the hub's
+    inbound messages arrive as at most P per-block partials (map-side
+    combine caps skew); ranks still match the oracle."""
+    from dxa_pagerank_ray.pipelines.pagerank_csr import pagerank_csr
+
+    n = 200_001
+    src = np.arange(1, n, dtype=np.int64)
+    dst = np.zeros(n - 1, dtype=np.int64)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).materialize()
+    exp_pr, exp_rounds, _ = pagerank_lump(src, dst, n, 0.85, 1e-8, 200)
+    res = pagerank_csr(edges, n, num_partitions=16, threshold=1e-8,
+                       max_rounds=200)
+    assert res.converged and res.rounds == exp_rounds
+    np.testing.assert_allclose(res.pr, exp_pr, atol=1e-9, rtol=0)
+    assert abs(res.pr.sum() - 1.0) < 1e-6
+
+
 def test_csr_empty_graph():
     empty = rd.from_arrow(
         pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
