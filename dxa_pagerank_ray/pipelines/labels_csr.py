@@ -64,6 +64,11 @@ def _make_label_actor_cls():
             return len(src)
 
         def seal(self) -> int:
+            if self.size >= (1 << 31):
+                raise NotImplementedError(
+                    "shard slices must stay < 2^31 vertices for int32 "
+                    "locals; raise num_partitions/num_actors"
+                )
             src = (np.concatenate(self._edge_src)
                    if self._edge_src else np.array([], dtype=np.int64))
             dst = (np.concatenate(self._edge_dst)
@@ -75,9 +80,10 @@ def _make_label_actor_cls():
             src_local, dst, ts = src_local[order], dst[order], ts[order]
             starts = np.searchsorted(ts, np.arange(self.A))
             ends = np.searchsorted(ts, np.arange(self.A), side="right")
+            # int32 locals: shard slices are < 2^31 rows (checked above)
             self.blocks = [
-                (src_local[starts[b]:ends[b]],
-                 (dst[starts[b]:ends[b]] - int(self.shard_lo[b])).astype(np.int64))
+                (src_local[starts[b]:ends[b]].astype(np.int32),
+                 (dst[starts[b]:ends[b]] - int(self.shard_lo[b])).astype(np.int32))
                 for b in range(self.A)
             ]
             return int(len(dst))

@@ -104,6 +104,11 @@ def _make_actor_cls():
             (source partition p, target partition q), each block sorted
             by dst — the partial for (p, q) is then one reduceat,
             independent of how partitions are dealt onto shards."""
+            if self.size >= (1 << 31):
+                raise NotImplementedError(
+                    "shard slices must stay < 2^31 vertices for int32 "
+                    "locals; raise num_partitions/num_actors"
+                )
             src = (np.concatenate(self._edge_src)
                    if self._edge_src else np.array([], dtype=np.int64))
             dst = (np.concatenate(self._edge_dst)
@@ -124,9 +129,12 @@ def _make_actor_cls():
             ends = np.r_[starts[1:], len(key)] if len(starts) else starts
             for s, e in zip(starts, ends):
                 p, q = divmod(int(key[s]), self.P)
+                # int32 locals: partition slices are < 2^31 rows, so
+                # 32-bit indices halve both the pinned CSR footprint
+                # and the per-round message index bytes
                 self.blocks[(p, q)] = (
-                    src_local[s:e],
-                    (dst[s:e] - int(self.bounds[q])).astype(np.int64),
+                    src_local[s:e].astype(np.int32),
+                    (dst[s:e] - int(self.bounds[q])).astype(np.int32),
                 )
             self.inv_outdeg = np.where(
                 self.outdeg > 0, 1.0 / np.maximum(self.outdeg, 1), 0.0
