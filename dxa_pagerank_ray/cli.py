@@ -80,7 +80,7 @@ def cmd_pagerank(args) -> None:
     num_edges = eng.num_edges
     # shards write their own partitions (K1 sink); the dense rank
     # vector never touches the driver
-    eng.write_ranks(os.path.join(args.out, "ranks"))
+    eng.write_ranks(os.path.join(args.out, "ranks"), fmt=args.format)
     eng.shutdown()  # release actor CPUs before the Ray Data writes below
     exec_time = time.perf_counter() - t0
     if url_ids is not None:
@@ -200,6 +200,10 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(p)
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--threshold", type=float, default=1e-6)
+    p.add_argument("--format", choices=["parquet", "text"],
+                   default="parquet",
+                   help="text = '<v> <pr>' plain-decimal lines per "
+                   "partition (the reference's .pageRank files)")
     p.set_defaults(fn=cmd_pagerank)
 
     p = sub.add_parser("components", help="hash-min connected components")

@@ -252,11 +252,14 @@ def _make_actor_cls():
                 self.pr[lo - self.lo : hi - self.lo] = pr
             return self.size
 
-        def write_ranks(self, out_dir: str) -> list[dict]:
+        def write_ranks(self, out_dir: str, fmt: str = "parquet") -> list[dict]:
             """Final rank sink: one file per owned logical partition,
             written by the owner (the K1 per-partition writer,
             ``PRInfoTask.java:52-97``) — the driver never materializes
-            the full rank vector."""
+            the full rank vector.  ``fmt="text"`` writes ``<v> <pr>``
+            lines with plain positional decimals (no scientific
+            notation — the ``BigDecimal.toPlainString`` format of
+            ``PRInfoTask.java:83-86``) for golden-file diffs."""
             import os
 
             import pyarrow.parquet as pq
@@ -265,18 +268,27 @@ def _make_actor_cls():
             lineage = []
             for p in range(self.p_lo, self.p_hi):
                 lo, hi = int(self.bounds[p]), int(self.bounds[p + 1])
-                name = f"part={p:03d}.parquet"
-                pq.write_table(
-                    pa.table(
-                        {
-                            "v": pa.array(np.arange(lo, hi, dtype=np.int64),
-                                          pa.int64()),
-                            "pr": pa.array(self.pr[lo - self.lo : hi - self.lo],
-                                           pa.float64()),
-                        }
-                    ),
-                    os.path.join(out_dir, name),
-                )
+                sl = self.pr[lo - self.lo : hi - self.lo]
+                if fmt == "text":
+                    name = f"part={p:03d}.pageRank"
+                    with open(os.path.join(out_dir, name), "w") as f:
+                        for v, x in zip(range(lo, hi), sl):
+                            f.write(
+                                f"{v} "
+                                f"{np.format_float_positional(x, unique=True, trim='-')}\n"
+                            )
+                else:
+                    name = f"part={p:03d}.parquet"
+                    pq.write_table(
+                        pa.table(
+                            {
+                                "v": pa.array(np.arange(lo, hi, dtype=np.int64),
+                                              pa.int64()),
+                                "pr": pa.array(sl, pa.float64()),
+                            }
+                        ),
+                        os.path.join(out_dir, name),
+                    )
                 lineage.append({"part": p, "file": name, "rows": hi - lo})
             return lineage
 
@@ -354,12 +366,13 @@ class PageRankCSR:
             ray.kill(a)
         self.actors = []
 
-    def write_ranks(self, out_dir: str) -> list[dict]:
+    def write_ranks(self, out_dir: str, fmt: str = "parquet") -> list[dict]:
         """Distributed final-rank write: every shard writes its owned
-        partitions' Parquet files; the driver only merges lineage."""
+        partitions' files; the driver only merges lineage."""
         import ray
 
-        parts = ray.get([a.write_ranks.remote(out_dir) for a in self.actors])
+        parts = ray.get([a.write_ranks.remote(out_dir, fmt)
+                         for a in self.actors])
         return sorted((x for part in parts for x in part),
                       key=lambda x: x["part"])
 

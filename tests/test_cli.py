@@ -73,6 +73,25 @@ def test_cli_components_and_triangles_on_edges(tmp_path):
     assert stats["NUM_TRIANGLES"] == 1
 
 
+def test_cli_pagerank_text_format(pages_dir, tmp_path):
+    """--format text: '<v> <pr>' plain-decimal lines (no scientific
+    notation), values roundtripping to the parquet ranks."""
+    out = str(tmp_path / "txt_out")
+    main(["pagerank", "--pages", pages_dir, "--out", out,
+          "--partitions", "3", "--threshold", "1e-8", "--format", "text"])
+    d = os.path.join(out, "ranks")
+    files = sorted(os.listdir(d))
+    assert files and all(f.endswith(".pageRank") for f in files)
+    vals = {}
+    for f in files:
+        for line in open(os.path.join(d, f)):
+            v, pr = line.split()
+            assert "e" not in pr and "E" not in pr  # plain decimal
+            vals[int(v)] = float(pr)
+    assert abs(sum(vals.values()) - 1.0) < 1e-6
+    assert sorted(vals) == list(range(len(vals)))
+
+
 def test_cli_resume_roundtrip(pages_dir, tmp_path):
     out1 = str(tmp_path / "a")
     ck = str(tmp_path / "ck")
