@@ -175,6 +175,51 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(emb, threshold=0.95)
 
 
+_MEDIA_N = 256  # deterministic in-memory media fixture (seed 42);
+# sf_dir carries no media table, so these are rows-only checks over the
+# real actor-pool plumbing (binary columns, decode, frame expansion)
+
+
+def _q_media_decode(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.multimodal import decode_images, media_table
+
+    ds = rd.from_arrow(media_table(_MEDIA_N, seed=42)).repartition(8)
+    return decode_images(ds, concurrency=4).sort("media_id")
+
+
+def _q_media_audio_features(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.multimodal import audio_features, media_table
+
+    ds = rd.from_arrow(media_table(_MEDIA_N, seed=42)).repartition(8)
+    return audio_features(ds, concurrency=4).sort("media_id")
+
+
+def _q_media_frame_sample(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.multimodal import (
+        _decode_fake_image,
+        media_table,
+        sample_frames,
+    )
+
+    def frame_stats(batch: pa.Table) -> pa.Table:
+        means = [float(_decode_fake_image(b.as_py()).mean())
+                 for b in batch["image"]]
+        return pa.table({"media_id": batch["media_id"],
+                         "frame_idx": batch["frame_idx"],
+                         "mean_px": pa.array(means, pa.float64())})
+
+    ds = rd.from_arrow(media_table(_MEDIA_N, seed=42)).repartition(8)
+    frames = sample_frames(ds, every_k=2, concurrency=4)
+    return frames.map_batches(frame_stats, batch_format="pyarrow") \
+        .sort(["media_id", "frame_idx"])
+
+
 def _q_fingerprints(sf_dir: str):
     import ray.data as rd
 
@@ -211,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_revenue": rel.top_customers_by_revenue,
         "events_hourly": rel.events_hourly,
         "events_sessions": rel.events_sessions,
+        "events_running_totals": rel.events_running_totals,
         "lang_doc_stats": rel.lang_doc_stats,
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
@@ -225,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "doc_fingerprints": _q_fingerprints,
         "doc_lang_id": _q_lang_id,
+        # multimodal plumbing (deterministic fake codec; rows-only)
+        "media_decode": _q_media_decode,
+        "media_audio_features": _q_media_audio_features,
+        "media_frame_sample": _q_media_frame_sample,
     }
 
 
@@ -242,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_sessions": rel.EVENTS_SESSIONS_SQL,
+        "events_running_totals": rel.EVENTS_RUNNING_SQL,
         "lang_doc_stats": rel.LANG_DOC_STATS_SQL,
         "doc_token_counts": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens "

@@ -280,6 +280,53 @@ FROM g GROUP BY user_id, session_id
 """
 
 
+def events_running_totals(sf_dir: str):
+    """Per-user running (cumulative) value total in event-time order —
+    the classic ordered window function, row-per-event output.  Same
+    coarse user-hash grouping as ``events_sessions``; the per-user
+    cumsum is one vectorized pass per partition."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["user_id"].to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def running(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val_c = _cents(t["value"])
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val_c = uid[order], eid[order], val_c[order]
+        csum = np.cumsum(val_c)
+        # running-within-user = csum - csum just before the user's
+        # first row; forward-fill that base via first-row indices
+        # (index fill works for negative values too)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        idx = np.arange(len(uid))
+        first = np.maximum.accumulate(np.where(new_user, idx, 0))
+        base = (csum - val_c)[first]
+        run = csum - base
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "running_value_cents": pa.array(run, pa.int64())})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value"]).map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return ds.groupby("part").map_groups(running, batch_format="pyarrow")
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_value_cents
+FROM events
+"""
+
+
 def lang_doc_stats(sf_dir: str):
     """documents grouped by lang: count + exact average length."""
     from ray.data.aggregate import Sum
