@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_degrees": tg.q_out_degrees,
         "dangling_vertices": tg.q_dangling_vertices,
         "triangle_count": tg.q_triangle_count,
+        "triangle_count_shuffle": tg.q_triangle_count_shuffle,
         "pagerank_top20": tg.q_pagerank_top20,
         "cc_sizes": tg.q_cc_sizes,
         "labelprop_sizes": tg.q_labelprop_sizes,
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "out_degrees": tg.SQL["out_degrees"],
         "dangling_vertices": tg.SQL["dangling_vertices"],
         "triangle_count": tg.SQL["triangle_count"],
+        "triangle_count_shuffle": tg.SQL["triangle_count"],
         "q1_pricing_summary": rel.Q1_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,

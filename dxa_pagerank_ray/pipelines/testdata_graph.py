@@ -127,6 +127,16 @@ def q_triangle_count(sf_dir: str):
     return pa.table({"n_triangles": pa.array([cnt], pa.int64())})
 
 
+def q_triangle_count_shuffle(sf_dir: str):
+    """Same count via the all-shuffle variant (wedge join) — the path
+    for graphs whose oriented CSR cannot broadcast."""
+    from .triangles import triangle_count_shuffle
+
+    edges = customer_edges(sf_dir).materialize()
+    cnt = triangle_count_shuffle(edges, num_partitions=16)
+    return pa.table({"n_triangles": pa.array([cnt], pa.int64())})
+
+
 def q_pagerank_top20(sf_dir: str):
     """Top-20 customer-graph vertices by lump PageRank (1e-8
     convergence) on the pinned CSR engine; no SQL oracle (iterative) —

@@ -42,6 +42,117 @@ def _canonicalize(edges_ds):
     return dedup_edges(edges_ds.map_batches(canon, batch_format="pyarrow"))
 
 
+def triangle_count_shuffle(edges_ds, num_partitions: int = 64) -> int:
+    """All-shuffle triangle count — the scale path for graphs whose
+    oriented CSR cannot broadcast (the `triangle_count` limit).
+
+    1. canonicalize + dedup (as the broadcast variant);
+    2. degree-ordered orientation (degrees via a distributed count,
+       shipped as a broadcast lookup — degree tables are O(V), far
+       smaller than the O(E) edge set);
+    3. wedge generation: group oriented edges by tail on a COARSE
+       hash partition, one vectorized sweep enumerates each tail's
+       out-pairs (u, w) — degree orientation bounds out-degrees at
+       O(sqrt(E)) so wedge volume is O(E^{3/2}) worst case, streaming;
+    4. closing check: hash-join wedges against the oriented edge set on
+       (src, dst) — a pure all-to-all equi-join, no broadcast;
+    5. count = matched rows.
+
+    Partitioning assumption: wedges for one tail must co-locate (step
+    3 groups by tail hash); the closing join hash-partitions both sides
+    on (src, dst).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    canon = _canonicalize(edges_ds).materialize()
+    if canon.count() == 0:
+        return 0
+
+    # distributed degree table -> broadcast (deg, id) ordering key
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [batch["src"].to_numpy(zero_copy_only=False),
+             batch["dst"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    deg_tbl = pa.concat_tables(
+        list(
+            canon.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("cnt", alias_name="deg"))
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    dv = deg_tbl["v"].to_numpy(zero_copy_only=False)
+    dd = deg_tbl["deg"].to_numpy(zero_copy_only=False)
+    order = np.argsort(dv, kind="stable")
+    deg_ref = ray.put((dv[order], dd[order]))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        vs, ds_ = ray.get(deg_ref)
+        lo = batch["src"].to_numpy(zero_copy_only=False)
+        hi = batch["dst"].to_numpy(zero_copy_only=False)
+        dlo = ds_[np.searchsorted(vs, lo)]
+        dhi = ds_[np.searchsorted(vs, hi)]
+        fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        a = np.where(fwd, lo, hi)
+        b = np.where(fwd, hi, lo)
+        return pa.table({"src": pa.array(a, pa.int64()),
+                         "dst": pa.array(b, pa.int64())})
+
+    oriented = canon.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["src"].to_numpy(zero_copy_only=False) % num_partitions
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def wedges(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], len(a)]
+        out_u, out_w = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu, iw = np.triu_indices(m, 1)
+            out_u.append(b[s:e][iu])  # b sorted -> u < w in (deg,id)? no:
+            out_w.append(b[s:e][iw])  # sorted by id; closing edge may be
+            # oriented either way, so emit BOTH orientations downstream
+        if not out_u:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        u = np.concatenate(out_u)
+        w = np.concatenate(out_w)
+        return pa.table({"src": pa.array(np.concatenate([u, w]), pa.int64()),
+                         "dst": pa.array(np.concatenate([w, u]), pa.int64())})
+
+    wedge_ds = (
+        oriented.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedges, batch_format="pyarrow")
+        .materialize()
+    )
+    nw = wedge_ds.count()
+    if nw == 0:
+        return 0
+    # size join partitions to the data: Ray 2.49's hash join breaks on
+    # empty partitions, which tiny inputs would otherwise produce
+    join_parts = max(1, min(num_partitions, nw // 4096 + 1))
+    closed = wedge_ds.join(
+        oriented, join_type="inner", num_partitions=join_parts,
+        on=("src", "dst"),
+    )
+    return int(closed.count())
+
+
 def triangle_count(edges_ds, num_vertices: int,
                    batch_size: int = 1 << 16) -> int:
     """Exact triangle count of the undirected simple graph underlying

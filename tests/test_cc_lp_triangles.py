@@ -51,6 +51,16 @@ def test_label_propagation_exact(name):
 
 
 @pytest.mark.parametrize("name", list(CASES))
+def test_triangle_count_shuffle_matches_broadcast(name):
+    from dxa_pagerank_ray.pipelines.triangles import triangle_count_shuffle
+
+    src, dst, n = CASES[name]
+    expect = triangle_count(_ds(src, dst), n)
+    got = triangle_count_shuffle(_ds(src, dst), num_partitions=4)
+    assert got == expect
+
+
+@pytest.mark.parametrize("name", list(CASES))
 def test_triangle_count_exact(name):
     src, dst, n = CASES[name]
     assert triangle_count(_ds(src, dst), n) == oracle.triangle_count(src, dst, n)
