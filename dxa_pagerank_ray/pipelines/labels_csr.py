@@ -31,7 +31,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .pagerank_csr import _bounds, _shard_parts, default_num_actors
+from .pagerank_csr import (
+    _bounds,
+    _shard_parts,
+    default_num_actors,
+    distribute_edges,
+)
 
 
 def _make_label_actor_cls():
@@ -275,21 +280,7 @@ class LabelCSR:
             )
             for a in range(self.A)
         ]
-        pending = []
-        for batch in und_edges_ds.iter_batches(batch_size=1 << 20,
-                                               batch_format="pyarrow"):
-            src = batch["src"].to_numpy(zero_copy_only=False)
-            owner = np.searchsorted(shard_lo, src, side="right") - 1
-            order = np.argsort(owner, kind="stable")
-            t = batch.take(pa.array(order))
-            osort = owner[order]
-            starts = np.searchsorted(osort, np.arange(self.A))
-            ends = np.searchsorted(osort, np.arange(self.A), side="right")
-            for a in range(self.A):
-                if ends[a] > starts[a]:
-                    pending.append(self.actors[a].add_edges.remote(
-                        t.slice(starts[a], ends[a] - starts[a])))
-        ray.get(pending)
+        distribute_edges(und_edges_ds, self.actors, shard_lo)
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
 
     def _superstep(self, compute_name: str, apply_name: str) -> int:

@@ -66,6 +66,50 @@ def default_num_actors(num_partitions: int) -> int:
     return max(1, min(num_partitions, cpus))
 
 
+def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
+    """Route an edge Dataset to its owning shard actors WORKER-SIDE:
+    a ``map_batches`` pass splits each batch by src range and pushes the
+    slices straight into the actors (no driver hot loop — at cluster
+    scale the driver would otherwise stream every edge once).  Routing
+    tasks run with ``num_cpus=0`` because the shard pool may hold every
+    CPU in the cluster.  Returns the routed edge count.
+
+    The handle list ships via ``ray.put`` — actor handles captured in a
+    plain closure do not survive Ray Data's operator serialization (the
+    routing task hangs); handles deserialized from the object store
+    re-register with their owner correctly."""
+    import ray
+
+    handles_ref = ray.put(actors)
+
+    def route(batch: pa.Table) -> pa.Table:
+        acts = ray.get(handles_ref)
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        owner = np.searchsorted(shard_lo, src, side="right") - 1
+        order = np.argsort(owner, kind="stable")
+        t = batch.take(pa.array(order))
+        osort = owner[order]
+        A = len(acts)
+        starts = np.searchsorted(osort, np.arange(A))
+        ends = np.searchsorted(osort, np.arange(A), side="right")
+        refs = [
+            acts[a].add_edges.remote(t.slice(starts[a], ends[a] - starts[a]))
+            for a in range(A)
+            if ends[a] > starts[a]
+        ]
+        ray.get(refs)  # ack before the block is retired (load barrier)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    routed = edges_ds.map_batches(route, batch_format="pyarrow",
+                                  batch_size=1 << 20, num_cpus=0)
+    # consume on the driver: a sum() aggregate would need 1-CPU tasks,
+    # which cannot schedule while the shard pool holds every CPU
+    total = 0
+    for b in routed.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        total += int(pa.compute.sum(b["n"]).as_py() or 0)
+    return total
+
+
 def _make_actor_cls():
     import ray
 
@@ -334,24 +378,7 @@ class PageRankCSR:
             )
             for a in range(self.A)
         ]
-        pending = []
-        for batch in edges_ds.iter_batches(batch_size=1 << 20,
-                                           batch_format="pyarrow"):
-            src = batch["src"].to_numpy(zero_copy_only=False)
-            owner = np.searchsorted(shard_lo, src, side="right") - 1
-            order = np.argsort(owner, kind="stable")
-            t = batch.take(pa.array(order))
-            osort = owner[order]
-            starts = np.searchsorted(osort, np.arange(self.A))
-            ends = np.searchsorted(osort, np.arange(self.A), side="right")
-            for a in range(self.A):
-                if ends[a] > starts[a]:
-                    pending.append(
-                        self.actors[a].add_edges.remote(
-                            t.slice(starts[a], ends[a] - starts[a])
-                        )
-                    )
-        ray.get(pending)
+        distribute_edges(edges_ds, self.actors, shard_lo)
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
         self.num_dangling = sum(
             ray.get([a.num_dangling.remote() for a in self.actors])

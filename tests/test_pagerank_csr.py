@@ -111,10 +111,14 @@ def test_csr_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(resumed.pr, full.pr)
     np.testing.assert_allclose(resumed.errs, full.errs, rtol=1e-9, atol=1e-15)
     # partition-count mismatch must be rejected, not silently misread
-    with pytest.raises(ValueError):
-        PageRankCSR(g.edges, g.num_vertices, num_partitions=2).run(
-            checkpoint_dir=ck, resume=True
-        )
+    # (explicit shutdown: the raised exception's traceback would pin
+    # the engine — and its CPU-holding actors — for the whole session)
+    eng_bad = PageRankCSR(g.edges, g.num_vertices, num_partitions=2)
+    try:
+        with pytest.raises(ValueError):
+            eng_bad.run(checkpoint_dir=ck, resume=True)
+    finally:
+        eng_bad.shutdown()
 
 
 def test_csr_hub_skew_star():
