@@ -30,6 +30,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(norms, 1e-30)
 
 
+def _concat_candidates(batches: list) -> pa.Table:
+    """Concat per-batch candidate tables; typed-empty when no batch
+    produced candidates (Ray drops all-empty outputs entirely)."""
+    if not batches:
+        return pa.table({"qi": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return pa.concat_tables(batches)
+
+
 def _merge_topk(parts: pa.Table, qids: np.ndarray, k: int) -> pa.Table:
     """Driver-side merge of per-batch candidate (qi, neighbor_id, sim)
     rows into the final (query_id, neighbor_id, rank) table — ties
@@ -88,7 +98,7 @@ def brute_force_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray,
             )
         return pa.concat_tables(rows)
 
-    parts = pa.concat_tables(
+    parts = _concat_candidates(
         list(
             emb_ds.map_batches(score, batch_format="pyarrow").iter_batches(
                 batch_size=1 << 20, batch_format="pyarrow"
@@ -154,7 +164,7 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                              "sim": pa.array([], pa.float64())})
         return pa.concat_tables(rows)
 
-    parts = pa.concat_tables(
+    parts = _concat_candidates(
         list(
             emb_ds.map_batches(score, batch_format="pyarrow").iter_batches(
                 batch_size=1 << 20, batch_format="pyarrow"
@@ -236,7 +246,7 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                              "sim": pa.array([], pa.float64())})
         return pa.concat_tables(rows)
 
-    parts = pa.concat_tables(
+    parts = _concat_candidates(
         list(
             emb_ds.map_batches(score, batch_format="pyarrow").iter_batches(
                 batch_size=1 << 20, batch_format="pyarrow"

@@ -463,10 +463,13 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95,
                          "b": pa.array(rows_b, pa.int64()),
                          "cosine": pa.array(rows_s, pa.float64())})
 
-    return pa.concat_tables(
-        list(
-            emb_ds.map_batches(score, batch_format="pyarrow").iter_batches(
-                batch_size=1 << 20, batch_format="pyarrow"
-            )
+    batches = list(
+        emb_ds.map_batches(score, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
         )
     )
+    if not batches:  # no near-duplicate pairs anywhere
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    return pa.concat_tables(batches)

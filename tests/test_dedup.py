@@ -108,6 +108,23 @@ def test_jaccard_verified_pairs_exact_values():
         assert j == pytest.approx(ngram_jaccard(texts[a], texts[b]))
 
 
+def test_embedding_near_dups_empty_result():
+    """No pair above threshold -> typed empty table, not a crash (Ray
+    drops all-empty map outputs, so concat must fall back)."""
+    from dxa_pagerank_ray.stages.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(0)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(20, dtype=np.int64)),
+        "embedding": pa.array(
+            [list(map(float, rng.standard_normal(8))) for _ in range(20)],
+            pa.list_(pa.float64())),
+    })
+    out = embedding_near_dups(rd.from_arrow(t), threshold=0.9999)
+    assert out.num_rows == 0
+    assert out.column_names == ["a", "b", "cosine"]
+
+
 def test_exact_dedup_keeps_min_id():
     t = pa.table({"doc_id": pa.array([5, 1, 3, 2], pa.int64()),
                   "text": pa.array(["same", "same", "other", "same"])})
