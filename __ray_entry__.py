@@ -136,11 +136,15 @@ def _q_minhash_pairs(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = minhash_signatures(docs, num_perm=64).materialize()
-    pairs = lsh_candidate_pairs(sigs, num_perm=64, bands=16)
-    pairs_tbl = pa.concat_tables(
-        list(pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    ) if pairs.count() else pa.table({"a": pa.array([], pa.int64()),
-                                      "b": pa.array([], pa.int64())})
+    # single execution of the pair pipeline (a count() beforehand would
+    # run the whole groupby twice); empty batch list = no candidates
+    batches = list(
+        lsh_candidate_pairs(sigs, num_perm=64, bands=16)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    pairs_tbl = pa.concat_tables(batches) if batches else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
     sigs_tbl = pa.concat_tables(
         list(sigs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
     )

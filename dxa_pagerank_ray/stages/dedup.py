@@ -241,14 +241,14 @@ def jaccard_verified_pairs(docs_ds, threshold: float = 0.8, k: int = 5,
 
     sigs = minhash_signatures(docs_ds, num_perm=num_perm, k=k,
                               text_col=text_col, id_col=id_col).materialize()
-    pairs = pa.concat_tables(
-        list(
-            lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands,
-                                id_col=id_col)
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        )
-    ) if sigs.count() else pa.table({"a": pa.array([], pa.int64()),
-                                     "b": pa.array([], pa.int64())})
+    pair_batches = list(
+        lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands,
+                            id_col=id_col)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ) if sigs.count() else []
+    pairs = pa.concat_tables(pair_batches) if pair_batches else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
     a = pairs["a"].to_numpy(zero_copy_only=False) if pairs.num_rows else \
         np.array([], dtype=np.int64)
     b = pairs["b"].to_numpy(zero_copy_only=False) if pairs.num_rows else \
