@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..context import BROADCAST_VERTEX_LIMIT
-from ..functions.html import extract_text_and_links
+from ..functions.html_fast import fast_text_and_links as extract_text_and_links
 from ..stages.ids import assign_dense_ids
 
 _LINK_SCHEMA = pa.schema([("src_url", pa.string()), ("dst_url", pa.string())])
