@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "events_sessions": rel.events_sessions,
         "events_running_totals": rel.events_running_totals,
+        "events_asof_last_error": rel.events_asof_last_error,
         "lang_doc_stats": rel.lang_doc_stats,
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_sessions": rel.EVENTS_SESSIONS_SQL,
         "events_running_totals": rel.EVENTS_RUNNING_SQL,
+        "events_asof_last_error": rel.EVENTS_ASOF_SQL,
         "lang_doc_stats": rel.LANG_DOC_STATS_SQL,
         "doc_token_counts": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens "

@@ -327,6 +327,84 @@ FROM events
 """
 
 
+def events_asof_last_error(sf_dir: str):
+    """As-of join: every event joined to the same user's most recent
+    PRIOR (strictly earlier ts) 'error' event — the classic
+    time-series enrichment join Ray Data lacks natively.
+
+    Partitioning assumption: both sides key on the user, so one coarse
+    user-hash groupby co-locates them; within a partition a single
+    lexsort + cummax-style sweep resolves every probe (no per-row
+    search).  Output: (event_id, user_id, last_error_event_id,
+    last_error_value_cents), -1 / null-free sentinel when no prior
+    error exists."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["user_id"].to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def asof(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        val_c = _cents(t["value"])
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        etype, val_c = etype[order], val_c[order]
+        is_err = etype == "error"
+        idx = np.arange(len(uid))
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        user_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        # last error at-or-before each row, masked to the same user
+        ffill = np.maximum.accumulate(np.where(is_err, idx, -1))
+        ffill = np.where(ffill >= user_start, ffill, -1)
+        # strict ts < : the answer for row j is the at-or-before error
+        # of the last row BEFORE j's (user, ts) group
+        new_grp = new_user | np.r_[True, ts[1:] != ts[:-1]]
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        prev_idx = grp_start - 1
+        out_err = np.where(prev_idx >= user_start,
+                           ffill[np.maximum(prev_idx, 0)], -1)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "last_error_event_id": pa.array(
+                    np.where(out_err >= 0, eid[np.maximum(out_err, 0)], -1),
+                    pa.int64()),
+                "last_error_value_cents": pa.array(
+                    np.where(out_err >= 0, val_c[np.maximum(out_err, 0)], -1),
+                    pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"]).map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return ds.groupby("part").map_groups(asof, batch_format="pyarrow")
+
+
+EVENTS_ASOF_SQL = """
+WITH e AS (SELECT event_id, ts, user_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events)
+SELECT p.event_id, p.user_id,
+       coalesce(err.event_id, -1) AS last_error_event_id,
+       coalesce(err.value_cents, -1) AS last_error_value_cents
+FROM e p
+LEFT JOIN LATERAL (
+    SELECT event_id, value_cents
+    FROM e x
+    WHERE x.user_id = p.user_id AND x.event_type = 'error'
+      AND x.ts < p.ts
+    ORDER BY x.ts DESC, x.event_id DESC
+    LIMIT 1
+) err ON true
+"""
+
+
 def lang_doc_stats(sf_dir: str):
     """documents grouped by lang: count + exact average length."""
     from ray.data.aggregate import Sum
