@@ -136,19 +136,11 @@ def _q_minhash_pairs(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = minhash_signatures(docs, num_perm=64).materialize()
-    # single execution of the pair pipeline (a count() beforehand would
-    # run the whole groupby twice); empty batch list = no candidates
-    batches = list(
-        lsh_candidate_pairs(sigs, num_perm=64, bands=16)
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    )
-    pairs_tbl = pa.concat_tables(batches) if batches else pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-    )
-    sigs_tbl = pa.concat_tables(
-        list(sigs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
-    return verify_pairs_by_signature(pairs_tbl, sigs_tbl, threshold=0.7)
+    # end-to-end distributed: candidate pairs feed the co-grouped
+    # signature verify as a Dataset — neither the pair set nor the
+    # signature table is ever concatenated on the driver
+    pairs = lsh_candidate_pairs(sigs, num_perm=64, bands=16)
+    return verify_pairs_by_signature(pairs, sigs, threshold=0.7)
 
 
 def _q_jaccard_pairs(sf_dir: str):
@@ -176,7 +168,22 @@ def _q_embedding_near_dups(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    return embedding_near_dups(emb, threshold=0.95)
+    # int columns only: the DuckDB oracle recomputes the cosine, and
+    # float columns would make the value-hash sensitive to summation
+    # order inside the dot product
+    return embedding_near_dups(emb, threshold=0.95).select(["a", "b"])
+
+
+def _q_embedding_near_dups_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.dedup import embedding_near_dups_lsh
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return embedding_near_dups_lsh(emb, threshold=0.95).select_columns(
+        ["a", "b"]
+    )
 
 
 _MEDIA_N = 256  # deterministic in-memory media fixture (seed 42);
@@ -275,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_pairs,
         "ngram_jaccard_dup_pairs": _q_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "doc_fingerprints": _q_fingerprints,
         "doc_lang_id": _q_lang_id,
         # multimodal plumbing (deterministic fake codec; rows-only)
@@ -282,6 +290,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": _q_media_audio_features,
         "media_frame_sample": _q_media_frame_sample,
     }
+
+
+def _lang_id_oracle_sql() -> str:
+    """Stopword-argmax language id in SQL, generated from the SAME
+    tables the Ray stage compiles (ties: alphabetically-first language,
+    zero hits: 'und' — mirroring LangId.__call__ exactly)."""
+    from dxa_pagerank_ray.stages.textops import _STOPWORDS
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, lower(t.tok) AS tok
+  FROM documents,
+       unnest(list_slice(regexp_extract_all(text, '\w+'), 1, 200)) AS t(tok)
+),
+sw(lang, word) AS (VALUES {vals}),
+h AS (
+  SELECT t.doc_id, s.lang, count(DISTINCT t.tok) AS hits
+  FROM tok t JOIN sw s ON s.word = t.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang ASC) AS rn
+  FROM h
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
+# Exact 5-gram Jaccard over all pairs (O(N^2) is fine at oracle scale;
+# the Ray pipeline prunes with LSH first, then verifies exactly, so the
+# outputs agree whenever LSH recall is 1 on the dataset — deterministic
+# given the fixed data + seeds, pre-validated in tests).  Shingles are
+# byte windows in the engine and character windows here: identical on
+# the all-ASCII testdata.
+_JACCARD_ORACLE_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(t.i AS INTEGER), 5) AS g
+  FROM documents, unnest(range(1, length(text) - 3)) AS t(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON y.g = x.g AND y.doc_id > x.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+"""
+
+_EMBEDDING_NEAR_DUPS_SQL = """
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM embeddings x JOIN embeddings y ON y.vec_id > x.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.95
+"""
+
+# Connected components as a recursive min-label closure: r holds every
+# (vertex, label-that-reaches-it) pair over the undirected edge set —
+# min per vertex is the component's minimum id, exactly the fixpoint of
+# the engine's hash-min superstep.  Integer-only output -> hash-safe.
+_CC_SIZES_SQL = """
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
+  FROM orders WHERE o_custkey <> o_orderkey % 1500
+),
+und AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+verts AS (
+  SELECT unnest(range(0, (SELECT max(greatest(src, dst)) + 1 FROM und))) AS v
+),
+r AS (
+  SELECT v, v AS lbl FROM verts
+  UNION
+  SELECT und.dst AS v, r.lbl FROM r JOIN und ON und.src = r.v
+)
+SELECT lbl_min AS label, count(*) AS size
+FROM (SELECT v, min(lbl) AS lbl_min FROM r GROUP BY v)
+GROUP BY lbl_min
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -295,6 +392,13 @@ def oracle_sql() -> dict[str, str]:
         "dangling_vertices": tg.SQL["dangling_vertices"],
         "triangle_count": tg.SQL["triangle_count"],
         "triangle_count_shuffle": tg.SQL["triangle_count"],
+        "cc_sizes": _CC_SIZES_SQL,
+        "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
+        "embedding_near_dups": _EMBEDDING_NEAR_DUPS_SQL,
+        "doc_lang_id": _lang_id_oracle_sql(),
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+        ),
         "q1_pricing_summary": rel.Q1_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,

@@ -2,14 +2,17 @@
 
 - exact: content-hash partition + per-group min-id keeper.
 - MinHash + LSH: shingle -> minhash signature -> banded bucket groupby
-  -> candidate pairs -> signature-similarity verify.
+  -> candidate pairs -> distributed signature-similarity verify.
 - SimHash: 64-bit signature, banded buckets, Hamming verify.
-- n-gram Jaccard: exact verification kernel (used on LSH candidates).
-- embedding cosine near-dup: blocked matmul vs broadcast matrix.
+- n-gram Jaccard: exact verification of LSH candidates (distributed).
+- embedding cosine near-dup: exact block-pair matmul (object-store
+  blocks, no full-matrix broadcast) + LSH-bucketed approximate variant.
 
 Scale shape: every family is (vectorized per-batch signature) ->
 (groupby on a bucket key) -> (verify within small groups) — the
-all-to-all is always on the compact bucket keys, never on raw text.
+all-to-all is always on compact keys/signatures, never on raw text,
+and candidate VERIFICATION is itself a distributed co-grouped join
+(nothing is concatenated on the driver).
 """
 
 from __future__ import annotations
@@ -18,6 +21,9 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+_FNV_PRIME = np.uint64(0x100000001B3)
+
 
 def _mix64(h: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — avalanches the weak polynomial shingle
@@ -38,7 +44,7 @@ def _base_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     kk = min(k, len(b))
     win = np.lib.stride_tricks.sliding_window_view(b, kk).astype(np.uint64)
-    pows = np.uint64(0x100000001B3) ** np.arange(kk, dtype=np.uint64)
+    pows = _FNV_PRIME ** np.arange(kk, dtype=np.uint64)
     return np.unique(_mix64(win @ pows))
 
 
@@ -85,11 +91,16 @@ class _MinHasher:
         sigs = np.stack([self.signature(t) for t in texts]) if texts else (
             np.zeros((0, self.num_perm), dtype=np.uint64)
         )
+        # plain (non-fixed-size) list type: fixed_size_list schemas are
+        # unhashable for Ray's schema dedup and spam warnings per batch
+        flat = pa.array(sigs.astype(np.int64).reshape(-1), pa.int64())
+        offs = pa.array(
+            np.arange(len(texts) + 1, dtype=np.int32) * self.num_perm
+        )
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "sig": pa.array(list(sigs.astype(np.int64)),
-                                pa.list_(pa.int64(), self.num_perm)),
+                "sig": pa.ListArray.from_arrays(offs, flat),
             }
         )
 
@@ -104,19 +115,42 @@ def minhash_signatures(docs_ds, num_perm: int = 64, k: int = 5, seed: int = 1,
         batch_format="pyarrow", concurrency=(1, concurrency), batch_size=512)
 
 
-def _pairs_within_buckets(banded_ds, id_col: str, num_coarse: int = 64):
+def derive_num_groups(*dss, target_bytes: int = 64 << 20,
+                      minimum: int | None = None) -> int:
+    """Coarse-group count for the co-group/pair-sweep pattern, derived
+    from input size instead of a hardcoded constant: one group should
+    hold ~``target_bytes`` so a ``map_groups`` partition fits a worker
+    heap at ANY data scale, while the floor (2x cluster CPUs, >=64)
+    keeps small inputs from paying per-group overhead on thousands of
+    tiny groups."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() \
+        else 8
+    floor = minimum if minimum is not None else max(64, 2 * cpus)
+    total = 0
+    for ds in dss:
+        try:
+            total += int(ds.size_bytes() or 0)
+        except Exception:  # pragma: no cover - size unknown pre-execution
+            pass
+    return max(floor, -(-total // target_bytes))
+
+
+def _pairs_within_buckets(banded_ds, id_col: str, num_groups: int = 64):
     """(band, bucket, id) rows -> unique candidate pairs (a < b).
 
-    The shuffle groups on a COARSE key (``bucket % num_coarse``), not on
-    each of the millions of tiny buckets: ``map_groups`` pays per-group
-    overhead, so pair enumeration runs once per coarse partition with a
-    vectorized (lexsort + boundaries) sweep over all its buckets.  Hub
-    buckets (a boilerplate band shared by everyone) still cost O(m^2)
-    pairs — inherent to LSH; callers bound it with more selective bands.
+    The shuffle groups on a COARSE key (``bucket % num_groups``, sized
+    by ``derive_num_groups``), not on each of the millions of tiny
+    buckets: ``map_groups`` pays per-group overhead, so pair enumeration
+    runs once per coarse partition with a vectorized (lexsort +
+    boundaries) sweep over all its buckets.  Hub buckets (a boilerplate
+    band shared by everyone) still cost O(m^2) pairs — inherent to LSH;
+    callers bound it with more selective bands.
     """
 
     def add_part(batch: pa.Table) -> pa.Table:
-        part = batch["bucket"].to_numpy(zero_copy_only=False) % num_coarse
+        part = batch["bucket"].to_numpy(zero_copy_only=False) % num_groups
         return batch.append_column("part", pa.array(part, pa.int64()))
 
     def pairs_fn(t: pa.Table) -> pa.Table:
@@ -154,18 +188,18 @@ def _pairs_within_buckets(banded_ds, id_col: str, num_coarse: int = 64):
 
 
 def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id",
+                        num_groups: int | None = None):
     """signatures -> (band_id, band_hash, doc_id) -> bucket groupby ->
     unique candidate pairs (a < b)."""
     rows_per_band = num_perm // bands
-    pows = np.uint64(0x100000001B3) ** np.arange(rows_per_band,
-                                                 dtype=np.uint64)
+    pows = _FNV_PRIME ** np.arange(rows_per_band, dtype=np.uint64)
+    if num_groups is None:
+        num_groups = derive_num_groups(sigs_ds)
 
     def bandize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sig = np.stack(
-            [np.asarray(s, dtype=np.int64) for s in batch["sig"].to_pylist()]
-        ) if batch.num_rows else np.zeros((0, num_perm), dtype=np.int64)
+        sig = _list_matrix(batch["sig"], num_perm)
         out_band, out_hash, out_id = [], [], []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
@@ -185,32 +219,121 @@ def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,
         )
 
     banded = sigs_ds.map_batches(bandize, batch_format="pyarrow")
-    return _pairs_within_buckets(banded, id_col)
+    return _pairs_within_buckets(banded, id_col, num_groups)
 
 
-def verify_pairs_by_signature(pairs_tbl: pa.Table, sigs_tbl: pa.Table,
-                              threshold: float = 0.7,
-                              id_col: str = "doc_id") -> pa.Table:
+# ---- distributed candidate verification -------------------------------------
+
+
+def _list_matrix(col, width: int) -> np.ndarray:
+    """Fixed-width ``list<int64>`` column -> (n, width) int64 matrix
+    (flatten + reshape, no per-row Python)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if len(arr) == 0:
+        return np.zeros((0, width), dtype=np.int64)
+    return flat.reshape(len(arr), width)
+
+
+def cogroup_attach(left_ds, key_col: str, lookup_ds, id_col: str,
+                   val_col: str, out_col: str, left_schema: pa.Schema,
+                   val_type: pa.DataType, num_groups: int = 64):
+    """Distributed equi-join that attaches ``lookup_ds[val_col]`` (keyed
+    by a non-negative int64 ``id_col``, unique) to every left row whose
+    ``key_col`` matches — the pattern behind distributed candidate-pair
+    verification (and any small-side-too-big-to-broadcast lookup).
+
+    Shape: both sides are tagged with a COARSE partition key
+    (``key % num_groups``), unioned, and co-grouped ONCE; inside each
+    partition a single vectorized sort + searchsorted resolves all left
+    rows.  The (possibly list-typed) payload moves cluster-to-cluster
+    through the shuffle — nothing lands on the driver.  Raises if a
+    left key is missing from the lookup (callers guarantee coverage).
+    """
+    import pyarrow.compute as pc
+
+    left_cols = [f.name for f in left_schema]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        cols = {"part": pa.array(keys % num_groups, pa.int64()),
+                "__key": pa.array(keys, pa.int64()),
+                "__val": pa.nulls(b.num_rows, val_type)}
+        for c in left_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def tag_lookup(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        cols = {"part": pa.array(ids % num_groups, pa.int64()),
+                "__key": pa.array(ids, pa.int64()),
+                "__val": b[val_col]}
+        for f in left_schema:
+            cols[f.name] = pa.nulls(b.num_rows, f.type)
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        lookup_ds.map_batches(tag_lookup, batch_format="pyarrow")
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        have = pc.is_valid(t["__val"])
+        lookup = t.filter(have).sort_by("__key")
+        left = t.filter(pc.invert(have))
+        keys = lookup["__key"].to_numpy(zero_copy_only=False)
+        probe = left["__key"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, probe), 0,
+                      max(len(keys) - 1, 0))
+        if len(probe) and (len(keys) == 0
+                           or not np.array_equal(keys[idx], probe)):
+            raise ValueError(
+                f"cogroup_attach({out_col}): left key missing from lookup"
+            )
+        vals = lookup["__val"].combine_chunks().take(
+            pa.array(idx[: len(probe)], pa.int64())
+        )
+        return left.select(left_cols).append_column(out_col, vals)
+
+    return both.groupby("part").map_groups(resolve, batch_format="pyarrow")
+
+
+_PAIRS_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def verify_pairs_by_signature(pairs_ds, sigs_ds, threshold: float = 0.7,
+                              id_col: str = "doc_id", num_perm: int = 64,
+                              num_groups: int | None = None):
     """Estimate Jaccard as signature agreement; keep pairs >= threshold.
-    (Driver-side: candidate sets are small by construction.)"""
-    ids = sigs_tbl[id_col].to_numpy(zero_copy_only=False)
-    sigs = np.stack(
-        [np.asarray(s, dtype=np.int64) for s in sigs_tbl["sig"].to_pylist()]
-    ) if sigs_tbl.num_rows else np.zeros((0, 1), dtype=np.int64)
-    index = {int(v): i for i, v in enumerate(ids)}
-    a = pairs_tbl["a"].to_numpy(zero_copy_only=False)
-    b = pairs_tbl["b"].to_numpy(zero_copy_only=False)
-    keep_a, keep_b, est = [], [], []
-    for x, y in zip(a, b):
-        sa, sb = sigs[index[int(x)]], sigs[index[int(y)]]
-        sim = float(np.mean(sa == sb))
-        if sim >= threshold:
-            keep_a.append(int(x))
-            keep_b.append(int(y))
-            est.append(sim)
-    return pa.table({"a": pa.array(keep_a, pa.int64()),
-                     "b": pa.array(keep_b, pa.int64()),
-                     "est_jaccard": pa.array(est, pa.float64())})
+
+    Fully distributed: ``sig_a`` / ``sig_b`` are attached by two
+    co-grouped equi-joins (``cogroup_attach``) and the agreement mean is
+    one vectorized comparison per batch — the signature table never
+    leaves the cluster (at 100 TB it alone dwarfs driver RAM).
+    Returns a Dataset ``(a, b, est_jaccard)``.
+    """
+    if num_groups is None:
+        num_groups = derive_num_groups(sigs_ds)
+    sig_t = pa.list_(pa.int64())
+    p1 = cogroup_attach(pairs_ds, "a", sigs_ds, id_col, "sig", "sig_a",
+                        _PAIRS_SCHEMA, sig_t, num_groups)
+    s1 = _PAIRS_SCHEMA.append(pa.field("sig_a", sig_t))
+    p2 = cogroup_attach(p1, "b", sigs_ds, id_col, "sig", "sig_b",
+                        s1, sig_t, num_groups)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sa = _list_matrix(batch["sig_a"], num_perm)
+        sb = _list_matrix(batch["sig_b"], num_perm)
+        sim = (sa == sb).mean(axis=1) if len(sa) else np.zeros(0)
+        keep = sim >= threshold
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "est_jaccard": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+    return p2.map_batches(verify, batch_format="pyarrow")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -225,40 +348,44 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 def jaccard_verified_pairs(docs_ds, threshold: float = 0.8, k: int = 5,
                            num_perm: int = 64, bands: int = 16,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> pa.Table:
+                           id_col: str = "doc_id",
+                           num_groups: int | None = None):
     """n-gram Jaccard near-dup pairs: MinHash-LSH candidate generation
-    (distributed) followed by **exact** k-shingle Jaccard verification
-    of each candidate — the full precision variant of the signature-
-    estimate path.
+    followed by **exact** k-shingle Jaccard verification of each
+    candidate — the full-precision variant of the signature-estimate
+    path.  Returns a Dataset ``(a, b, jaccard)``.
 
-    Verification is a broadcast semi-join: the candidate id set (small
-    by construction — LSH has already pruned the N^2 space) is shipped
-    via ``ray.put`` and each batch re-shingles only its candidate docs;
-    the per-pair intersection runs on the driver over the collected
-    shingle sets (sorted-array intersect, no Python sets).
+    Verification is distributed end to end: only the candidate id set
+    (small by construction — LSH has already pruned the N^2 space) is
+    broadcast so each batch re-shingles its candidate docs; the shingle
+    sets are then attached to the pairs by two co-grouped joins and
+    intersected per partition (sorted-array intersect, C per pair) —
+    no shingle set ever lands on the driver.
     """
     import ray
+    import ray.data as rd
 
     sigs = minhash_signatures(docs_ds, num_perm=num_perm, k=k,
                               text_col=text_col, id_col=id_col).materialize()
-    pair_batches = list(
-        lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands,
-                            id_col=id_col)
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ) if sigs.count() else []
-    pairs = pa.concat_tables(pair_batches) if pair_batches else pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-    )
-    a = pairs["a"].to_numpy(zero_copy_only=False) if pairs.num_rows else \
-        np.array([], dtype=np.int64)
-    b = pairs["b"].to_numpy(zero_copy_only=False) if pairs.num_rows else \
-        np.array([], dtype=np.int64)
+    if num_groups is None:
+        num_groups = derive_num_groups(sigs)
+    pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands,
+                                id_col=id_col,
+                                num_groups=num_groups).materialize()
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    if len(a) == 0:
-        return empty
-    cand_ids = np.unique(np.concatenate([a, b]))
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+    # candidate id set: compact int64s, bounded by the LSH collision
+    # count — the one artifact small enough to broadcast
+    ab = pa.concat_tables(
+        list(pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    cand_ids = np.unique(np.concatenate(
+        [ab["a"].to_numpy(zero_copy_only=False),
+         ab["b"].to_numpy(zero_copy_only=False)]
+    ))
     cand_ref = ray.put(cand_ids)
 
     def shingles_of_candidates(batch: pa.Table) -> pa.Table:
@@ -274,51 +401,83 @@ def jaccard_verified_pairs(docs_ds, threshold: float = 0.8, k: int = 5,
                          "shingles": pa.array(out_sh,
                                               pa.list_(pa.int64()))})
 
-    sh_tbl = pa.concat_tables(
-        list(
-            docs_ds.map_batches(shingles_of_candidates, batch_format="pyarrow")
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    sh_ds = docs_ds.map_batches(shingles_of_candidates,
+                                batch_format="pyarrow")
+    sh_t = pa.list_(pa.int64())
+    p1 = cogroup_attach(pairs, "a", sh_ds, id_col, "shingles", "sh_a",
+                        _PAIRS_SCHEMA, sh_t, num_groups)
+    s1 = _PAIRS_SCHEMA.append(pa.field("sh_a", sh_t))
+    p2 = cogroup_attach(p1, "b", sh_ds, id_col, "shingles", "sh_b",
+                        s1, sh_t, num_groups)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        la = batch["sh_a"].combine_chunks()
+        lb = batch["sh_b"].combine_chunks()
+        # flatten() respects slice offsets (raw .values would not)
+        fa = la.flatten().to_numpy(zero_copy_only=False)
+        fb = lb.flatten().to_numpy(zero_copy_only=False)
+        offa = np.r_[0, np.cumsum(
+            pc.list_value_length(la).to_numpy(zero_copy_only=False))]
+        offb = np.r_[0, np.cumsum(
+            pc.list_value_length(lb).to_numpy(zero_copy_only=False))]
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):  # per-pair, but each step is one C intersect
+            sa = fa[offa[i]:offa[i + 1]]
+            sb = fb[offb[i]:offb[i + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
         )
-    )
-    by_id = {
-        int(v): np.asarray(s, dtype=np.int64)
-        for v, s in zip(sh_tbl[id_col].to_pylist(),
-                        sh_tbl["shingles"].to_pylist())
-    }
-    keep_a, keep_b, jac = [], [], []
-    for x, y in zip(a, b):
-        sa, sb = by_id[int(x)], by_id[int(y)]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        j = inter / union if union else 1.0
-        if j >= threshold:
-            keep_a.append(int(x))
-            keep_b.append(int(y))
-            jac.append(j)
-    return pa.table({"a": pa.array(keep_a, pa.int64()),
-                     "b": pa.array(keep_b, pa.int64()),
-                     "jaccard": pa.array(jac, pa.float64())})
+
+    return p2.map_batches(verify, batch_format="pyarrow")
 
 
 # ---- SimHash ---------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (stable blake2b word hashes)."""
-    import re
+def _word_hashes(text: str) -> np.ndarray:
+    """64-bit hashes of the ASCII ``[0-9a-z_]+`` words of lowercased
+    ``text`` — fully vectorized: byte classify -> segmented polynomial
+    hash per word (``reduceat`` over contiguous word spans) ->
+    splitmix64.  One hash per word occurrence (frequency-weighted, like
+    the classic SimHash feature stream)."""
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8) \
+        .astype(np.uint64)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.where((b >= 65) & (b <= 90), b + np.uint64(32), b)  # lower A-Z
+    isw = (((b >= 97) & (b <= 122)) | ((b >= 48) & (b <= 57)) | (b == 95))
+    if not isw.any():
+        return np.zeros(0, dtype=np.uint64)
+    starts = isw & ~np.r_[False, isw[:-1]]
+    idx = np.arange(len(b))
+    start_idx = np.maximum.accumulate(np.where(starts, idx, -1))
+    posw = (idx - start_idx)[isw]  # char position within its word
+    pows = np.multiply.accumulate(
+        np.r_[np.uint64(1),
+              np.full(int(posw.max()), _FNV_PRIME, dtype=np.uint64)]
+    )  # P^0..P^max_pos, uint64 wraparound
+    terms = b[isw] * pows[posw]
+    bounds = np.flatnonzero(starts[isw])
+    return _mix64(np.add.reduceat(terms, bounds))
 
-    words = re.findall(r"\w+", (text or "").lower())
-    if not words:
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over ASCII word features (vectorized — no
+    per-word Python loop; see ``_word_hashes``)."""
+    hs = _word_hashes(text)
+    if len(hs) == 0:
         return 0
-    hs = np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
-            )
-            for w in words
-        ],
-        dtype=np.uint64,  # explicit uint64: hashes >= 2^63 must not
-    )                     # coerce to Python-object arrays
     shifts = np.arange(64, dtype=np.uint64)
     bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (W, 64)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
@@ -326,13 +485,16 @@ def simhash64(text: str) -> int:
 
 
 def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4,
-                      text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_groups: int | None = None):
     """(a, b, hamming) pairs with Hamming distance <= max_hamming.
     Banding: split the 64-bit signature into ``bands`` chunks; a pair
     within distance ``bands-1`` shares at least one exact chunk
     (pigeonhole), so bucket-group on (band, chunk) and verify."""
     from ..pipelines.testdata_graph import dedup_edges_like
 
+    if num_groups is None:
+        num_groups = derive_num_groups(docs_ds)
     width = 64 // bands
     mask = (1 << width) - 1
 
@@ -353,7 +515,7 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4,
                          for k, v in out.items()})
 
     def add_part(batch: pa.Table) -> pa.Table:
-        part = batch["bucket"].to_numpy(zero_copy_only=False) % 64
+        part = batch["bucket"].to_numpy(zero_copy_only=False) % num_groups
         return batch.append_column("part", pa.array(part, pa.int64()))
 
     def pairs_fn(t: pa.Table) -> pa.Table:
@@ -431,45 +593,157 @@ def exact_dedup_keepers(docs_ds, text_col: str = "text",
 # ---- embedding near-dup ----------------------------------------------------
 
 
+_EMPTY_COSINE_PAIRS = pa.table({"a": pa.array([], pa.int64()),
+                                "b": pa.array([], pa.int64()),
+                                "cosine": pa.array([], pa.float64())})
+
+
+def _score_blocks(x: pa.Table, y: pa.Table, same: bool, threshold: float,
+                  id_col: str, vec_col: str) -> pa.Table:
+    """One (block x block) exact cosine tile: emit (a, b, cosine) with
+    a < b for every pair >= threshold."""
+    from .ann import _normalize, _to_matrix
+
+    ix = x[id_col].to_numpy(zero_copy_only=False)
+    iy = y[id_col].to_numpy(zero_copy_only=False)
+    mx = _normalize(_to_matrix(x[vec_col]))
+    my = _normalize(_to_matrix(y[vec_col]))
+    sims = mx @ my.T
+    if same:
+        sims = np.triu(sims, k=1)  # upper triangle only, no self-pairs
+        ii, jj = np.nonzero(sims >= threshold)
+    else:
+        ii, jj = np.nonzero(sims >= threshold)
+    if len(ii) == 0:
+        return _EMPTY_COSINE_PAIRS
+    a, b = ix[ii], iy[jj]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"a": pa.array(lo, pa.int64()),
+                     "b": pa.array(hi, pa.int64()),
+                     "cosine": pa.array(sims[ii, jj], pa.float64())})
+
+
 def embedding_near_dups(emb_ds, threshold: float = 0.95,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> pa.Table:
-    """(a, b) pairs with cosine >= threshold — blocked matmul: each
-    batch scores against the broadcast full matrix (fine to ~1e5
-    vectors; beyond that, bucket with `ann.lsh_topk`'s planes first)."""
+                        vec_col: str = "embedding",
+                        block_rows: int = 8192) -> pa.Table:
+    """EXACT (a, b, cosine) pairs with cosine >= threshold, a < b.
+
+    Distributed block-pair matmul: the dataset's materialized blocks
+    stay in the object store (``iter_internal_ref_bundles`` — the
+    driver touches only refs) and every unordered block pair (i <= j)
+    is scored by one remote task as a dense tile.  No full-matrix
+    broadcast: peak per-task memory is two blocks.  O(B^2) tasks is
+    inherent to exact all-pairs similarity; for web-scale inputs use
+    ``embedding_near_dups_lsh`` (bucketed, approximate).
+    """
     import ray
+
+    blocks = emb_ds.select_columns([id_col, vec_col]) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=block_rows).materialize()
+    refs = [r for bundle in blocks.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+    if not refs:
+        return _EMPTY_COSINE_PAIRS
+
+    score = ray.remote(_score_blocks)
+    out = ray.get(
+        [
+            score.remote(refs[i], refs[j], i == j, threshold, id_col, vec_col)
+            for i in range(len(refs))
+            for j in range(i, len(refs))
+        ]
+    )
+    out = [t for t in out if t.num_rows]
+    return pa.concat_tables(out) if out else _EMPTY_COSINE_PAIRS
+
+
+def embedding_near_dups_lsh(emb_ds, threshold: float = 0.95,
+                            n_planes: int = 8, n_tables: int = 6,
+                            seed: int = 7, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            num_groups: int | None = None):
+    """APPROXIMATE near-dup pairs — the 100-TB path: random-hyperplane
+    bucket keys -> coarse groupby -> within-bucket exact matmul.  A pair
+    with cosine s collides in one table with prob (1 - arccos(s)/pi)^n_planes
+    (~0.43 at s=0.95, n_planes=8), so n_tables=6 gives ~97% recall;
+    candidates are verified exactly, so precision is 1.  The vector
+    column is replicated n_tables times through ONE shuffle — never
+    broadcast.  Returns a Dataset (a, b, cosine), dedup'd across tables.
+    """
+    import ray
+    from ray.data.aggregate import Min
 
     from .ann import _normalize, _to_matrix
 
-    full = pa.concat_tables(
-        list(emb_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
-    all_ids = full[id_col].to_numpy(zero_copy_only=False)
-    m = _normalize(_to_matrix(full[vec_col]))
-    ref = ray.put((all_ids, m))
+    if num_groups is None:
+        num_groups = derive_num_groups(emb_ds)
+    rng = np.random.default_rng(seed)
+    first = emb_ds.limit(1).take_all()
+    if not first:
+        import ray.data as rd
 
-    def score(batch: pa.Table) -> pa.Table:
-        ids_all, mat = ray.get(ref)
+        return rd.from_arrow(_EMPTY_COSINE_PAIRS)
+    planes = rng.standard_normal((n_tables, n_planes, len(first[0][vec_col])))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mb = _normalize(_to_matrix(batch[vec_col]))
-        sims = mb @ mat.T
-        rows_a, rows_b, rows_s = [], [], []
-        for i in range(len(ids)):
-            hit = np.flatnonzero((sims[i] >= threshold) & (ids_all > ids[i]))
-            rows_a.extend([int(ids[i])] * len(hit))
-            rows_b.extend(ids_all[hit].tolist())
-            rows_s.extend(sims[i, hit].tolist())
-        return pa.table({"a": pa.array(rows_a, pa.int64()),
-                         "b": pa.array(rows_b, pa.int64()),
-                         "cosine": pa.array(rows_s, pa.float64())})
+        m = _normalize(_to_matrix(batch[vec_col]))
+        pl = ray.get(planes_ref)
+        outs = []
+        for t in range(n_tables):
+            sig = ((m @ pl[t].T > 0) @ (1 << np.arange(n_planes))).astype(
+                np.int64
+            )
+            part = (sig * (t * 2 + 1) + t) % num_groups
+            outs.append(pa.table(
+                {
+                    "part": pa.array(part, pa.int64()),
+                    "tbl": pa.array(np.full(len(ids), t, dtype=np.int64)),
+                    "bucket": pa.array(sig, pa.int64()),
+                    id_col: pa.array(ids, pa.int64()),
+                    vec_col: batch[vec_col],
+                }
+            ))
+        return pa.concat_tables(outs)
 
-    batches = list(
-        emb_ds.map_batches(score, batch_format="pyarrow").iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        tbl = t["tbl"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(t[vec_col]))
+        order = np.lexsort((ids, bucket, tbl))
+        tbl, bucket, ids, m = tbl[order], bucket[order], ids[order], m[order]
+        starts = np.flatnonzero(
+            np.r_[True, (tbl[1:] != tbl[:-1]) | (bucket[1:] != bucket[:-1])]
         )
+        ends = np.r_[starts[1:], len(tbl)]
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sims = np.triu(m[s:e] @ m[s:e].T, k=1)
+            ii, jj = np.nonzero(sims >= threshold)
+            if len(ii) == 0:
+                continue
+            outs.append(pa.table(
+                {"a": pa.array(ids[s:e][ii], pa.int64()),
+                 "b": pa.array(ids[s:e][jj], pa.int64()),
+                 "cosine": pa.array(sims[ii, jj], pa.float64())}
+            ))
+        if not outs:
+            return _EMPTY_COSINE_PAIRS
+        return pa.concat_tables(outs)
+
+    pairs = (
+        emb_ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_fn, batch_format="pyarrow")
     )
-    if not batches:  # no near-duplicate pairs anywhere
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    return pa.concat_tables(batches)
+    # a pair can collide in several tables -> exact dedup on (a, b)
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Min("cosine", alias_name="cosine"))
+    )

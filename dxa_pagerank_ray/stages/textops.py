@@ -106,19 +106,53 @@ def lang_id(docs_ds, concurrency: int = 4):
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
-    """64-bit FNV-1a rolling document fingerprint (stable across runs)."""
-    texts = batch[text_col].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in (t or "").encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+    """128-bit MD5 content fingerprint (hex) — one C call per document
+    (replaces the round-1 per-byte Python FNV loop), stable across runs
+    and directly oracle-able (DuckDB ``md5(text)``)."""
+    import hashlib
+
+    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+           for t in batch[text_col].to_pylist()]
     return pa.table({id_col: batch[id_col],
-                     "fingerprint": pa.array(out.astype(np.int64), pa.int64())})
+                     "fingerprint": pa.array(fps, pa.string())})
 
 
 def fingerprints(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     return docs_ds.map_batches(
         lambda b: fingerprint_batch(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+
+def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                              id_col: str = "doc_id") -> pa.Table:
+    """64-bit polynomial rolling fingerprint over the UTF-8 bytes —
+    fully vectorized per document (one wraparound multiply-accumulate
+    pass, no per-byte Python), splitmix64-finished.  The incremental
+    variant for pipelines that extend documents: append m bytes by
+    ``h' = h * P^m + poly(new bytes)``."""
+    from ..stages.dedup import _FNV_PRIME, _mix64
+
+    texts = batch[text_col].to_pylist()
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8) \
+            .astype(np.uint64)
+        if len(b) == 0:
+            out[i] = 0
+            continue
+        pows = np.multiply.accumulate(
+            np.r_[np.uint64(1), np.full(len(b) - 1, _FNV_PRIME,
+                                        dtype=np.uint64)]
+        )
+        out[i] = (b[::-1] * pows).sum()  # sum wraps in uint64
+    return pa.table({id_col: batch[id_col],
+                     "fingerprint": pa.array(
+                         _mix64(out).astype(np.int64), pa.int64())})
+
+
+def rolling_fingerprints(docs_ds, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    return docs_ds.map_batches(
+        lambda b: rolling_fingerprint_batch(b, text_col, id_col),
+        batch_format="pyarrow",
     )
