@@ -31,6 +31,28 @@ def part_of(v: np.ndarray, num_partitions: int) -> np.ndarray:
     return (v % np.int64(num_partitions)).astype(np.int64)
 
 
+def derive_num_groups(*dss, target_bytes: int = 64 << 20,
+                      minimum: int | None = None) -> int:
+    """Coarse-group count for the co-group/pair-sweep pattern, derived
+    from input size instead of a hardcoded constant: one group should
+    hold ~``target_bytes`` so a ``map_groups`` partition fits a worker
+    heap at ANY data scale, while the floor (2x cluster CPUs, >=64)
+    keeps small inputs from paying per-group overhead on thousands of
+    tiny groups."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() \
+        else 8
+    floor = minimum if minimum is not None else max(64, 2 * cpus)
+    total = 0
+    for ds in dss:
+        try:
+            total += int(ds.size_bytes() or 0)
+        except Exception:  # pragma: no cover - size unknown pre-execution
+            pass
+    return max(floor, -(-total // target_bytes))
+
+
 def quiet_data_context() -> None:
     """Apply the engine's DataContext defaults (idempotent).
 

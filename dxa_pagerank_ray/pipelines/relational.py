@@ -30,6 +30,12 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.rint(x * 100.0).astype(np.int64)
 
 
+# Row-count guard for driver-side lookup broadcasts (orderkey->custkey
+# is 16 B/row: ~160 MB at the limit, same budget as
+# context.BROADCAST_VERTEX_LIMIT).
+BROADCAST_ROW_LIMIT = 10_000_000
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary: filter on ship date, group by
     (returnflag, linestatus), multi-aggregate.  Map-side partial
@@ -113,42 +119,84 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def top_customers_by_revenue(sf_dir: str, k: int = 10):
+def top_customers_by_revenue(sf_dir: str, k: int = 10,
+                             broadcast_limit: int | None = None):
     """customer ⨝ orders ⨝ lineitem revenue ranking: two-stage
-    aggregation (lineitem revenue per orderkey, then per custkey via a
-    broadcast orderkey->custkey lookup — the small side ships once via
-    ``ray.put``), final sort + limit on the tiny aggregate."""
+    aggregation, final sort + limit on the tiny aggregate.
+
+    The orderkey->custkey lookup dispatches on the orders row count
+    (cheap parquet-metadata ``count()``), the same guard discipline as
+    ``build_link_graph``:
+
+    - ``<= broadcast_limit`` (default ``BROADCAST_ROW_LIMIT``): ship
+      the lookup once via ``ray.put`` and resolve per batch (no shuffle
+      at all — orders is the 10x-smaller side, so this is the default
+      path at bench scale);
+    - above it: pre-aggregate lineitem revenue per orderkey (map-side
+      combine, then a compact groupby), attach ``o_custkey`` with the
+      distributed ``cogroup_attach`` equi-join, and re-aggregate per
+      custkey — nothing is ever materialized on the driver.
+    """
     import ray
     from ray.data.aggregate import Sum
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    o = pa.concat_tables(
-        list(orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
-    okey = o["o_orderkey"].to_numpy(zero_copy_only=False)
-    ckey = o["o_custkey"].to_numpy(zero_copy_only=False)
-    order_sorted = np.argsort(okey, kind="stable")
-    lookup_ref = ray.put((okey[order_sorted], ckey[order_sorted]))
+    from ..context import derive_num_groups
+    from ..stages.dedup import cogroup_attach
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        ok, ck = ray.get(lookup_ref)
+    limit = BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(batch: pa.Table, key: str) -> pa.Table:
         lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         price_c = _cents(batch["l_extendedprice"])
         disc_c = _cents(batch["l_discount"])
         rev_c4 = price_c * (100 - disc_c)
-        i = np.clip(np.searchsorted(ok, lok), 0, len(ok) - 1)
-        cust = np.where(ok[i] == lok, ck[i], -1)
-        keep = cust >= 0
-        t = pa.table({"c_custkey": pa.array(cust[keep], pa.int64()),
-                      "rev": pa.array(rev_c4[keep], pa.int64())})
-        return t.group_by("c_custkey").aggregate([("rev", "sum")]).rename_columns(
-            ["c_custkey", "rev"]
+        t = pa.table({key: pa.array(lok, pa.int64()),
+                      "rev": pa.array(rev_c4, pa.int64())})
+        return t.group_by(key).aggregate([("rev", "sum")]).rename_columns(
+            [key, "rev"]
         )
 
-    ds = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
-        per_batch, batch_format="pyarrow"
-    )
+    if orders.count() <= limit:
+        o = pa.concat_tables(
+            list(orders.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow"))
+        )
+        okey = o["o_orderkey"].to_numpy(zero_copy_only=False)
+        ckey = o["o_custkey"].to_numpy(zero_copy_only=False)
+        order_sorted = np.argsort(okey, kind="stable")
+        lookup_ref = ray.put((okey[order_sorted], ckey[order_sorted]))
+
+        def per_batch(batch: pa.Table) -> pa.Table:
+            ok, ck = ray.get(lookup_ref)
+            part = rev_partial(batch, "l_orderkey")
+            lok = part["l_orderkey"].to_numpy(zero_copy_only=False)
+            i = np.clip(np.searchsorted(ok, lok), 0, max(len(ok) - 1, 0))
+            cust = np.where(ok[i] == lok, ck[i], -1)
+            keep = cust >= 0
+            t = pa.table({"c_custkey": pa.array(cust[keep], pa.int64()),
+                          "rev": part["rev"].filter(pa.array(keep))})
+            return t.group_by("c_custkey").aggregate(
+                [("rev", "sum")]).rename_columns(["c_custkey", "rev"])
+
+        ds = lineitem.map_batches(per_batch, batch_format="pyarrow")
+    else:
+        per_order = lineitem.map_batches(
+            lambda b: rev_partial(b, "l_orderkey"), batch_format="pyarrow"
+        ).groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+        schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())])
+        joined = cogroup_attach(
+            per_order, "l_orderkey", orders, "o_orderkey", "o_custkey",
+            "c_custkey", schema, pa.int64(),
+            num_groups=derive_num_groups(orders),
+        )
+        ds = joined.map_batches(
+            lambda b: pa.table({"c_custkey": b["c_custkey"],
+                                "rev": b["rev"]}),
+            batch_format="pyarrow",
+        )
     agg = ds.groupby("c_custkey").aggregate(Sum("rev", alias_name="revenue_c4"))
     return agg.sort(["revenue_c4", "c_custkey"], descending=[True, False]).limit(k)
 
@@ -205,20 +253,27 @@ GROUP BY 1, 2
 """
 
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30):
+def events_sessions(sf_dir: str, gap_minutes: int = 30,
+                    num_groups: int | None = None):
     """Gap-based session windows per user (the custom streaming-window
     operator the reference lacks, SURVEY.md §2.9): events of one user
     belong to the same session while consecutive gaps are <= gap.
 
     Partitioning assumption: sessionization needs ALL of a user's
     events co-located and time-sorted, so the shuffle key is the user —
-    grouped on a COARSE ``user_id % 64`` key (same pattern as the LSH
-    pair sweep: per-group overhead once per partition, then one
-    vectorized lexsort/boundary sweep handles every user in it)."""
+    grouped on a COARSE ``user_id % num_groups`` key (same pattern as
+    the LSH pair sweep: per-group overhead once per partition, then one
+    vectorized lexsort/boundary sweep handles every user in it), with
+    the group count derived from input size so a partition stays within
+    a worker heap at any scale."""
+    from ..context import derive_num_groups
+
     GAP_US = gap_minutes * 60_000_000
+    src = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    G = num_groups or derive_num_groups(src)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        part = batch["user_id"].to_numpy(zero_copy_only=False) % 64
+        part = batch["user_id"].to_numpy(zero_copy_only=False) % G
         return batch.append_column("part", pa.array(part, pa.int64()))
 
     def sessionize(t: pa.Table) -> pa.Table:
@@ -250,10 +305,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
             }
         )
 
-    ds = _read(sf_dir, "events",
-               ["event_id", "ts", "user_id", "value"]).map_batches(
-        add_part, batch_format="pyarrow"
-    )
+    ds = src.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("part").map_groups(sessionize, batch_format="pyarrow")
 
 
@@ -280,14 +332,19 @@ FROM g GROUP BY user_id, session_id
 """
 
 
-def events_running_totals(sf_dir: str):
+def events_running_totals(sf_dir: str, num_groups: int | None = None):
     """Per-user running (cumulative) value total in event-time order —
     the classic ordered window function, row-per-event output.  Same
-    coarse user-hash grouping as ``events_sessions``; the per-user
-    cumsum is one vectorized pass per partition."""
+    coarse user-hash grouping as ``events_sessions`` (group count
+    derived from input size); the per-user cumsum is one vectorized
+    pass per partition."""
+    from ..context import derive_num_groups
+
+    src = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    G = num_groups or derive_num_groups(src)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        part = batch["user_id"].to_numpy(zero_copy_only=False) % 64
+        part = batch["user_id"].to_numpy(zero_copy_only=False) % G
         return batch.append_column("part", pa.array(part, pa.int64()))
 
     def running(t: pa.Table) -> pa.Table:
@@ -310,10 +367,7 @@ def events_running_totals(sf_dir: str):
                          "user_id": pa.array(uid, pa.int64()),
                          "running_value_cents": pa.array(run, pa.int64())})
 
-    ds = _read(sf_dir, "events",
-               ["event_id", "ts", "user_id", "value"]).map_batches(
-        add_part, batch_format="pyarrow"
-    )
+    ds = src.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("part").map_groups(running, batch_format="pyarrow")
 
 
@@ -327,20 +381,25 @@ FROM events
 """
 
 
-def events_asof_last_error(sf_dir: str):
+def events_asof_last_error(sf_dir: str, num_groups: int | None = None):
     """As-of join: every event joined to the same user's most recent
     PRIOR (strictly earlier ts) 'error' event — the classic
     time-series enrichment join Ray Data lacks natively.
 
     Partitioning assumption: both sides key on the user, so one coarse
-    user-hash groupby co-locates them; within a partition a single
-    lexsort + cummax-style sweep resolves every probe (no per-row
-    search).  Output: (event_id, user_id, last_error_event_id,
-    last_error_value_cents), -1 / null-free sentinel when no prior
-    error exists."""
+    user-hash groupby co-locates them (group count derived from input
+    size); within a partition a single lexsort + cummax-style sweep
+    resolves every probe (no per-row search).  Output: (event_id,
+    user_id, last_error_event_id, last_error_value_cents), -1 /
+    null-free sentinel when no prior error exists."""
+    from ..context import derive_num_groups
+
+    src = _read(sf_dir, "events",
+                ["event_id", "ts", "user_id", "event_type", "value"])
+    G = num_groups or derive_num_groups(src)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        part = batch["user_id"].to_numpy(zero_copy_only=False) % 64
+        part = batch["user_id"].to_numpy(zero_copy_only=False) % G
         return batch.append_column("part", pa.array(part, pa.int64()))
 
     def asof(t: pa.Table) -> pa.Table:
@@ -379,10 +438,7 @@ def events_asof_last_error(sf_dir: str):
             }
         )
 
-    ds = _read(sf_dir, "events",
-               ["event_id", "ts", "user_id", "event_type", "value"]).map_batches(
-        add_part, batch_format="pyarrow"
-    )
+    ds = src.map_batches(add_part, batch_format="pyarrow")
     return ds.groupby("part").map_groups(asof, batch_format="pyarrow")
 
 

@@ -115,26 +115,7 @@ def minhash_signatures(docs_ds, num_perm: int = 64, k: int = 5, seed: int = 1,
         batch_format="pyarrow", concurrency=(1, concurrency), batch_size=512)
 
 
-def derive_num_groups(*dss, target_bytes: int = 64 << 20,
-                      minimum: int | None = None) -> int:
-    """Coarse-group count for the co-group/pair-sweep pattern, derived
-    from input size instead of a hardcoded constant: one group should
-    hold ~``target_bytes`` so a ``map_groups`` partition fits a worker
-    heap at ANY data scale, while the floor (2x cluster CPUs, >=64)
-    keeps small inputs from paying per-group overhead on thousands of
-    tiny groups."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() \
-        else 8
-    floor = minimum if minimum is not None else max(64, 2 * cpus)
-    total = 0
-    for ds in dss:
-        try:
-            total += int(ds.size_bytes() or 0)
-        except Exception:  # pragma: no cover - size unknown pre-execution
-            pass
-    return max(floor, -(-total // target_bytes))
+from ..context import derive_num_groups  # noqa: E402  (shared helper)
 
 
 def _pairs_within_buckets(banded_ds, id_col: str, num_groups: int = 64):

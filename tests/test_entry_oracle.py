@@ -125,6 +125,30 @@ def test_ann_lsh_recall_vs_brute_force():
     assert _recall("ann_lsh_top10") >= 0.5
 
 
+def test_top_customers_join_fallback_matches_broadcast():
+    """Force broadcast_limit=0 so the distributed cogroup join path runs;
+    it must equal the (oracle-green) broadcast path exactly."""
+    from dxa_pagerank_ray.pipelines import relational as rel
+
+    bcast = _canon(_to_pandas(rel.top_customers_by_revenue(SF_DIR)))
+    joined = _canon(_to_pandas(
+        rel.top_customers_by_revenue(SF_DIR, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(bcast, joined, check_exact=True)
+
+
+def test_event_windows_invariant_to_num_groups(con):
+    """Coarse-key windowed operators must be partition-count invariant
+    (verdict item 7: oracles green at two different group counts)."""
+    from dxa_pagerank_ray.pipelines import relational as rel
+
+    for fn, sql in [(rel.events_sessions, rel.EVENTS_SESSIONS_SQL),
+                    (rel.events_asof_last_error, rel.EVENTS_ASOF_SQL)]:
+        sql_df = _canon(con.execute(sql).df())
+        for g in (7, 128):
+            got = _canon(_to_pandas(fn(SF_DIR, num_groups=g)))
+            pd.testing.assert_frame_equal(got, sql_df, check_exact=True)
+
+
 def test_ann_ivf_recall_vs_brute_force():
     """IVF with nprobe=6/16 cells scans ~3/8 of the data; recall should
     beat that fraction comfortably on clustered embeddings."""
