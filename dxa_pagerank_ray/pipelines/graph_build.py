@@ -184,14 +184,23 @@ def build_link_graph(pages_ds, num_partitions: int = 32,
 
 def _map_ids_broadcast(links, mapping):
     """links(src_url, dst_url) -> (src, dst) via a broadcast hash->id
-    lookup table (``ray.put`` once, ``ray.get`` zero-copy per task)."""
+    lookup table (``ray.put`` once, ``ray.get`` zero-copy per task).
+
+    The 64-bit url hash can collide between two distinct urls (expected
+    ~n^2/2^64 pairs — ~3 in a million runs at the 1e7-vertex limit), and
+    a silent collision would assign one url the other's vertex id.  The
+    sorted hash array is therefore checked for duplicates, and the few
+    colliding urls are resolved EXACTLY through a tiny broadcast
+    {url: id} dict riding in the same object-store entry — the hot
+    lookup stays a hash searchsorted."""
     import ray
 
     from ..stages.ids import hash64
 
     def add_hash(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"h": pa.array(hash64(batch["url"]), pa.int64()), "v": batch["v"]}
+            {"h": pa.array(hash64(batch["url"]), pa.int64()),
+             "v": batch["v"], "url": batch["url"]}
         )
 
     hv = pa.concat_tables(
@@ -202,10 +211,24 @@ def _map_ids_broadcast(links, mapping):
     h = hv["h"].to_numpy(zero_copy_only=False)
     v = hv["v"].to_numpy(zero_copy_only=False)
     order = np.argsort(h, kind="stable")
-    ref = ray.put((h[order], v[order]))
+    hs, vs = h[order], v[order]
+    dup = np.zeros(len(hs), dtype=bool)
+    if len(hs) > 1:
+        eq = hs[1:] == hs[:-1]
+        dup[1:] |= eq
+        dup[:-1] |= eq
+    if dup.any():
+        coll_hashes = np.unique(hs[dup])
+        urls_sorted = hv["url"].combine_chunks().take(
+            pa.array(order[dup], pa.int64()))
+        exact = dict(zip(urls_sorted.to_pylist(), vs[dup].tolist()))
+    else:
+        coll_hashes = np.array([], dtype=np.int64)
+        exact = {}
+    ref = ray.put((hs, vs, coll_hashes, exact))
 
     def to_ids(batch: pa.Table) -> pa.Table:
-        hs_sorted, vs_sorted = ray.get(ref)
+        hs_sorted, vs_sorted, coll, exact_ids = ray.get(ref)
 
         def lookup(urls):
             hh = hash64(urls)
@@ -213,7 +236,15 @@ def _map_ids_broadcast(links, mapping):
             i = np.clip(i, 0, len(hs_sorted) - 1)
             if not np.array_equal(hs_sorted[i], hh):
                 raise ValueError("url missing from id mapping")
-            return vs_sorted[i]
+            out = vs_sorted[i]
+            if len(coll):
+                j = np.searchsorted(coll, hh)
+                hit = np.flatnonzero(
+                    (j < len(coll)) & (coll[np.minimum(j, len(coll) - 1)] == hh)
+                )
+                for k in hit.tolist():
+                    out[k] = exact_ids[urls[k].as_py()]
+            return out
 
         return pa.table(
             {

@@ -77,7 +77,15 @@ def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
     The handle list ships via ``ray.put`` — actor handles captured in a
     plain closure do not survive Ray Data's operator serialization (the
     routing task hangs); handles deserialized from the object store
-    re-register with their owner correctly."""
+    re-register with their owner correctly.
+
+    ``add_edges`` is a side effect, so a silently replayed routing task
+    (task retry or lineage reconstruction of an evicted block) would
+    append the same edges twice and corrupt every downstream result.
+    The routing op therefore runs with ``max_retries=0``: a lost worker
+    fails the load loudly instead, and the caller restarts the engine
+    (at real cluster scale, prefer the partitioned-Parquet write +
+    per-shard read path, which is idempotent by construction)."""
     import ray
 
     handles_ref = ray.put(actors)
@@ -101,7 +109,8 @@ def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
     routed = edges_ds.map_batches(route, batch_format="pyarrow",
-                                  batch_size=1 << 20, num_cpus=0)
+                                  batch_size=1 << 20, num_cpus=0,
+                                  max_retries=0)
     # consume on the driver: a sum() aggregate would need 1-CPU tasks,
     # which cannot schedule while the shard pool holds every CPU
     total = 0
@@ -337,12 +346,17 @@ def _make_actor_cls():
             return lineage
 
         def local_topk(self, k: int):
-            """This shard's k highest ranks -> (global ids, values)."""
+            """This shard's k highest ranks -> (global ids, values).
+            Candidates are selected under the same (-pr, id) total
+            order the driver merge uses, so rank ties at the cut keep
+            the lower vertex id (argpartition by value alone could drop
+            a tied lower-id vertex that belongs in the global top-k)."""
             kk = min(k, self.size)
             if kk == 0:
                 return (np.array([], dtype=np.int64),
                         np.array([], dtype=np.float64))
-            part = np.argpartition(-self.pr, kk - 1)[:kk]
+            local_ids = np.arange(self.size, dtype=np.int64)
+            part = np.lexsort((local_ids, -self.pr))[:kk]
             return part + self.lo, self.pr[part]
 
     return CSRShard

@@ -80,10 +80,17 @@ def brute_force_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray,
         q = ray.get(q_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_to_matrix(batch[vec_col]))
-        sims = m @ q.T  # (n, Q)
+        # Pre-sort rows by id so the stable argsort below breaks
+        # similarity ties toward LOWER neighbor id — the same
+        # (-sim, id) total order _merge_topk applies globally; plain
+        # argpartition by sim alone could drop a tied lower-id row that
+        # belongs in the final top-k.
+        id_order = np.argsort(ids, kind="stable")
+        ids = ids[id_order]
+        sims = m[id_order] @ q.T  # (n, Q)
         nq = sims.shape[1]
         kk = min(k + 1, sims.shape[0])  # +1 to survive self-match removal
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        part = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, Q)
         rows = []
         for j in range(nq):
             sel = part[:, j]

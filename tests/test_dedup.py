@@ -207,3 +207,28 @@ def test_exact_dedup_keeps_min_id():
                   "text": pa.array(["same", "same", "other", "same"])})
     out = exact_dedup_keepers(rd.from_arrow(t)).sort("doc_id").take_all()
     assert [(r["doc_id"], r["n_copies"]) for r in out] == [(1, 3), (3, 1)]
+
+
+def test_brute_force_topk_tie_break_lower_id():
+    """30 identical vectors: every similarity ties, so top-k must be
+    exactly the lowest neighbor ids (self excluded) — the per-batch
+    candidate cut has to preserve the global (-sim, id) order."""
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.ann import brute_force_topk
+
+    n, d, k = 30, 8, 10
+    # one-hot: every partial product is 0 or 1, so the dot product is
+    # EXACTLY 1.0 for every row regardless of BLAS summation order —
+    # a dense vector gives row-position-dependent rounding and no ties
+    vec = np.zeros(d, dtype=np.float64)
+    vec[0] = 1.0
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([vec.tolist()] * n,
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    out = brute_force_topk(ds, np.stack([vec]), np.array([0]), k=k)
+    got = out.to_pandas().sort_values("rank")
+    assert list(got["neighbor_id"]) == list(range(1, k + 1))

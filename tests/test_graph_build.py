@@ -78,3 +78,29 @@ def test_hash64_stable_and_distinct():
     assert (a >= 0).all()
     # pinned value — stability across runs/processes
     assert int(a[0]) == int(hash64(["x"])[0])
+
+
+def test_map_ids_broadcast_survives_hash_collisions(monkeypatch):
+    """Force every url onto ONE 64-bit hash: the broadcast id join must
+    resolve all endpoints exactly through the collision side table
+    instead of silently picking an arbitrary winner."""
+    import dxa_pagerank_ray.stages.ids as ids_mod
+    from dxa_pagerank_ray.pipelines.graph_build import _map_ids_broadcast
+
+    def colliding_hash64(urls):
+        urls = list(urls) if isinstance(urls, list) else urls
+        return np.zeros(len(urls), dtype=np.int64)
+
+    monkeypatch.setattr(ids_mod, "hash64", colliding_hash64)
+
+    urls = [f"u{i}" for i in range(8)]
+    mapping = rd.from_arrow(
+        pa.table({"url": urls, "v": pa.array(range(8), pa.int64())})
+    ).repartition(3)
+    links = rd.from_arrow(
+        pa.table({"src_url": [urls[i] for i in (0, 3, 7, 5)],
+                  "dst_url": [urls[i] for i in (1, 2, 6, 0)]})
+    ).repartition(2)
+    out = _map_ids_broadcast(links, mapping).to_pandas()
+    got = sorted(zip(out["src"], out["dst"]))
+    assert got == [(0, 1), (3, 2), (5, 0), (7, 6)]
