@@ -42,7 +42,15 @@ def _canonicalize(edges_ds):
     return dedup_edges(edges_ds.map_batches(canon, batch_format="pyarrow"))
 
 
-def triangle_count_shuffle(edges_ds, num_partitions: int = 64) -> int:
+# Edge-count bound for the broadcast CSR engine: the shipped state is
+# ~16 B/edge + 8 B/vertex (~160 MB at the limit — the same object-store
+# budget as graph_build.BROADCAST_VERTEX_LIMIT).  Above it the default
+# entry point dispatches to the all-shuffle engine.
+BROADCAST_EDGE_LIMIT = 10_000_000
+
+
+def triangle_count_shuffle(edges_ds, num_partitions: int = 64,
+                           _canon=None) -> int:
     """All-shuffle triangle count — the scale path for graphs whose
     oriented CSR cannot broadcast (the `triangle_count` limit).
 
@@ -66,7 +74,7 @@ def triangle_count_shuffle(edges_ds, num_partitions: int = 64) -> int:
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    canon = _canonicalize(edges_ds).materialize()
+    canon = _canon if _canon is not None else _canonicalize(edges_ds).materialize()
     if canon.count() == 0:
         return 0
 
@@ -154,18 +162,26 @@ def triangle_count_shuffle(edges_ds, num_partitions: int = 64) -> int:
 
 
 def triangle_count(edges_ds, num_vertices: int,
-                   batch_size: int = 1 << 16) -> int:
+                   batch_size: int = 1 << 16,
+                   broadcast_limit: int | None = None) -> int:
     """Exact triangle count of the undirected simple graph underlying
-    ``edges_ds`` (dense ids)."""
+    ``edges_ds`` (dense ids).
+
+    Dispatches on the (deduplicated) edge count, the same guard
+    discipline as the id join in ``build_link_graph``: at or under
+    ``broadcast_limit`` edges (default ``BROADCAST_EDGE_LIMIT``) the
+    oriented CSR broadcasts once via ``ray.put`` and wedge checks run
+    as a ``map_batches`` scan (no further shuffle); above it the
+    all-shuffle wedge-join engine runs on the already-canonicalized
+    edge set — nothing is materialized on the driver."""
     import ray
     import ray.data as rd
 
     n = num_vertices
-    if n >= (1 << 31):
-        raise NotImplementedError(
-            "edge packing needs ids < 2^31; use the join-based variant"
-        )
+    limit = BROADCAST_EDGE_LIMIT if broadcast_limit is None else broadcast_limit
     canon = _canonicalize(edges_ds).materialize()
+    if canon.count() > limit or n >= (1 << 31):
+        return triangle_count_shuffle(edges_ds, _canon=canon)
     t = pa.concat_tables(
         list(canon.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
     ) if canon.count() else pa.table({"src": pa.array([], pa.int64()),

@@ -81,3 +81,12 @@ def test_all_on_built_link_graph():
     )
 
     assert triangle_count(g.edges, n) == oracle.triangle_count(src, dst, n)
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_triangle_count_dispatches_to_shuffle(name):
+    """broadcast_limit=0 forces the default entry point onto the
+    all-shuffle engine; counts must be identical."""
+    src, dst, n = CASES[name]
+    expect = oracle.triangle_count(src, dst, n)
+    assert triangle_count(_ds(src, dst), n, broadcast_limit=0) == expect
