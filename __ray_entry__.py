@@ -186,35 +186,48 @@ def _q_embedding_near_dups_lsh(sf_dir: str):
     )
 
 
-_MEDIA_N = 256  # deterministic in-memory media fixture (seed 42);
-# sf_dir carries no media table, so these are rows-only checks over the
-# real actor-pool plumbing (binary columns, decode, frame expansion)
+_MEDIA_N = 256  # deterministic on-disk media fixture (seed 42);
+# sf_dir carries no media table, so the media queries read a parquet
+# fixture written once under /tmp (distributed generator, one file per
+# block) — the driver check is rows-only, but tests pin golden hashes
+# of the decoded content (tests/test_multimodal.py)
+
+
+def _media_ds():
+    import os
+
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.multimodal import write_media_parquet
+
+    path = f"/tmp/dxa_media_fixture_n{_MEDIA_N}_s42"
+    if not (os.path.isdir(path) and os.listdir(path)):
+        tmp = f"{path}.tmp{os.getpid()}"
+        write_media_parquet(tmp, _MEDIA_N, seed=42, num_blocks=8)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a concurrent race — fixture exists
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return rd.read_parquet(path)
 
 
 def _q_media_decode(sf_dir: str):
-    import ray.data as rd
+    from dxa_pagerank_ray.stages.multimodal import decode_images
 
-    from dxa_pagerank_ray.stages.multimodal import decode_images, media_table
-
-    ds = rd.from_arrow(media_table(_MEDIA_N, seed=42)).repartition(8)
-    return decode_images(ds, concurrency=4).sort("media_id")
+    return decode_images(_media_ds(), concurrency=4).sort("media_id")
 
 
 def _q_media_audio_features(sf_dir: str):
-    import ray.data as rd
+    from dxa_pagerank_ray.stages.multimodal import audio_features
 
-    from dxa_pagerank_ray.stages.multimodal import audio_features, media_table
-
-    ds = rd.from_arrow(media_table(_MEDIA_N, seed=42)).repartition(8)
-    return audio_features(ds, concurrency=4).sort("media_id")
+    return audio_features(_media_ds(), concurrency=4).sort("media_id")
 
 
 def _q_media_frame_sample(sf_dir: str):
-    import ray.data as rd
-
     from dxa_pagerank_ray.stages.multimodal import (
         _decode_fake_image,
-        media_table,
         sample_frames,
     )
 
@@ -225,8 +238,7 @@ def _q_media_frame_sample(sf_dir: str):
                          "frame_idx": batch["frame_idx"],
                          "mean_px": pa.array(means, pa.float64())})
 
-    ds = rd.from_arrow(media_table(_MEDIA_N, seed=42)).repartition(8)
-    frames = sample_frames(ds, every_k=2, concurrency=4)
+    frames = sample_frames(_media_ds(), every_k=2, concurrency=4)
     return frames.map_batches(frame_stats, batch_format="pyarrow") \
         .sort(["media_id", "frame_idx"])
 

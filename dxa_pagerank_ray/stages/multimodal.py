@@ -69,33 +69,59 @@ def encode_fake_video(key: str, n_frames: int, width: int, height: int) -> bytes
     return _VID_MAGIC + struct.pack(">H", n_frames) + frames
 
 
+def _row_params(media_id: int, seed: int) -> tuple[int, int, int, int, int]:
+    """Per-row fixture parameters derived from the id alone (hash
+    counter, not an RNG *sequence*) so any id subset — any partitioning
+    of a distributed generator — produces identical rows."""
+    d = hashlib.blake2b(f"media:{seed}:{media_id}".encode(),
+                        digest_size=16).digest()
+    width = 8 + d[0] % 25                      # 8..32
+    height = 8 + d[1] % 25
+    rate = 8000 if d[2] % 2 == 0 else 16000
+    n_samples = 64 + (d[3] | (d[4] << 8)) % 193  # 64..256
+    n_frames = 2 + d[5] % 4                    # 2..5
+    return width, height, rate, n_samples, n_frames
+
+
+def media_rows(ids: np.ndarray, seed: int = 42) -> pa.Table:
+    """Fixture rows for an arbitrary id array (partition-independent)."""
+    imgs, auds, vids = [], [], []
+    for i in np.asarray(ids, dtype=np.int64).tolist():
+        w, h, rate, ns, nf = _row_params(i, seed)
+        imgs.append(encode_fake_image(f"{seed}:{i}", w, h))
+        auds.append(encode_fake_audio(f"{seed}:{i}", rate, ns))
+        vids.append(encode_fake_video(f"{seed}:{i}", nf, 8, 8))
+    return pa.table(
+        {
+            "media_id": pa.array(np.asarray(ids, dtype=np.int64), pa.int64()),
+            "image": pa.array(imgs, pa.binary()),
+            "audio": pa.array(auds, pa.binary()),
+            "video": pa.array(vids, pa.binary()),
+        }
+    )
+
+
 def media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media fixture: images, audio, and tiny videos keyed
     by ``media_id`` (sizes vary per row so batch-size math is exercised)."""
-    rng = np.random.default_rng(seed)
-    ids = np.arange(n, dtype=np.int64)
-    widths = rng.integers(8, 33, size=n)
-    heights = rng.integers(8, 33, size=n)
-    rates = rng.choice([8000, 16000], size=n)
-    nsamp = rng.integers(64, 257, size=n)
-    nfr = rng.integers(2, 6, size=n)
-    return pa.table(
-        {
-            "media_id": pa.array(ids, pa.int64()),
-            "image": pa.array(
-                [encode_fake_image(f"{seed}:{i}", int(widths[i]), int(heights[i]))
-                 for i in range(n)], pa.binary()
-            ),
-            "audio": pa.array(
-                [encode_fake_audio(f"{seed}:{i}", int(rates[i]), int(nsamp[i]))
-                 for i in range(n)], pa.binary()
-            ),
-            "video": pa.array(
-                [encode_fake_video(f"{seed}:{i}", int(nfr[i]), 8, 8)
-                 for i in range(n)], pa.binary()
-            ),
-        }
-    )
+    return media_rows(np.arange(n, dtype=np.int64), seed)
+
+
+def write_media_parquet(path: str, n: int, seed: int = 42,
+                        num_blocks: int = 8) -> None:
+    """Distributed on-disk media fixture: each task generates its own
+    id range (``media_rows`` is partition-independent) and the sink is
+    one parquet file per block — the resumable-output layout every
+    other source in this repo uses.  This replaces the driver-built
+    in-memory table as the entry-point media source."""
+    import ray.data as rd
+
+    def gen(batch: dict) -> pa.Table:
+        return media_rows(batch["id"], seed)
+
+    rd.range(n, override_num_blocks=num_blocks).map_batches(
+        gen, batch_format="numpy"
+    ).write_parquet(path)
 
 
 # ---------------------------------------------------------------- decoders

@@ -90,3 +90,60 @@ def test_real_codec_is_gated_stub():
         ImageDecoder(codec="real")
     with pytest.raises(ValueError):
         ImageDecoder(codec="nope")
+
+
+# ---------------------------------------------------------------- golden
+# Content pinning for the driver's rows-only media queries: the fixture
+# is an on-disk parquet source and every query output hashes to a pinned
+# value — these fail on ANY content drift, not just row-count drift.
+
+_GOLDEN = {
+    "media_decode": (256, "36cbc8c3fe6c1edc08d52543237912e3"),
+    "media_audio_features": (256, "34615b990548f6d5d323df193ce17139"),
+    "media_frame_sample": (509, "12eaa2b241c954c26953993138b23791"),
+}
+_FIXTURE_HASH = "1b8d0610dc91ed8785a28c620a99fe56"
+
+
+def _df_hash(df):
+    import hashlib
+
+    df = df[sorted(df.columns)].sort_values(sorted(df.columns)) \
+        .reset_index(drop=True)
+    b = df.round(12).to_csv(index=False).encode()
+    return hashlib.blake2b(b, digest_size=16).hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(_GOLDEN))
+def test_media_query_golden_hash(name):
+    import __ray_entry__ as entrymod
+
+    rows, want = _GOLDEN[name]
+    df = entrymod.queries()[name]("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == rows
+    assert _df_hash(df) == want
+
+
+def test_media_parquet_fixture_partition_independent(tmp_path):
+    """Two different block counts write byte-identical fixture content,
+    equal to the local media_table and to the pinned fixture hash."""
+    import hashlib
+
+    from dxa_pagerank_ray.stages.multimodal import write_media_parquet
+
+    tables = []
+    for blocks in (3, 8):
+        out = str(tmp_path / f"m{blocks}")
+        write_media_parquet(out, 256, seed=42, num_blocks=blocks)
+        tables.append(
+            rd.read_parquet(out).sort("media_id").to_pandas()
+        )
+    a, b = tables
+    assert a.equals(b)
+    local = media_table(256, seed=42).to_pandas()
+    assert a.equals(local)
+    fb = hashlib.blake2b(digest_size=16)
+    for c in ["media_id", "image", "audio", "video"]:
+        for v in a[c]:
+            fb.update(str(v).encode() if c == "media_id" else v)
+    assert fb.hexdigest() == _FIXTURE_HASH
