@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": tg.q_triangle_count,
         "triangle_count_shuffle": tg.q_triangle_count_shuffle,
         "pagerank_top20": tg.q_pagerank_top20,
+        "pagerank_fixed4": tg.q_pagerank_fixed4,
         "cc_sizes": tg.q_cc_sizes,
         "labelprop_sizes": tg.q_labelprop_sizes,
         # relational operator coverage
@@ -404,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "dangling_vertices": tg.SQL["dangling_vertices"],
         "triangle_count": tg.SQL["triangle_count"],
         "triangle_count_shuffle": tg.SQL["triangle_count"],
+        "pagerank_fixed4": tg.SQL["pagerank_fixed4"],
         "cc_sizes": _CC_SIZES_SQL,
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
         "embedding_near_dups": _EMBEDDING_NEAR_DUPS_SQL,

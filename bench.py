@@ -90,7 +90,9 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
     # "identical seeds, partition count, and batch sizes"), mirroring
     # the reference's fixed slave count; only the CPU grant varies.
     parts = int(os.environ.get("GRAFT_BENCH_PARTS", 32))
-    eng = PageRankCSR(edges, BENCH_N, num_partitions=parts, damping=0.85)
+    msg_dtype = os.environ.get("GRAFT_BENCH_MSG_DTYPE", "float64")
+    eng = PageRankCSR(edges, BENCH_N, num_partitions=parts, damping=0.85,
+                      message_dtype=msg_dtype)
     input_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -102,6 +104,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
     out.update(
         num_vertices=BENCH_N,
         num_edges=num_edges,
+        message_dtype=msg_dtype,
         rounds=res.rounds,
         converged=res.converged,
         input_time_s=round(input_time, 3),
@@ -163,31 +166,40 @@ def main() -> None:
         levels = [int(x) for x in os.environ.get(
             "GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
         scaling_n = os.environ.get("GRAFT_SCALING_N", "8000000")
-        results = {}
-        for lvl in levels:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(lvl),
-                       GRAFT_BENCH_N=scaling_n,
-                       GRAFT_BENCH_HEADLINE_ONLY="1")
-            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, capture_output=True, text=True)
-            line = p.stdout.strip().splitlines()[-1]
-            results[lvl] = json.loads(line)
-        out = {
-            "levels": {
-                str(lvl): {
-                    "edges_per_sec_per_superstep":
-                        results[lvl]["edges_per_sec_per_superstep"],
-                    "median_round_s": results[lvl]["median_round_s"],
-                }
-                for lvl in levels
-            },
-            "num_edges": results[levels[-1]]["num_edges"],
-            "num_vertices": results[levels[-1]]["num_vertices"],
-        }
-        for lo, hi in zip(levels, levels[1:]):
-            eff = (results[hi]["edges_per_sec_per_superstep"]
-                   / results[lo]["edges_per_sec_per_superstep"]) / (hi / lo)
-            out[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+
+        def sweep(msg_dtype: str) -> dict:
+            results = {}
+            for lvl in levels:
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(lvl),
+                           GRAFT_BENCH_N=scaling_n,
+                           GRAFT_BENCH_MSG_DTYPE=msg_dtype,
+                           GRAFT_BENCH_HEADLINE_ONLY="1")
+                p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                   env=env, capture_output=True, text=True)
+                line = p.stdout.strip().splitlines()[-1]
+                results[lvl] = json.loads(line)
+            s = {
+                "levels": {
+                    str(lvl): {
+                        "edges_per_sec_per_superstep":
+                            results[lvl]["edges_per_sec_per_superstep"],
+                        "median_round_s": results[lvl]["median_round_s"],
+                    }
+                    for lvl in levels
+                },
+                "num_edges": results[levels[-1]]["num_edges"],
+                "num_vertices": results[levels[-1]]["num_vertices"],
+            }
+            for lo, hi in zip(levels, levels[1:]):
+                eff = (results[hi]["edges_per_sec_per_superstep"]
+                       / results[lo]["edges_per_sec_per_superstep"]) / (hi / lo)
+                s[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+            return s
+
+        out = sweep("float64")
+        # float32 messages: the message-volume lever for the saturated
+        # widest pair — exact-semantics float64 stays the headline
+        out["message_float32"] = sweep("float32")
         # the N-vs-4N criterion figure: first pair (unsaturated levels)
         lo, hi = levels[0], levels[1] if len(levels) > 1 else levels[0]
         out["scaling_pair"] = [lo, hi]

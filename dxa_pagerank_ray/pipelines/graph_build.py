@@ -86,12 +86,37 @@ def local_distinct(batch: pa.Table) -> pa.Table:
 def dedup_edges(edges_ds, num_partitions: int | None = None):
     """Exact edge dedup — first-class stage (north_star "deduplicated
     edge table").  Two-level: per-batch distinct (map-side combine, no
-    shuffle) then a global ``groupby(["src", "dst"])``."""
-    from ray.data.aggregate import Count
+    shuffle), then a COARSE hash-partition groupby with one vectorized
+    lexsort-distinct per partition.
+
+    The coarse key (not ``groupby(["src","dst"])``) matters at scale: a
+    2-key global sort-aggregate over ~|E| near-singleton groups
+    degenerates into a single long reduce (measured: one core pegged
+    >25 min at E=256M), while a small-cardinality int key shuffles once
+    and each partition dedups in one numpy pass."""
+    from ..context import derive_num_groups
 
     pre = edges_ds.map_batches(local_distinct, batch_format="pyarrow")
-    g = pre.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-    return g.select_columns(["src", "dst"])
+    G = num_partitions or derive_num_groups(edges_ds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        part = (s * np.int64(1_000_003) + d) % np.int64(G)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def distinct(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])] \
+            if len(s) else np.array([], dtype=bool)
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    return pre.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(distinct, batch_format="pyarrow")
 
 
 def out_degree_table(edges_ds):

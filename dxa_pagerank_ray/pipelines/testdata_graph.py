@@ -153,6 +153,27 @@ def q_pagerank_top20(sf_dir: str):
                      "pr": pa.array(vals, pa.float64())})
 
 
+def q_pagerank_fixed4(sf_dir: str):
+    """Lump PageRank for EXACTLY 4 rounds + dangling restore on the
+    customer graph, all 1500ish vertices, pr scaled to integer
+    nano-units — the hash-checkable window into the headline iterative
+    algorithm (the convergence-stopped variant has no SQL oracle; a
+    fixed round count is plain unrolled SQL, see PAGERANK_FIXED4_SQL).
+    Integer output keeps the driver's value hash robust to the ~ulp
+    summation-order differences between engines."""
+    from .pagerank_csr import PageRankCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = PageRankCSR(edges, n, num_partitions=8, damping=0.85)
+    res = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    pr_nano = np.floor(res.pr * 1e9 + 0.5).astype(np.int64)  # round-half-up,
+    # matching DuckDB round()
+    return pa.table({"v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                     "pr_nano": pa.array(pr_nano, pa.int64())})
+
+
 def q_cc_sizes(sf_dir: str):
     """(component label, size), customer graph, CSR label engine;
     rows-only driver check + exact numpy-oracle check in tests."""
@@ -214,3 +235,55 @@ SQL = {
         "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
     ),
 }
+
+
+def pagerank_fixed_sql(rounds: int = 4, damping: float = 0.85) -> str:
+    """Unrolled lump-PageRank oracle (fixed round count — recursion-free
+    standard SQL): round k materializes ``prk(v, pr, nd)`` and the
+    lumped dangling scalar ``dpk``, mirroring ``pagerank_lump``
+    term-by-term (same expression association, so engines differ only
+    by summation-order ulps, absorbed by the integer nano rounding)."""
+    d = repr(damping)
+    head = f"""
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % {CUSTOMER_MOD} AS dst
+  FROM orders WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}
+),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS (SELECT unnest(range(0, (SELECT n FROM nv))) AS v),
+odeg AS (SELECT src AS v, count(*) AS outdeg FROM raw GROUP BY src),
+pr0 AS (SELECT verts.v, 1.0 / (SELECT n FROM nv) AS pr,
+               odeg.outdeg IS NOT NULL AS nd
+        FROM verts LEFT JOIN odeg ON odeg.v = verts.v),
+dp0 AS (SELECT CAST(count(*) FILTER (WHERE NOT nd) AS DOUBLE)
+               / (SELECT n FROM nv) AS dpr FROM pr0)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+g{k} AS (SELECT raw.dst AS v, sum(p.pr / odeg.outdeg) AS gathered
+       FROM raw JOIN pr{k - 1} p ON p.v = raw.src
+       JOIN odeg ON odeg.v = raw.src GROUP BY raw.dst),
+pr{k} AS (SELECT p.v,
+      CASE WHEN p.nd THEN (1.0 - {d}) / (SELECT n FROM nv)
+                + {d} * COALESCE(g{k}.gathered, 0)
+                + {d} * (SELECT dpr FROM dp{k - 1}) / (SELECT n FROM nv)
+           ELSE p.pr END AS pr, p.nd AS nd
+      FROM pr{k - 1} p LEFT JOIN g{k} ON g{k}.v = p.v),
+dp{k} AS (SELECT 1.0 - sum(pr) FILTER (WHERE nd) AS dpr FROM pr{k})""")
+    k = rounds
+    tail = f""",
+gr AS (SELECT raw.dst AS v, sum(p.pr / odeg.outdeg) AS gathered
+       FROM raw JOIN pr{k} p ON p.v = raw.src
+       JOIN odeg ON odeg.v = raw.src GROUP BY raw.dst),
+fin AS (SELECT p.v,
+      CASE WHEN p.nd THEN p.pr
+           ELSE (1.0 - {d}) / (SELECT n FROM nv)
+                + {d} * COALESCE(gr.gathered, 0)
+                + {d} * (SELECT dpr FROM dp{k}) / (SELECT n FROM nv)
+      END AS pr
+      FROM pr{k} p LEFT JOIN gr ON gr.v = p.v)
+SELECT v, CAST(round(pr * 1e9) AS BIGINT) AS pr_nano FROM fin"""
+    return head + "".join(steps) + tail
+
+
+SQL["pagerank_fixed4"] = pagerank_fixed_sql(4)

@@ -147,3 +147,26 @@ def test_csr_empty_graph():
     ).materialize()
     res = pagerank_csr(empty, 3, num_partitions=2, threshold=1e-9)
     np.testing.assert_allclose(res.pr, np.full(3, 1 / 3), atol=1e-12)
+
+
+def test_csr_float32_messages_bit_identical_and_accurate():
+    """message_dtype='float32' (the message-volume scaling lever):
+    still BIT-identical across shard counts (per-block rounding happens
+    before shipping and is A-independent), and within float32 accuracy
+    of the float64 oracle."""
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    src, dst = edges_to_numpy(g.edges)
+    exp_pr, _, _ = pagerank_lump(src, dst, g.num_vertices, 0.85, 1e-8, 100)
+    res = {}
+    for a in (1, 4):
+        eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=8,
+                          num_actors=a, message_dtype="float32")
+        res[a] = eng.run(threshold=1e-8, max_rounds=100)
+        eng.shutdown()
+    np.testing.assert_array_equal(res[1].pr, res[4].pr)
+    assert res[1].errs == res[4].errs
+    np.testing.assert_allclose(res[4].pr, exp_pr, rtol=0, atol=5e-7)
+    assert abs(res[4].pr.sum() - 1.0) < 1e-5
