@@ -406,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": tg.SQL["triangle_count"],
         "triangle_count_shuffle": tg.SQL["triangle_count"],
         "pagerank_fixed4": tg.SQL["pagerank_fixed4"],
+        "labelprop_sizes": tg.SQL["labelprop_sizes"],
         "cc_sizes": _CC_SIZES_SQL,
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
         "embedding_near_dups": _EMBEDDING_NEAR_DUPS_SQL,

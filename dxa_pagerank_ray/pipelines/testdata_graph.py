@@ -287,3 +287,37 @@ SELECT v, CAST(round(pr * 1e9) AS BIGINT) AS pr_nano FROM fin"""
 
 
 SQL["pagerank_fixed4"] = pagerank_fixed_sql(4)
+
+
+def labelprop_fixed_sql(rounds: int = 5) -> str:
+    """Unrolled synchronous label-propagation oracle (mode of neighbor
+    labels, lowest-label tie-break, vertices without neighbors keep
+    their label).  NOTE ``UNION ALL`` for the symmetrized edge set: the
+    engine (and numpy oracle) count the multigraph — an edge present in
+    both directions contributes its endpoint labels twice."""
+    head = f"""
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % {CUSTOMER_MOD} AS dst
+  FROM orders WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}
+),
+und AS (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS (SELECT unnest(range(0, (SELECT n FROM nv))) AS v),
+l0 AS (SELECT v, v AS lbl FROM verts)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+c{k} AS (SELECT und.dst AS v, p.lbl AS lbl, count(*) AS c
+       FROM und JOIN l{k - 1} p ON p.v = und.src GROUP BY und.dst, p.lbl),
+w{k} AS (SELECT v, lbl FROM (
+       SELECT v, lbl, row_number() OVER (PARTITION BY v
+              ORDER BY c DESC, lbl ASC) AS rn FROM c{k}) WHERE rn = 1),
+l{k} AS (SELECT p.v, COALESCE(w{k}.lbl, p.lbl) AS lbl
+       FROM l{k - 1} p LEFT JOIN w{k} ON w{k}.v = p.v)"""
+                     )
+    tail = f"""
+SELECT lbl AS label, count(*) AS size FROM l{rounds} GROUP BY lbl"""
+    return head + "".join(steps) + tail
+
+
+SQL["labelprop_sizes"] = labelprop_fixed_sql(5)
