@@ -121,16 +121,12 @@ def dedup_edges(edges_ds, num_partitions: int | None = None):
 
 def out_degree_table(edges_ds):
     """``(v, outdeg)`` over deduplicated edges (A1 of SURVEY.md §2.6);
-    map-side partial counts then a small global sum."""
-    from ray.data.aggregate import Sum
+    map-side partial counts then a coarse-partition combine — key
+    cardinality is |V|, which degenerates Ray's sort-aggregate
+    (see stages/agg.py)."""
+    from ..stages.agg import coarse_agg
 
-    def partial(batch: pa.Table) -> pa.Table:
-        return batch.group_by("src").aggregate([("src", "count")]).rename_columns(
-            ["src", "cnt"]
-        )
-
-    p = edges_ds.map_batches(partial, batch_format="pyarrow")
-    out = p.groupby("src").aggregate(Sum("cnt", alias_name="outdeg"))
+    out = coarse_agg(edges_ds, ["src"], [("src", "count", "outdeg")])
     return out.rename_columns({"src": "v"})
 
 
@@ -164,12 +160,9 @@ def build_link_graph(pages_ds, num_partitions: int = 32,
     page_urls = pages_ds.select_columns(["url"])
     dst_urls = links.select_columns(["dst_url"]).rename_columns({"dst_url": "url"})
     all_urls = page_urls.union(dst_urls)
-    distinct_urls = (
-        all_urls.map_batches(local_distinct, batch_format="pyarrow")
-        .groupby("url")
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["url"])
-    )
+    from ..stages.agg import coarse_distinct
+
+    distinct_urls = coarse_distinct(all_urls, ["url"])
     mapping = assign_dense_ids(distinct_urls, "url", "v").materialize()
     n = mapping.count()
 

@@ -183,9 +183,14 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10,
 
         ds = lineitem.map_batches(per_batch, batch_format="pyarrow")
     else:
-        per_order = lineitem.map_batches(
-            lambda b: rev_partial(b, "l_orderkey"), batch_format="pyarrow"
-        ).groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+        from ..stages.agg import coarse_agg
+
+        per_order = coarse_agg(
+            lineitem.map_batches(
+                lambda b: rev_partial(b, "l_orderkey"), batch_format="pyarrow"
+            ),
+            ["l_orderkey"], [("rev", "sum", "rev")],
+        )
         schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())])
         joined = cogroup_attach(
             per_order, "l_orderkey", orders, "o_orderkey", "o_custkey",
@@ -197,7 +202,9 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10,
                                 "rev": b["rev"]}),
             batch_format="pyarrow",
         )
-    agg = ds.groupby("c_custkey").aggregate(Sum("rev", alias_name="revenue_c4"))
+    from ..stages.agg import coarse_agg
+
+    agg = coarse_agg(ds, ["c_custkey"], [("rev", "sum", "revenue_c4")])
     return agg.sort(["revenue_c4", "c_custkey"], descending=[True, False]).limit(k)
 
 

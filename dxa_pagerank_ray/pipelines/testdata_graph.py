@@ -111,13 +111,11 @@ def q_dangling_vertices(sf_dir: str):
 
 
 def dedup_edges_like(ds, keys: list[str]):
-    """Generic exact-distinct on ``keys`` (map-side combine + groupby)."""
-    from ray.data.aggregate import Count
+    """Generic exact-distinct on ``keys`` (coarse-partition combine —
+    scale-stable at any key cardinality, stages/agg.py)."""
+    from ..stages.agg import coarse_distinct
 
-    from .graph_build import local_distinct
-
-    pre = ds.map_batches(local_distinct, batch_format="pyarrow")
-    return pre.groupby(keys).aggregate(Count(alias_name="_c")).select_columns(keys)
+    return coarse_distinct(ds, keys)
 
 
 def q_triangle_count(sf_dir: str):

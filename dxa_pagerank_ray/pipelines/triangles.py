@@ -88,10 +88,12 @@ def triangle_count_shuffle(edges_ds, num_partitions: int = 64,
         return pa.table({"v": pa.array(u, pa.int64()),
                          "cnt": pa.array(c, pa.int64())})
 
+    from ..stages.agg import coarse_agg
+
     deg_tbl = pa.concat_tables(
         list(
-            canon.map_batches(deg_partial, batch_format="pyarrow")
-            .groupby("v").aggregate(Sum("cnt", alias_name="deg"))
+            coarse_agg(canon.map_batches(deg_partial, batch_format="pyarrow"),
+                       ["v"], [("cnt", "sum", "deg")])
             .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
         )
     )

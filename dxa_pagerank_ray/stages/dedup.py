@@ -550,9 +550,11 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4,
 def exact_dedup_keepers(docs_ds, text_col: str = "text",
                         id_col: str = "doc_id"):
     """-> (doc_id = min id per distinct content, n_copies).  Hash the
-    content per batch (stable blake2b), then a compact groupby on the
-    16-byte hash — raw text never shuffles."""
-    from ray.data.aggregate import Count, Min
+    content per batch (stable blake2b), then a coarse-partition combine
+    on the 16-byte hash (stages/agg.py — one group per distinct doc
+    would degenerate Ray's sort-aggregate at corpus scale) — raw text
+    never shuffles."""
+    from .agg import coarse_agg
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [
@@ -563,12 +565,10 @@ def exact_dedup_keepers(docs_ds, text_col: str = "text",
                          "content_hash": pa.array(hs, pa.string())})
 
     hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow")
-    return (
-        hashed.groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col),
-                   Count(alias_name="n_copies"))
-        .select_columns([id_col, "n_copies"])
-    )
+    out = coarse_agg(hashed, ["content_hash"],
+                     [(id_col, "min", id_col),
+                      (id_col, "count", "n_copies")])
+    return out.select_columns([id_col, "n_copies"])
 
 
 # ---- embedding near-dup ----------------------------------------------------
@@ -724,7 +724,7 @@ def embedding_near_dups_lsh(emb_ds, threshold: float = 0.95,
         .map_groups(pairs_fn, batch_format="pyarrow")
     )
     # a pair can collide in several tables -> exact dedup on (a, b)
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Min("cosine", alias_name="cosine"))
-    )
+    # (coarse-partition combine: pair cardinality scales with the data)
+    from .agg import coarse_agg
+
+    return coarse_agg(pairs, ["a", "b"], [("cosine", "min", "cosine")])
