@@ -77,26 +77,72 @@ def quality_scores(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 class LangId:
     """n-gram/stopword heuristic language id — stateful stage (actor
     pool): tables compiled once per actor (__init__), applied per batch
-    (__call__), the T1 pattern of SURVEY.md §2.4."""
+    (__call__), the T1 pattern of SURVEY.md §2.4.
+
+    Semantics (mirrored exactly by the generated SQL oracle): tokens =
+    first 200 ASCII ``\\w+`` runs, lowercased, as a SET; language =
+    alphabetically-first argmax of distinct-stopword hits, 'und' on
+    zero hits.  Fully vectorized: Arrow C kernels split/lower/match the
+    whole batch (RE2's ``\\W`` is ASCII like the Python pattern); the
+    per-language bitmask handles words shared between languages
+    ('de' is a stopword of fr AND es)."""
+
+    MAX_TOKENS = 200
 
     def __init__(self) -> None:
-        self.word_re = _TOKEN_RE
-        self.tables = {
-            lang: frozenset(words) for lang, words in _STOPWORDS.items()
-        }
+        self.langs = sorted(_STOPWORDS)  # alphabetical = tie-break order
+        words = sorted({w for t in _STOPWORDS.values() for w in t})
+        self.word_arr = pa.array(words, pa.string())
+        bits = np.zeros(len(words), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            for w in _STOPWORDS[lang]:
+                bits[words.index(w)] |= 1 << li
+        self.bits = bits
+        self.lang_np = np.array(self.langs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        langs = []
-        for t in texts:
-            toks = set(w.lower() for w in self.word_re.findall(t or "")[:200])
-            best, hits = "und", 0
-            for lang, table in sorted(self.tables.items()):
-                h = len(toks & table)
-                if h > hits:
-                    best, hits = lang, h
-            langs.append(best)
-        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        lists = pc.split_pattern_regex(text, pattern=r"\W+")
+        if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+            lists = lists.combine_chunks()
+        parent = lists.value_parent_indices().to_numpy(zero_copy_only=False)
+        flat = lists.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+        if len(parent):
+            # keep only the first MAX_TOKENS tokens of each row
+            starts = np.searchsorted(parent, np.arange(n))
+            pos = np.arange(len(parent)) - starts[parent]
+            keep = pos < self.MAX_TOKENS
+            parent = parent[keep]
+            flat = flat.filter(pa.array(keep))
+        codes = pc.fill_null(
+            pc.index_in(pc.utf8_lower(flat), value_set=self.word_arr), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = codes >= 0
+        rows, cds = parent[valid], codes[valid]
+        # SET semantics: one hit per distinct (row, stopword)
+        ukey = np.unique(rows * np.int64(64) + cds)
+        urow, ucode = ukey // 64, ukey % 64
+        ubits = self.bits[ucode]
+        counts = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li in range(len(self.langs)):
+            counts[:, li] = np.bincount(
+                urow, weights=(ubits >> li) & 1, minlength=n
+            ).astype(np.int64)[:n]
+        if n:
+            best = counts.argmax(axis=1)  # ties -> lowest index = alpha-first
+            langs = np.where(counts.max(axis=1) > 0,
+                             self.lang_np[best], "und")
+        else:
+            langs = np.array([], dtype=object)
+        return batch.append_column(
+            "lang_pred", pa.array(langs.tolist(), pa.string())
+        )
 
 
 def lang_id(docs_ds, concurrency: int = 4):
