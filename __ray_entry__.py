@@ -22,6 +22,15 @@ import numpy as np
 import pyarrow as pa
 
 
+def _rpq(path: str, **kw):
+    """Metadata-stripped parquet read (see context.read_parquet_clean:
+    pandas footer metadata makes pa.Schema unhashable and defeats Ray's
+    block-schema dedup)."""
+    from dxa_pagerank_ray.context import read_parquet_clean
+
+    return read_parquet_clean(path, **kw)
+
+
 def entry() -> Any:
     """Flagship: build the customer link graph from sf0.001 and run lump
     PageRank to 1e-8 on the CSR shard-actor engine; returns the full
@@ -53,7 +62,7 @@ def _q_doc_token_counts(sf_dir: str):
 
     from dxa_pagerank_ray.stages.textops import token_counts
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return token_counts(docs)
 
 
@@ -62,7 +71,7 @@ def _q_doc_quality(sf_dir: str):
 
     from dxa_pagerank_ray.stages.textops import quality_scores
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return quality_scores(docs)
 
 
@@ -71,7 +80,7 @@ def _q_docs_exact_dedup(sf_dir: str):
 
     from dxa_pagerank_ray.stages.dedup import exact_dedup_keepers
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup_keepers(docs)
 
 
@@ -98,7 +107,7 @@ def _q_ann_top10(sf_dir: str):
     from dxa_pagerank_ray.stages.ann import brute_force_topk
 
     q, qids = _load_queries(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return brute_force_topk(emb, q, qids, k=10)
 
@@ -109,7 +118,7 @@ def _q_ann_lsh_top10(sf_dir: str):
     from dxa_pagerank_ray.stages.ann import lsh_topk
 
     q, qids = _load_queries(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return lsh_topk(emb, q, qids, k=10)
 
@@ -120,7 +129,7 @@ def _q_ann_ivf_top10(sf_dir: str):
     from dxa_pagerank_ray.stages.ann import ivf_topk
 
     q, qids = _load_queries(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return ivf_topk(emb, q, qids, k=10, n_centroids=16, nprobe=6)
 
@@ -134,7 +143,7 @@ def _q_minhash_pairs(sf_dir: str):
         verify_pairs_by_signature,
     )
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = minhash_signatures(docs, num_perm=64).materialize()
     # end-to-end distributed: candidate pairs feed the co-grouped
     # signature verify as a Dataset — neither the pair set nor the
@@ -148,7 +157,7 @@ def _q_jaccard_pairs(sf_dir: str):
 
     from dxa_pagerank_ray.stages.dedup import jaccard_verified_pairs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return jaccard_verified_pairs(docs, threshold=0.8)
 
 
@@ -157,7 +166,7 @@ def _q_simhash_pairs(sf_dir: str):
 
     from dxa_pagerank_ray.stages.dedup import simhash_near_dups
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_near_dups(docs, max_hamming=3, bands=4)
 
 
@@ -166,7 +175,7 @@ def _q_embedding_near_dups(sf_dir: str):
 
     from dxa_pagerank_ray.stages.dedup import embedding_near_dups
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     # int columns only: the DuckDB oracle recomputes the cosine, and
     # float columns would make the value-hash sensitive to summation
@@ -179,7 +188,7 @@ def _q_embedding_near_dups_lsh(sf_dir: str):
 
     from dxa_pagerank_ray.stages.dedup import embedding_near_dups_lsh
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return embedding_near_dups_lsh(emb, threshold=0.95).select_columns(
         ["a", "b"]
@@ -210,7 +219,7 @@ def _media_ds():
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    return rd.read_parquet(path)
+    return _rpq(path)
 
 
 def _q_media_decode(sf_dir: str):
@@ -248,7 +257,7 @@ def _q_fingerprints(sf_dir: str):
 
     from dxa_pagerank_ray.stages.textops import fingerprints
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return fingerprints(docs)
 
 
@@ -257,7 +266,7 @@ def _q_lang_id(sf_dir: str):
 
     from dxa_pagerank_ray.stages.textops import lang_id
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 

@@ -53,6 +53,19 @@ def derive_num_groups(*dss, target_bytes: int = 64 << 20,
     return max(floor, -(-total // target_bytes))
 
 
+def read_parquet_clean(path: str, **kw):
+    """``rd.read_parquet`` with file-level schema metadata stripped:
+    the pandas metadata dict written into parquet footers makes
+    ``pa.Schema`` unhashable, which defeats Ray's block-schema dedup
+    and logs a warning on every multi-block batch concat.  The strip is
+    zero-copy and fuses with the read."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, **kw).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def quiet_data_context() -> None:
     """Apply the engine's DataContext defaults (idempotent).
 

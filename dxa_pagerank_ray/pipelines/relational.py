@@ -20,9 +20,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns: list[str]):
-    import ray.data as rd
+    from ..context import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -29,9 +29,9 @@ CUSTOMER_MOD = 1500
 
 
 def _read(sf_dir: str, table: str, columns: list[str]):
-    import ray.data as rd
+    from ..context import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def supplier_part_edges(sf_dir: str):
