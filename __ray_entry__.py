@@ -262,8 +262,6 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
-    import ray.data as rd
-
     from dxa_pagerank_ray.stages.textops import lang_id
 
     docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -153,8 +153,6 @@ def build_link_graph(pages_ds, num_partitions: int = 32,
     ``1..N`` is a vertex whether or not it has edges,
     ``ReadLumpInEdgeListTask.java:86-128``).
     """
-    from ray.data.aggregate import Count
-
     links = extract_links_stage(pages_ds, batch_size).materialize()
 
     page_urls = pages_ds.select_columns(["url"])

@@ -72,7 +72,6 @@ def triangle_count_shuffle(edges_ds, num_partitions: int = 64,
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     canon = _canon if _canon is not None else _canonicalize(edges_ds).materialize()
     if canon.count() == 0:

@@ -654,7 +654,6 @@ def embedding_near_dups_lsh(emb_ds, threshold: float = 0.95,
     broadcast.  Returns a Dataset (a, b, cosine), dedup'd across tables.
     """
     import ray
-    from ray.data.aggregate import Min
 
     from .ann import _normalize, _to_matrix
 
