@@ -370,6 +370,150 @@ JOIN sz sb ON sb.doc_id = b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
 """
 
+def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
+                        seed: int = 1, threshold: float = 0.7) -> str:
+    """Full MinHash+LSH near-dup oracle in ONE SQL statement, generated
+    from the engine's OWN constants (splitmix64 finisher, FNV polynomial
+    shingle hash, multiply-shift permutation coefficients inlined as
+    literals) — uint64 wraparound emulated in HUGEINT by 32-bit-split
+    modular multiply.  Staged CTEs keep each wraparound step a single
+    column reference.  Semantics mirror the Ray pipeline exactly:
+    distinct 5-char shingles -> 64-wide signature -> a pair is a
+    candidate iff some 4-row band matches entirely -> keep pairs with
+    signature agreement >= threshold (agreement is k/64, an exact
+    double, so the value hash is safe).  The only theoretical
+    divergence is an engine-side band-BUCKET hash collision (~2^-64).
+    Verified bit-equal to queries()['minhash_dup_pairs'] at
+    sf0.001/sf0.01."""
+    import numpy as np
+
+    from dxa_pagerank_ray.stages.dedup import _FNV_PRIME, _perm_coeffs
+
+    M64, M32 = "18446744073709551616", "4294967296"
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mm(h, c):  # (h * c) mod 2^64 in HUGEINT, h < 2^64
+        return (f"((({h}) % {M32}) * {c} + "
+                f"((({h}) // {M32}) * {c} % {M32}) * {M32}) % {M64}")
+
+    def xs(h, s):  # h XOR (h >> s)
+        return (f"CAST(xor(CAST(({h}) AS UBIGINT), "
+                f"CAST(({h}) AS UBIGINT) >> {s}) AS HUGEINT)")
+
+    pows = [pow(int(_FNV_PRIME), j, 1 << 64) for j in range(k)]
+    poly = " + ".join(
+        f"ord(substr(g, {j + 1}, 1)) * {pows[j]}::HUGEINT" for j in range(k)
+    )
+    a, b = _perm_coeffs(num_perm, seed)
+    perms = ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(num_perm)
+    )
+    rpb = num_perm // bands
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i.i AS INTEGER), {k}) AS g
+            FROM documents, unnest(range(1, length(text) - {k - 2})) AS i(i)),
+h0 AS (SELECT doc_id, ({poly}) % {M64} AS h FROM sh),
+h1 AS (SELECT doc_id, {xs('h', 30)} AS h FROM h0),
+h2 AS (SELECT doc_id, {mm('h', C1)} AS h FROM h1),
+h3 AS (SELECT doc_id, {xs('h', 27)} AS h FROM h2),
+h4 AS (SELECT doc_id, {mm('h', C2)} AS h FROM h3),
+hv AS (SELECT doc_id, {xs('h', 31)} AS x FROM h4),
+perm(p, pa, pb) AS (VALUES {perms}),
+m AS (SELECT doc_id, p, min(({mm('x', 'pa')} + pb) % {M64}) AS mv
+      FROM hv CROSS JOIN perm GROUP BY doc_id, p),
+chunk AS (SELECT doc_id, p // {rpb} AS band, array_agg(mv ORDER BY p) AS c
+          FROM m GROUP BY doc_id, p // {rpb}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM chunk x JOIN chunk y ON y.band = x.band AND y.c = x.c
+                                  AND y.doc_id > x.doc_id),
+agree AS (SELECT c.a, c.b,
+            sum(CASE WHEN sx.mv = sy.mv THEN 1 ELSE 0 END) / {num_perm}.0
+                AS est_jaccard
+          FROM cand c
+          JOIN m sx ON sx.doc_id = c.a
+          JOIN m sy ON sy.doc_id = c.b AND sy.p = sx.p
+          GROUP BY c.a, c.b)
+SELECT a, b, est_jaccard FROM agree WHERE est_jaccard >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(bands: int = 4, max_hamming: int = 3) -> str:
+    """SimHash near-dup oracle in ONE SQL statement, generated from the
+    engine's constants (FNV polynomial word hash + splitmix64,
+    wraparound via the same HUGEINT 32-bit-split modular multiply as
+    the minhash oracle).  Mirrors the Ray pipeline exactly: lowercase
+    ``[a-z0-9_]+`` word OCCURRENCES (frequency-weighted bit votes, but
+    each distinct word hashed once — summing per occurrence would
+    double the polynomial), 64-bit majority signature (ties -> 0 bit),
+    pigeonhole banding into ``bands`` chunks, Hamming verify via
+    ``bit_count(xor(...))``.  Integer-only output -> hash-safe.
+    Verified bit-equal to queries()['simhash_dup_pairs'] at
+    sf0.001/sf0.01."""
+    import numpy as np
+
+    from dxa_pagerank_ray.stages.dedup import _FNV_PRIME
+
+    M64, M32 = "18446744073709551616", "4294967296"
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mm(h, c):
+        return (f"((({h}) % {M32}) * {c} + "
+                f"((({h}) // {M32}) * {c} % {M32}) * {M32}) % {M64}")
+
+    def xs(h, s):
+        return (f"CAST(xor(CAST(({h}) AS UBIGINT), "
+                f"CAST(({h}) AS UBIGINT) >> {s}) AS HUGEINT)")
+
+    p = [1]
+    for _ in range(255):  # FNV^j mod 2^64 (python ints — no np overflow)
+        p.append((p[-1] * int(_FNV_PRIME)) % (1 << 64))
+    pows = ", ".join(f"({j}, {p[j]}::HUGEINT)" for j in range(256))
+    pows2 = ", ".join(f"({s}, {1 << s}::HUGEINT)" for s in range(64))
+    width = 64 // bands
+    mask = (1 << width) - 1
+    mixed = xs(mm(xs(mm(xs("h0", 30), C1), 27), C2), 31)
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+           FROM documents),
+occ AS (SELECT doc_id, ws[CAST(i.i AS INTEGER)] AS word
+        FROM w, unnest(range(1, len(ws) + 1)) AS i(i)),
+pw(j, pj) AS (VALUES {pows}),
+dw AS (SELECT DISTINCT doc_id, word FROM occ),
+ch AS (SELECT doc_id, word,
+              sum(ord(substr(word, CAST(j + 1 AS INTEGER), 1)) * pj) % {M64}
+                  AS h0
+       FROM dw JOIN pw ON j < length(word) GROUP BY doc_id, word),
+wh AS (SELECT doc_id, word, {mixed} AS h FROM ch),
+cnt AS (SELECT o.doc_id, wh.h, count(*) AS c
+        FROM occ o JOIN wh ON wh.doc_id = o.doc_id AND wh.word = o.word
+        GROUP BY o.doc_id, wh.h),
+p2(s, pv) AS (VALUES {pows2}),
+acc AS (SELECT doc_id, s, pv,
+               sum(c * (CASE WHEN (CAST(h AS UBIGINT) >> s) & 1 = 1
+                             THEN 1 ELSE -1 END)) AS a
+        FROM cnt CROSS JOIN p2 GROUP BY doc_id, s, pv),
+sig0 AS (SELECT doc_id, sum(CASE WHEN a > 0 THEN pv ELSE 0::HUGEINT END)
+                 AS sig
+         FROM acc GROUP BY doc_id),
+sig AS (SELECT d.doc_id, CAST(COALESCE(s.sig, 0) AS HUGEINT) AS sig
+        FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.doc_id),
+bands AS (SELECT doc_id, sig, CAST(b.b AS INTEGER) AS band,
+                 CAST((CAST(sig AS UBIGINT) >> CAST(b.b * {width} AS INTEGER))
+                      & {mask} AS BIGINT) AS bucket
+          FROM sig, unnest(range(0, {bands})) AS b(b)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                x.sig AS sa, y.sig AS sb
+         FROM bands x JOIN bands y ON y.band = x.band AND y.bucket = x.bucket
+                                  AND y.doc_id > x.doc_id)
+SELECT a, b, CAST(bit_count(xor(CAST(sa AS UBIGINT), CAST(sb AS UBIGINT)))
+                  AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(CAST(sa AS UBIGINT), CAST(sb AS UBIGINT)))
+      <= {max_hamming}
+"""
+
+
 _EMBEDDING_NEAR_DUPS_SQL = """
 SELECT x.vec_id AS a, y.vec_id AS b
 FROM embeddings x JOIN embeddings y ON y.vec_id > x.vec_id
@@ -416,6 +560,8 @@ def oracle_sql() -> dict[str, str]:
         "labelprop_sizes": tg.SQL["labelprop_sizes"],
         "cc_sizes": _CC_SIZES_SQL,
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
+        "minhash_dup_pairs": _minhash_oracle_sql(),
+        "simhash_dup_pairs": _simhash_oracle_sql(),
         "embedding_near_dups": _EMBEDDING_NEAR_DUPS_SQL,
         "doc_lang_id": _lang_id_oracle_sql(),
         "doc_fingerprints": (
