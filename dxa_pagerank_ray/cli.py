@@ -164,6 +164,139 @@ def cmd_triangles(args) -> None:
     print(json.dumps({"out": args.out, "triangles": int(count)}))
 
 
+def cmd_dedup(args) -> None:
+    """Training-data dedup over a documents Parquet (doc_id, text):
+    exact keepers or near-dup pairs, written as partitioned Parquet."""
+    from .context import read_parquet_clean
+
+    docs = read_parquet_clean(args.docs, columns=["doc_id", "text"])
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    if args.method == "exact":
+        from .stages.dedup import exact_dedup_keepers
+
+        res, name = exact_dedup_keepers(docs), "keepers"
+    elif args.method == "minhash":
+        from .stages.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            verify_pairs_by_signature,
+        )
+
+        sigs = minhash_signatures(docs, num_perm=args.num_perm).materialize()
+        pairs = lsh_candidate_pairs(sigs, num_perm=args.num_perm,
+                                    bands=args.bands)
+        res = verify_pairs_by_signature(pairs, sigs,
+                                        threshold=args.threshold,
+                                        num_perm=args.num_perm)
+        name = "pairs"
+    elif args.method == "simhash":
+        from .stages.dedup import simhash_near_dups
+
+        res = simhash_near_dups(docs, max_hamming=args.max_hamming)
+        name = "pairs"
+    else:  # jaccard
+        from .stages.dedup import jaccard_verified_pairs
+
+        res = jaccard_verified_pairs(docs, threshold=args.threshold)
+        name = "pairs"
+    dest = os.path.join(args.out, name)
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
+    res.write_parquet(dest)
+    n = sum(f.metadata.num_rows for f in _pq_files(dest))
+    exec_time = time.perf_counter() - t0
+    _statistics(args.out, {
+        "ALGORITHM": f"dedup_{args.method}", "ROWS": n,
+        "EXECUTION_TIME_S": round(exec_time, 3),
+    })
+    print(json.dumps({"out": args.out, "method": args.method, "rows": n}))
+
+
+def cmd_ann(args) -> None:
+    """Cosine top-k over an embeddings Parquet (vec_id, embedding):
+    query vectors are the rows named by --query-ids."""
+    import numpy as np
+
+    from .context import read_parquet_clean
+    from .stages import ann
+
+    emb = read_parquet_clean(args.embeddings,
+                             columns=["vec_id", "embedding"])
+    qids = np.array([int(x) for x in args.query_ids.split(",")],
+                    dtype=np.int64)
+    import pyarrow.parquet as pq_mod
+
+    t = pq_mod.read_table(args.embeddings, columns=["vec_id", "embedding"])
+    mask = np.isin(t["vec_id"].to_numpy(zero_copy_only=False), qids)
+    sel = t.filter(pa.array(mask))
+    order = np.argsort(sel["vec_id"].to_numpy(zero_copy_only=False))
+    q = ann._to_matrix(sel["embedding"])[order]
+    ids = sel["vec_id"].to_numpy(zero_copy_only=False)[order]
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    fn = {"brute": ann.brute_force_topk, "lsh": ann.lsh_topk,
+          "ivf": ann.ivf_topk}[args.method]
+    res = fn(emb, q, ids, k=args.k)
+    exec_time = time.perf_counter() - t0
+    import pyarrow.parquet as pqw
+
+    pqw.write_table(res, os.path.join(args.out, "neighbors.parquet"))
+    _statistics(args.out, {
+        "ALGORITHM": f"ann_{args.method}", "K": args.k,
+        "NUM_QUERIES": len(ids), "ROWS": res.num_rows,
+        "EXECUTION_TIME_S": round(exec_time, 3),
+    })
+    print(json.dumps({"out": args.out, "method": args.method,
+                      "rows": res.num_rows}))
+
+
+def cmd_textops(args) -> None:
+    """Text-analysis sweep over a documents Parquet: one partitioned
+    Parquet output per requested op."""
+    from .context import read_parquet_clean
+    from .stages import textops
+
+    ops = args.ops.split(",")
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    counts = {}
+    import shutil
+
+    for op in ops:
+        docs = read_parquet_clean(args.docs, columns=["doc_id", "text"])
+        if op == "tokens":
+            res = textops.token_counts(docs)
+        elif op == "quality":
+            res = textops.quality_scores(docs)
+        elif op == "lang":
+            res = textops.lang_id(docs).select_columns(
+                ["doc_id", "lang_pred"])
+        elif op == "fingerprint":
+            res = textops.fingerprints(docs)
+        else:
+            raise SystemExit(f"unknown op {op!r}")
+        dest = os.path.join(args.out, op)
+        shutil.rmtree(dest, ignore_errors=True)
+        res.write_parquet(dest)
+        counts[op] = sum(f.metadata.num_rows for f in _pq_files(dest))
+    exec_time = time.perf_counter() - t0
+    _statistics(args.out, {
+        "ALGORITHM": "textops", "OPS": ops, "ROWS": counts,
+        "EXECUTION_TIME_S": round(exec_time, 3),
+    })
+    print(json.dumps({"out": args.out, "rows": counts}))
+
+
+def _pq_files(d: str):
+    import pyarrow.parquet as pq_mod
+
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            yield pq_mod.ParquetFile(os.path.join(d, f))
+
+
 def cmd_synth_pages(args) -> None:
     from .sources.pages import write_pages_parquet
 
@@ -224,6 +357,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n", type=int, required=True)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_synth_pages)
+
+    p = sub.add_parser("dedup", help="document dedup: exact keepers or "
+                       "near-dup pairs (minhash / simhash / jaccard)")
+    p.add_argument("--docs", required=True,
+                   help="documents Parquet dir (doc_id, text)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--method", required=True,
+                   choices=["exact", "minhash", "simhash", "jaccard"])
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--num-perm", type=int, default=64)
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--max-hamming", type=int, default=3)
+    p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("ann", help="cosine top-k neighbors "
+                       "(brute / lsh / ivf)")
+    p.add_argument("--embeddings", required=True,
+                   help="embeddings Parquet dir/file (vec_id, embedding)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--method", default="brute",
+                   choices=["brute", "lsh", "ivf"])
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--query-ids", default="0,1,2",
+                   help="comma-separated vec_ids used as queries")
+    p.set_defaults(fn=cmd_ann)
+
+    p = sub.add_parser("textops", help="text analysis sweep "
+                       "(tokens / quality / lang / fingerprint)")
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--ops", default="tokens,quality,lang,fingerprint")
+    p.set_defaults(fn=cmd_textops)
     return ap
 
 

@@ -103,3 +103,37 @@ def test_cli_resume_roundtrip(pages_dir, tmp_path):
           "--threshold", "1e-8", "--checkpoint-dir", ck, "--resume"])
     stats = json.load(open(os.path.join(out2, "statistics.json")))
     assert stats["RESUMED_FROM"] == 4 and stats["CONVERGED"]
+
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+SF_EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_cli_dedup_exact_and_minhash(tmp_path):
+    out = str(tmp_path / "dx")
+    main(["dedup", "--docs", SF_DOCS, "--out", out, "--method", "exact"])
+    stats = json.load(open(os.path.join(out, "statistics.json")))
+    assert stats["ALGORITHM"] == "dedup_exact" and stats["ROWS"] == 500
+
+    out2 = str(tmp_path / "dm")
+    main(["dedup", "--docs", SF_DOCS, "--out", out2, "--method", "minhash"])
+    import __ray_entry__ as entrymod
+
+    exp = entrymod.queries()["minhash_dup_pairs"](
+        "/root/testdata/sf0.001").count()
+    stats2 = json.load(open(os.path.join(out2, "statistics.json")))
+    assert stats2["ROWS"] == exp
+
+
+def test_cli_ann_and_textops(tmp_path):
+    out = str(tmp_path / "ann")
+    main(["ann", "--embeddings", SF_EMB, "--out", out, "--k", "10"])
+    t = pq.read_table(os.path.join(out, "neighbors.parquet"))
+    assert t.num_rows == 30
+    assert t.column_names == ["query_id", "neighbor_id", "rank"]
+
+    out2 = str(tmp_path / "tx")
+    main(["textops", "--docs", SF_DOCS, "--out", out2,
+          "--ops", "tokens,lang"])
+    stats = json.load(open(os.path.join(out2, "statistics.json")))
+    assert stats["ROWS"] == {"tokens": 500, "lang": 500}
