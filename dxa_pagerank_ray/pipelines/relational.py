@@ -205,7 +205,21 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10,
     from ..stages.agg import coarse_agg
 
     agg = coarse_agg(ds, ["c_custkey"], [("rev", "sum", "revenue_c4")])
-    return agg.sort(["revenue_c4", "c_custkey"], descending=[True, False]).limit(k)
+
+    # per-partition top-k cut before the global sort: the final sort
+    # then ranks <= blocks*k candidate rows instead of every customer
+    # (a full sort of the per-customer aggregate is an all-to-all at
+    # catalog scale).  Cut under the same (-rev, custkey) total order
+    # the sort applies, so ties at the cut keep the lower key.
+    def local_topk(t: pa.Table) -> pa.Table:
+        rev = t["revenue_c4"].to_numpy(zero_copy_only=False)
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((key, -rev))[:k]
+        return t.take(pa.array(sel, pa.int64()))
+
+    pruned = agg.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.sort(["revenue_c4", "c_custkey"],
+                       descending=[True, False]).limit(k)
 
 
 TOP_CUSTOMERS_SQL = """
