@@ -31,6 +31,64 @@ def part_of(v: np.ndarray, num_partitions: int) -> np.ndarray:
     return (v % np.int64(num_partitions)).astype(np.int64)
 
 
+def estimate_size_bytes(ds) -> int | None:
+    """Best-effort size of ``ds`` WITHOUT executing it.
+
+    ``Dataset.size_bytes()`` on a lazy dataset (any ``map_batches``
+    chain — i.e. every mid-pipeline dataset in this engine) falls back
+    to a full ``plan.execute()``, materializing the whole upstream just
+    to read a number.  Instead: if the plan already has computed output,
+    its metadata is free; otherwise walk the logical DAG to the leaf
+    ops (``Read`` / ``InputData``) and sum their metadata estimates —
+    parquet-footer numbers for reads, block metadata for in-memory
+    sources.  This measures SOURCE size, not post-transform size, which
+    is the right coarse proxy for group sizing (transforms in this
+    engine shrink or roughly preserve volume).  Returns ``None`` when
+    no estimate is available; never triggers execution."""
+    try:
+        if ds._plan.has_computed_output():
+            return int(ds.size_bytes() or 0)  # snapshot metadata — free
+    except Exception:  # pragma: no cover - internal API drift
+        pass
+    total, found = 0, False
+    try:
+        stack = [ds._plan._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            deps = list(op.input_dependencies)
+            if deps:
+                stack.extend(deps)
+                continue
+            sz = None
+            try:  # Read op: parquet footer / datasource estimate
+                sz = op.infer_metadata().size_bytes
+            except Exception:
+                pass
+            if sz is None:
+                try:  # InputData / from_arrow: per-block metadata
+                    sz = sum(
+                        m.size_bytes or 0
+                        for m in op.infer_metadata()  # type: ignore
+                    )
+                except Exception:
+                    pass
+            if sz is None:
+                try:
+                    sz = sum(
+                        (b.size_bytes() if callable(
+                            getattr(b, "size_bytes", None)) else 0)
+                        for b in getattr(op, "input_data", []) or []
+                    )
+                except Exception:
+                    pass
+            if sz:
+                total += int(sz)
+                found = True
+    except Exception:  # pragma: no cover - internal API drift
+        return None
+    return total if found else None
+
+
 def derive_num_groups(*dss, target_bytes: int = 64 << 20,
                       minimum: int | None = None) -> int:
     """Coarse-group count for the co-group/pair-sweep pattern, derived
@@ -38,7 +96,9 @@ def derive_num_groups(*dss, target_bytes: int = 64 << 20,
     hold ~``target_bytes`` so a ``map_groups`` partition fits a worker
     heap at ANY data scale, while the floor (2x cluster CPUs, >=64)
     keeps small inputs from paying per-group overhead on thousands of
-    tiny groups."""
+    tiny groups.  Sizing uses :func:`estimate_size_bytes` — metadata
+    only, never an upstream execution (a lazy ``size_bytes()`` call
+    here previously materialized the whole input once per call site)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() \
@@ -46,10 +106,9 @@ def derive_num_groups(*dss, target_bytes: int = 64 << 20,
     floor = minimum if minimum is not None else max(64, 2 * cpus)
     total = 0
     for ds in dss:
-        try:
-            total += int(ds.size_bytes() or 0)
-        except Exception:  # pragma: no cover - size unknown pre-execution
-            pass
+        est = estimate_size_bytes(ds)
+        if est:
+            total += est
     return max(floor, -(-total // target_bytes))
 
 

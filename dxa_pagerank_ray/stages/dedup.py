@@ -117,51 +117,127 @@ def minhash_signatures(docs_ds, num_perm: int = 64, k: int = 5, seed: int = 1,
 
 from ..context import derive_num_groups  # noqa: E402  (shared helper)
 
+import logging  # noqa: E402
 
-def _pairs_within_buckets(banded_ds, id_col: str, num_groups: int = 64):
+_log = logging.getLogger(__name__)
+
+# Per-bucket member cap for LSH pair enumeration.  A boilerplate band
+# shared by m documents implies m(m-1)/2 candidate pairs; one degenerate
+# hub bucket (every production near-dup corpus has some) would otherwise
+# OOM a worker AND flood verification with garbage pairs.  Buckets above
+# the cap are SKIPPED and logged — at 4096 members a kept bucket tops
+# out at ~8.4M pairs (~134 MB of int64 pair ids), a safe per-task bound.
+# Skipping only loses recall on content so boilerplate it collides with
+# everything — the standard production trade (a doc in a hub bucket
+# still pairs through its other, more selective bands).
+_DEFAULT_MAX_BUCKET = 4096
+
+# Pair-enumeration tile edge: transient memory per step is bounded by
+# ~tile^2 pairs (x a few int64 arrays ~= 135 MB at 2048) regardless of
+# bucket size — no O(m^2) triu_indices allocation ever happens.
+_PAIR_TILE = 2048
+
+
+def _tile_pairs(s: int, e: int, tile: int = _PAIR_TILE):
+    """Yield (ii, jj) absolute-index arrays covering the strict upper
+    triangle of ``range(s, e)`` in tiles of at most ``tile**2`` pairs —
+    the bounded-memory replacement for ``np.triu_indices(e - s)``."""
+    for i0 in range(s, e, tile):
+        i1 = min(i0 + tile, e)
+        for j0 in range(i0, e, tile):
+            j1 = min(j0 + tile, e)
+            ii, jj = np.meshgrid(np.arange(i0, i1), np.arange(j0, j1),
+                                 indexing="ij")
+            if i0 == j0:
+                keep = ii < jj
+                ii, jj = ii[keep], jj[keep]
+            else:
+                ii, jj = ii.ravel(), jj.ravel()
+            if len(ii):
+                yield ii, jj
+
+
+def _log_skipped(where: str, n_buckets: int, n_members: int,
+                 max_bucket: int) -> None:
+    if n_buckets:
+        _log.warning(
+            "%s: skipped %d hub bucket(s) totalling %d members "
+            "(> max_bucket=%d); recall on boilerplate-heavy content is "
+            "reduced — raise max_bucket or use more selective bands",
+            where, n_buckets, n_members, max_bucket,
+        )
+
+
+def _bucket_boundaries(t: pa.Table, id_col: str):
+    """Lexsort a (band, bucket, id, ...) partition and return the
+    per-bucket (starts, ends) plus the sorted column arrays."""
+    band = t["band"].to_numpy(zero_copy_only=False)
+    bucket = t["bucket"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bucket, band))
+    band, bucket, ids = band[order], bucket[order], ids[order]
+    starts = np.flatnonzero(
+        np.r_[True, (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])]
+    )
+    ends = np.r_[starts[1:], len(band)]
+    return starts, ends, band, bucket, ids, order
+
+
+def _minhash_pairs_sweep(t: pa.Table, id_col: str,
+                         max_bucket: int = _DEFAULT_MAX_BUCKET) -> pa.Table:
+    """One coarse partition of (band, bucket, id) rows -> candidate
+    pairs (a < b).  Pure function (module-level so tests can assert its
+    memory bound directly); hub buckets above ``max_bucket`` are
+    skipped + logged, kept buckets enumerate in ``_tile_pairs`` tiles."""
+    starts, ends, _, _, ids, _ = _bucket_boundaries(t, id_col)
+    a_out, b_out = [], []
+    skipped_b = skipped_m = 0
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > max_bucket:
+            skipped_b += 1
+            skipped_m += m
+            continue
+        for ii, jj in _tile_pairs(s, e):
+            a_out.append(ids[ii])  # ids sorted per bucket -> a < b
+            b_out.append(ids[jj])
+    _log_skipped("lsh_candidate_pairs", skipped_b, skipped_m, max_bucket)
+    if not a_out:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                     "b": pa.array(np.concatenate(b_out), pa.int64())})
+
+
+def _pairs_within_buckets(banded_ds, id_col: str, num_groups: int = 64,
+                          max_bucket: int = _DEFAULT_MAX_BUCKET):
     """(band, bucket, id) rows -> unique candidate pairs (a < b).
 
     The shuffle groups on a COARSE key (``bucket % num_groups``, sized
     by ``derive_num_groups``), not on each of the millions of tiny
     buckets: ``map_groups`` pays per-group overhead, so pair enumeration
     runs once per coarse partition with a vectorized (lexsort +
-    boundaries) sweep over all its buckets.  Hub buckets (a boilerplate
-    band shared by everyone) still cost O(m^2) pairs — inherent to LSH;
-    callers bound it with more selective bands.
+    boundaries) sweep over all its buckets.  Hub buckets are bounded:
+    enumeration runs in fixed-size tiles (``_tile_pairs``) and buckets
+    with more than ``max_bucket`` members are skipped + logged (see
+    ``_DEFAULT_MAX_BUCKET`` for the rationale).
     """
+    import functools
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = batch["bucket"].to_numpy(zero_copy_only=False) % num_groups
         return batch.append_column("part", pa.array(part, pa.int64()))
 
-    def pairs_fn(t: pa.Table) -> pa.Table:
-        band = t["band"].to_numpy(zero_copy_only=False)
-        bucket = t["bucket"].to_numpy(zero_copy_only=False)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, bucket, band))
-        band, bucket, ids = band[order], bucket[order], ids[order]
-        starts = np.flatnonzero(
-            np.r_[True, (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])]
-        )
-        ends = np.r_[starts[1:], len(band)]
-        a_out, b_out = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            ii, jj = np.triu_indices(m, k=1)
-            a_out.append(ids[s:e][ii])  # ids sorted per bucket -> a < b
-            b_out.append(ids[s:e][jj])
-        if not a_out:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
-                         "b": pa.array(np.concatenate(b_out), pa.int64())})
-
     pairs = (
         banded_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(pairs_fn, batch_format="pyarrow")
+        .map_groups(
+            functools.partial(_minhash_pairs_sweep, id_col=id_col,
+                              max_bucket=max_bucket),
+            batch_format="pyarrow",
+        )
     )
     from ..pipelines.testdata_graph import dedup_edges_like
 
@@ -170,9 +246,11 @@ def _pairs_within_buckets(banded_ds, id_col: str, num_groups: int = 64):
 
 def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,
                         id_col: str = "doc_id",
-                        num_groups: int | None = None):
+                        num_groups: int | None = None,
+                        max_bucket: int = _DEFAULT_MAX_BUCKET):
     """signatures -> (band_id, band_hash, doc_id) -> bucket groupby ->
-    unique candidate pairs (a < b)."""
+    unique candidate pairs (a < b).  Buckets with more than
+    ``max_bucket`` members are skipped + logged (hub-bucket bound)."""
     rows_per_band = num_perm // bands
     pows = _FNV_PRIME ** np.arange(rows_per_band, dtype=np.uint64)
     if num_groups is None:
@@ -200,7 +278,7 @@ def lsh_candidate_pairs(sigs_ds, num_perm: int = 64, bands: int = 16,
         )
 
     banded = sigs_ds.map_batches(bandize, batch_format="pyarrow")
-    return _pairs_within_buckets(banded, id_col, num_groups)
+    return _pairs_within_buckets(banded, id_col, num_groups, max_bucket)
 
 
 # ---- distributed candidate verification -------------------------------------
@@ -465,13 +543,66 @@ def simhash64(text: str) -> int:
     return int(((acc > 0).astype(np.uint64) << shifts).sum())
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — constant-factor temporaries
+    instead of the (n, 64)-byte blowup of ``np.unpackbits``."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+
+def _simhash_pairs_sweep(t: pa.Table, id_col: str, max_hamming: int,
+                         max_bucket: int = _DEFAULT_MAX_BUCKET) -> pa.Table:
+    """One coarse partition of (band, bucket, id, sig) rows ->
+    (a, b, hamming) pairs.  Pure function (module-level for direct
+    memory-bound tests); Hamming verify via xor + bitcount per bounded
+    tile, hub buckets above ``max_bucket`` skipped + logged."""
+    starts, ends, _, _, ids, order = _bucket_boundaries(t, id_col)
+    sigs = t["sig"].to_numpy(zero_copy_only=False).astype(np.int64) \
+        .view(np.uint64)[order]
+    a_out, b_out, h_out = [], [], []
+    skipped_b = skipped_m = 0
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > max_bucket:
+            skipped_b += 1
+            skipped_m += m
+            continue
+        for ii, jj in _tile_pairs(s, e):
+            d = _popcount64(sigs[ii] ^ sigs[jj])
+            keep = d <= max_hamming
+            if not keep.any():
+                continue
+            a_out.append(ids[ii][keep])
+            b_out.append(ids[jj][keep])
+            h_out.append(d[keep].astype(np.int64))
+    _log_skipped("simhash_near_dups", skipped_b, skipped_m, max_bucket)
+    if not a_out:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                     "b": pa.array(np.concatenate(b_out), pa.int64()),
+                     "hamming": pa.array(np.concatenate(h_out), pa.int64())})
+
+
 def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4,
                       text_col: str = "text", id_col: str = "doc_id",
-                      num_groups: int | None = None):
+                      num_groups: int | None = None,
+                      max_bucket: int = _DEFAULT_MAX_BUCKET):
     """(a, b, hamming) pairs with Hamming distance <= max_hamming.
     Banding: split the 64-bit signature into ``bands`` chunks; a pair
     within distance ``bands-1`` shares at least one exact chunk
-    (pigeonhole), so bucket-group on (band, chunk) and verify."""
+    (pigeonhole), so bucket-group on (band, chunk) and verify.  Buckets
+    above ``max_bucket`` members are skipped + logged; kept buckets
+    enumerate in bounded tiles (``_tile_pairs``)."""
     from ..pipelines.testdata_graph import dedup_edges_like
 
     if num_groups is None:
@@ -499,47 +630,18 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4,
         part = batch["bucket"].to_numpy(zero_copy_only=False) % num_groups
         return batch.append_column("part", pa.array(part, pa.int64()))
 
-    def pairs_fn(t: pa.Table) -> pa.Table:
-        """Vectorized in-bucket pair sweep (see _pairs_within_buckets);
-        Hamming verify via xor + bitcount, all numpy."""
-        band = t["band"].to_numpy(zero_copy_only=False)
-        bucket = t["bucket"].to_numpy(zero_copy_only=False)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        sigs = t["sig"].to_numpy(zero_copy_only=False).astype(np.int64) \
-            .view(np.uint64)
-        order = np.lexsort((ids, bucket, band))
-        band, bucket = band[order], bucket[order]
-        ids, sigs = ids[order], sigs[order]
-        starts = np.flatnonzero(
-            np.r_[True, (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])]
-        )
-        ends = np.r_[starts[1:], len(band)]
-        a_out, b_out, h_out = [], [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            ii, jj = np.triu_indices(m, k=1)
-            x = sigs[s:e][ii] ^ sigs[s:e][jj]
-            d = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                              axis=1).sum(axis=1)
-            keep = d <= max_hamming
-            a_out.append(ids[s:e][ii][keep])
-            b_out.append(ids[s:e][jj][keep])
-            h_out.append(d[keep].astype(np.int64))
-        if not a_out:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
-                         "b": pa.array(np.concatenate(b_out), pa.int64()),
-                         "hamming": pa.array(np.concatenate(h_out), pa.int64())})
+    import functools
 
     banded = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
     pairs = (
         banded.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(pairs_fn, batch_format="pyarrow")
+        .map_groups(
+            functools.partial(_simhash_pairs_sweep, id_col=id_col,
+                              max_hamming=max_hamming,
+                              max_bucket=max_bucket),
+            batch_format="pyarrow",
+        )
     )
     return dedup_edges_like(pairs, ["a", "b", "hamming"])
 
@@ -590,11 +692,13 @@ def _score_blocks(x: pa.Table, y: pa.Table, same: bool, threshold: float,
     mx = _normalize(_to_matrix(x[vec_col]))
     my = _normalize(_to_matrix(y[vec_col]))
     sims = mx @ my.T
+    ii, jj = np.nonzero(sims >= threshold)
     if same:
-        sims = np.triu(sims, k=1)  # upper triangle only, no self-pairs
-        ii, jj = np.nonzero(sims >= threshold)
-    else:
-        ii, jj = np.nonzero(sims >= threshold)
+        # mask by INDEX (upper triangle, no self-pairs) — zeroing cell
+        # values would spuriously pass any threshold <= 0, which is a
+        # valid cosine threshold
+        keep = jj > ii
+        ii, jj = ii[keep], jj[keep]
     if len(ii) == 0:
         return _EMPTY_COSINE_PAIRS
     a, b = ix[ii], iy[jj]
@@ -644,7 +748,8 @@ def embedding_near_dups_lsh(emb_ds, threshold: float = 0.95,
                             n_planes: int = 8, n_tables: int = 6,
                             seed: int = 7, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            num_groups: int | None = None):
+                            num_groups: int | None = None,
+                            max_bucket: int = _DEFAULT_MAX_BUCKET):
     """APPROXIMATE near-dup pairs — the 100-TB path: random-hyperplane
     bucket keys -> coarse groupby -> within-bucket exact matmul.  A pair
     with cosine s collides in one table with prob (1 - arccos(s)/pi)^n_planes
@@ -701,18 +806,37 @@ def embedding_near_dups_lsh(emb_ds, threshold: float = 0.95,
         )
         ends = np.r_[starts[1:], len(tbl)]
         outs = []
+        skipped_b = skipped_m = 0
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            mcnt = e - s
+            if mcnt < 2:
                 continue
-            sims = np.triu(m[s:e] @ m[s:e].T, k=1)
-            ii, jj = np.nonzero(sims >= threshold)
-            if len(ii) == 0:
+            if mcnt > max_bucket:
+                skipped_b += 1
+                skipped_m += mcnt
                 continue
-            outs.append(pa.table(
-                {"a": pa.array(ids[s:e][ii], pa.int64()),
-                 "b": pa.array(ids[s:e][jj], pa.int64()),
-                 "cosine": pa.array(sims[ii, jj], pa.float64())}
-            ))
+            # bounded block-matmul tiles over the in-bucket upper
+            # triangle: peak transient is one (tile x tile) sims matrix;
+            # self/lower pairs masked by INDEX, never by zeroing values
+            # (a threshold <= 0 is valid for cosine)
+            for i0 in range(s, e, _PAIR_TILE):
+                i1 = min(i0 + _PAIR_TILE, e)
+                for j0 in range(i0, e, _PAIR_TILE):
+                    j1 = min(j0 + _PAIR_TILE, e)
+                    sims = m[i0:i1] @ m[j0:j1].T
+                    ii, jj = np.nonzero(sims >= threshold)
+                    if i0 == j0:
+                        keep = jj > ii
+                        ii, jj = ii[keep], jj[keep]
+                    if len(ii) == 0:
+                        continue
+                    outs.append(pa.table(
+                        {"a": pa.array(ids[i0:i1][ii], pa.int64()),
+                         "b": pa.array(ids[j0:j1][jj], pa.int64()),
+                         "cosine": pa.array(sims[ii, jj], pa.float64())}
+                    ))
+        _log_skipped("embedding_near_dups_lsh", skipped_b, skipped_m,
+                     max_bucket)
         if not outs:
             return _EMPTY_COSINE_PAIRS
         return pa.concat_tables(outs)

@@ -232,3 +232,70 @@ def test_brute_force_topk_tie_break_lower_id():
     out = brute_force_topk(ds, np.stack([vec]), np.array([0]), k=k)
     got = out.to_pandas().sort_values("rank")
     assert list(got["neighbor_id"]) == list(range(1, k + 1))
+
+
+# ---- hub-bucket bound (web-scale safety: one boilerplate band shared
+# by millions of docs must not OOM a worker) ----------------------------------
+
+def test_tile_pairs_matches_triu():
+    from dxa_pagerank_ray.stages.dedup import _tile_pairs
+
+    for s, e, tile in [(0, 7, 3), (5, 5, 4), (2, 3, 4), (10, 110, 16)]:
+        got = set()
+        for ii, jj in _tile_pairs(s, e, tile=tile):
+            assert len(ii) <= tile * tile  # per-step transient bound
+            assert np.all(ii < jj)
+            got.update(zip(ii.tolist(), jj.tolist()))
+        m = e - s
+        ti, tj = np.triu_indices(m, k=1)
+        want = set(zip((ti + s).tolist(), (tj + s).tolist()))
+        assert got == want
+
+
+def test_hub_bucket_skipped_and_logged(caplog):
+    """A bucket above max_bucket contributes NO pairs (and warns);
+    selective buckets in the same partition still pair."""
+    import logging
+
+    from dxa_pagerank_ray.stages.dedup import _minhash_pairs_sweep
+
+    hub_n = 10_000
+    band = np.r_[np.zeros(hub_n, np.int64), np.ones(2, np.int64)]
+    bucket = np.zeros(hub_n + 2, np.int64)
+    ids = np.arange(hub_n + 2, dtype=np.int64)
+    t = pa.table({"band": band, "bucket": bucket, "doc_id": ids})
+    with caplog.at_level(logging.WARNING,
+                         logger="dxa_pagerank_ray.stages.dedup"):
+        out = _minhash_pairs_sweep(t, id_col="doc_id", max_bucket=4096)
+    assert out.to_pydict() == {"a": [hub_n], "b": [hub_n + 1]}
+    assert any("skipped 1 hub bucket" in r.message for r in caplog.records)
+
+
+def test_simhash_giant_bucket_bounded_memory():
+    """10k-member bucket, kept (max_bucket raised): the tiled sweep's
+    peak transient allocation stays near tile^2, never the O(m^2)
+    triu/unpackbits blowup (~3 GB at m=10k) of the unbounded version."""
+    import tracemalloc
+
+    from dxa_pagerank_ray.stages.dedup import (_PAIR_TILE,
+                                               _simhash_pairs_sweep)
+
+    n = 10_000
+    rng = np.random.default_rng(3)
+    sigs = rng.integers(0, 2**63, size=n, dtype=np.int64)
+    sigs[17] = sigs[4242]  # planted exact dup -> hamming 0
+    t = pa.table({
+        "band": np.zeros(n, np.int64),
+        "bucket": np.zeros(n, np.int64),
+        "doc_id": np.arange(n, dtype=np.int64),
+        "sig": sigs,
+    })
+    tracemalloc.start()
+    out = _simhash_pairs_sweep(t, id_col="doc_id", max_hamming=3,
+                               max_bucket=n + 1)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    d = out.to_pydict()
+    assert (17, 4242, 0) in set(zip(d["a"], d["b"], d["hamming"]))
+    # ~10 tile-sized uint64/int64 temporaries; 50M-pair triu would be >1e9
+    assert peak < 30 * _PAIR_TILE * _PAIR_TILE * 8
