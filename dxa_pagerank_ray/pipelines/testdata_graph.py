@@ -85,14 +85,20 @@ def q_dangling_vertices(sf_dir: str):
     §2.3 M4, as a broadcast anti-join (semi-join pattern)."""
     import ray
 
+    from ..stages.agg import coarse_distinct
+
     edges = supplier_part_edges(sf_dir).materialize()
-    srcs = np.unique(
-        np.concatenate(
-            [b["src"].to_numpy(zero_copy_only=False)
-             for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
-        + [np.array([], dtype=np.int64)]
-        )
-    )
+    # distinct FIRST, distributed (never ship the raw O(E) src column
+    # through the driver) — only the O(distinct-src) vertex set is
+    # collected for the broadcast side of the anti-join
+    src_batches = [
+        b["src"].to_numpy(zero_copy_only=False)
+        for b in coarse_distinct(
+            edges.select_columns(["src"]), ["src"]
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    srcs = np.sort(np.concatenate(
+        src_batches + [np.array([], dtype=np.int64)]))
     src_ref = ray.put(srcs)
 
     def anti(batch: pa.Table) -> pa.Table:

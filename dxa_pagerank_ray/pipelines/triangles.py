@@ -50,14 +50,18 @@ BROADCAST_EDGE_LIMIT = 10_000_000
 
 
 def triangle_count_shuffle(edges_ds, num_partitions: int = 64,
-                           _canon=None) -> int:
+                           _canon=None,
+                           degree_broadcast_limit: int | None = None) -> int:
     """All-shuffle triangle count — the scale path for graphs whose
     oriented CSR cannot broadcast (the `triangle_count` limit).
 
     1. canonicalize + dedup (as the broadcast variant);
-    2. degree-ordered orientation (degrees via a distributed count,
-       shipped as a broadcast lookup — degree tables are O(V), far
-       smaller than the O(E) edge set);
+    2. degree-ordered orientation (degrees via a distributed count;
+       the O(V) degree table ships as a ``ray.put`` lookup only while
+       it fits ``degree_broadcast_limit`` rows — beyond that, V at web
+       scale is billions of urls, so degrees are attached to both
+       endpoints with two co-grouped distributed joins instead and
+       nothing lands on the driver);
     3. wedge generation: group oriented edges by tail on a COARSE
        hash partition, one vectorized sweep enumerates each tail's
        out-pairs (u, w) — degree orientation bounds out-degrees at
@@ -87,33 +91,68 @@ def triangle_count_shuffle(edges_ds, num_partitions: int = 64,
         return pa.table({"v": pa.array(u, pa.int64()),
                          "cnt": pa.array(c, pa.int64())})
 
+    from ..context import BROADCAST_VERTEX_LIMIT
     from ..stages.agg import coarse_agg
 
-    deg_tbl = pa.concat_tables(
-        list(
-            coarse_agg(canon.map_batches(deg_partial, batch_format="pyarrow"),
-                       ["v"], [("cnt", "sum", "deg")])
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    deg_limit = BROADCAST_VERTEX_LIMIT if degree_broadcast_limit is None \
+        else degree_broadcast_limit
+    deg_ds = coarse_agg(canon.map_batches(deg_partial, batch_format="pyarrow"),
+                        ["v"], [("cnt", "sum", "deg")]).materialize()
+
+    if deg_ds.count() <= deg_limit:
+        # small-V path: one ray.put of the sorted (v, deg) arrays,
+        # orientation is a shuffle-free map_batches scan
+        deg_tbl = pa.concat_tables(
+            list(deg_ds.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow"))
         )
-    )
-    dv = deg_tbl["v"].to_numpy(zero_copy_only=False)
-    dd = deg_tbl["deg"].to_numpy(zero_copy_only=False)
-    order = np.argsort(dv, kind="stable")
-    deg_ref = ray.put((dv[order], dd[order]))
+        dv = deg_tbl["v"].to_numpy(zero_copy_only=False)
+        dd = deg_tbl["deg"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dv, kind="stable")
+        deg_ref = ray.put((dv[order], dd[order]))
 
-    def orient(batch: pa.Table) -> pa.Table:
-        vs, ds_ = ray.get(deg_ref)
-        lo = batch["src"].to_numpy(zero_copy_only=False)
-        hi = batch["dst"].to_numpy(zero_copy_only=False)
-        dlo = ds_[np.searchsorted(vs, lo)]
-        dhi = ds_[np.searchsorted(vs, hi)]
-        fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
-        a = np.where(fwd, lo, hi)
-        b = np.where(fwd, hi, lo)
-        return pa.table({"src": pa.array(a, pa.int64()),
-                         "dst": pa.array(b, pa.int64())})
+        def orient(batch: pa.Table) -> pa.Table:
+            vs, ds_ = ray.get(deg_ref)
+            lo = batch["src"].to_numpy(zero_copy_only=False)
+            hi = batch["dst"].to_numpy(zero_copy_only=False)
+            dlo = ds_[np.searchsorted(vs, lo)]
+            dhi = ds_[np.searchsorted(vs, hi)]
+            fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+            a = np.where(fwd, lo, hi)
+            b = np.where(fwd, hi, lo)
+            return pa.table({"src": pa.array(a, pa.int64()),
+                             "dst": pa.array(b, pa.int64())})
 
-    oriented = canon.map_batches(orient, batch_format="pyarrow").materialize()
+        oriented = canon.map_batches(orient, batch_format="pyarrow") \
+            .materialize()
+    else:
+        # web-scale path: attach each endpoint's degree with a
+        # co-grouped distributed join (degrees never touch the driver),
+        # then orient per batch — same guard discipline as
+        # relational.top_customers_by_revenue
+        from ..stages.dedup import cogroup_attach
+
+        schema1 = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        with_dsrc = cogroup_attach(
+            canon, "src", deg_ds, "v", "deg", "dsrc", schema1, pa.int64())
+        schema2 = schema1.append(pa.field("dsrc", pa.int64()))
+        with_both = cogroup_attach(
+            with_dsrc, "dst", deg_ds, "v", "deg", "ddst", schema2,
+            pa.int64())
+
+        def orient_attached(batch: pa.Table) -> pa.Table:
+            lo = batch["src"].to_numpy(zero_copy_only=False)
+            hi = batch["dst"].to_numpy(zero_copy_only=False)
+            dlo = batch["dsrc"].to_numpy(zero_copy_only=False)
+            dhi = batch["ddst"].to_numpy(zero_copy_only=False)
+            fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+            a = np.where(fwd, lo, hi)
+            b = np.where(fwd, hi, lo)
+            return pa.table({"src": pa.array(a, pa.int64()),
+                             "dst": pa.array(b, pa.int64())})
+
+        oriented = with_both.map_batches(
+            orient_attached, batch_format="pyarrow").materialize()
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = batch["src"].to_numpy(zero_copy_only=False) % num_partitions

@@ -61,6 +61,20 @@ def test_triangle_count_shuffle_matches_broadcast(name):
 
 
 @pytest.mark.parametrize("name", list(CASES))
+def test_triangle_count_shuffle_distributed_degrees(name):
+    """degree_broadcast_limit=0 forces the co-grouped degree-attach
+    path (the web-scale V shape) — counts must match the broadcast
+    engine on both sides of the guard."""
+    from dxa_pagerank_ray.pipelines.triangles import triangle_count_shuffle
+
+    src, dst, n = CASES[name]
+    expect = triangle_count(_ds(src, dst), n)
+    got = triangle_count_shuffle(_ds(src, dst), num_partitions=4,
+                                 degree_broadcast_limit=0)
+    assert got == expect
+
+
+@pytest.mark.parametrize("name", list(CASES))
 def test_triangle_count_exact(name):
     src, dst, n = CASES[name]
     assert triangle_count(_ds(src, dst), n) == oracle.triangle_count(src, dst, n)
