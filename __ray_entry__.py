@@ -351,11 +351,14 @@ FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
 # outputs agree whenever LSH recall is 1 on the dataset — deterministic
 # given the fixed data + seeds, pre-validated in tests).  Shingles are
 # byte windows in the engine and character windows here: identical on
-# the all-ASCII testdata.
+# the all-ASCII testdata.  Short docs mirror the engine's adaptive
+# window (one whole-text shingle below k chars); empty docs mirror the
+# engine's jaccard(∅, ∅) = 1.0 convention via the trailing UNION.
 _JACCARD_ORACLE_SQL = """
 WITH sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(t.i AS INTEGER), 5) AS g
-  FROM documents, unnest(range(1, length(text) - 3)) AS t(i)
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 2))) AS t(i)
+  WHERE length(text) > 0
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -368,6 +371,10 @@ FROM inter
 JOIN sz sa ON sa.doc_id = a
 JOIN sz sb ON sb.doc_id = b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+UNION ALL
+SELECT x.doc_id AS a, y.doc_id AS b, 1.0 AS jaccard
+FROM documents x JOIN documents y
+  ON length(x.text) = 0 AND length(y.text) = 0 AND y.doc_id > x.doc_id
 """
 
 def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
@@ -381,8 +388,12 @@ def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
     distinct 5-char shingles -> 64-wide signature -> a pair is a
     candidate iff some 4-row band matches entirely -> keep pairs with
     signature agreement >= threshold (agreement is k/64, an exact
-    double, so the value hash is safe).  The only theoretical
-    divergence is an engine-side band-BUCKET hash collision (~2^-64).
+    double, so the value hash is safe).  Sub-k-length docs mirror the
+    engine's adaptive window (one whole-text shingle, variable-width
+    polynomial via the pw join); empty docs mirror the engine's
+    all-zero signature (the UNION branch of ``m``).  The only
+    theoretical divergence is an engine-side band-BUCKET hash
+    collision (~2^-64).
     Verified bit-equal to queries()['minhash_dup_pairs'] at
     sf0.001/sf0.01."""
     import numpy as np
@@ -401,9 +412,7 @@ def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
                 f"CAST(({h}) AS UBIGINT) >> {s}) AS HUGEINT)")
 
     pows = [pow(int(_FNV_PRIME), j, 1 << 64) for j in range(k)]
-    poly = " + ".join(
-        f"ord(substr(g, {j + 1}, 1)) * {pows[j]}::HUGEINT" for j in range(k)
-    )
+    powvals = ", ".join(f"({j}, {pows[j]}::HUGEINT)" for j in range(k))
     a, b = _perm_coeffs(num_perm, seed)
     perms = ", ".join(
         f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
@@ -412,8 +421,13 @@ def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
     rpb = num_perm // bands
     return f"""
 WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i.i AS INTEGER), {k}) AS g
-            FROM documents, unnest(range(1, length(text) - {k - 2})) AS i(i)),
-h0 AS (SELECT doc_id, ({poly}) % {M64} AS h FROM sh),
+            FROM documents,
+                 unnest(range(1, greatest(length(text) - {k - 2}, 2))) AS i(i)
+            WHERE length(text) > 0),
+pw(j, pj) AS (VALUES {powvals}),
+h0 AS (SELECT doc_id,
+              sum(ord(substr(g, CAST(j + 1 AS INTEGER), 1)) * pj) % {M64} AS h
+       FROM sh JOIN pw ON j < length(g) GROUP BY doc_id, g),
 h1 AS (SELECT doc_id, {xs('h', 30)} AS h FROM h0),
 h2 AS (SELECT doc_id, {mm('h', C1)} AS h FROM h1),
 h3 AS (SELECT doc_id, {xs('h', 27)} AS h FROM h2),
@@ -421,7 +435,10 @@ h4 AS (SELECT doc_id, {mm('h', C2)} AS h FROM h3),
 hv AS (SELECT doc_id, {xs('h', 31)} AS x FROM h4),
 perm(p, pa, pb) AS (VALUES {perms}),
 m AS (SELECT doc_id, p, min(({mm('x', 'pa')} + pb) % {M64}) AS mv
-      FROM hv CROSS JOIN perm GROUP BY doc_id, p),
+      FROM hv CROSS JOIN perm GROUP BY doc_id, p
+      UNION ALL
+      SELECT d.doc_id, perm.p, 0::HUGEINT AS mv
+      FROM documents d CROSS JOIN perm WHERE length(d.text) = 0),
 chunk AS (SELECT doc_id, p // {rpb} AS band, array_agg(mv ORDER BY p) AS c
           FROM m GROUP BY doc_id, p // {rpb}),
 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

@@ -174,10 +174,18 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10,
             part = rev_partial(batch, "l_orderkey")
             lok = part["l_orderkey"].to_numpy(zero_copy_only=False)
             i = np.clip(np.searchsorted(ok, lok), 0, max(len(ok) - 1, 0))
-            cust = np.where(ok[i] == lok, ck[i], -1)
-            keep = cust >= 0
-            t = pa.table({"c_custkey": pa.array(cust[keep], pa.int64()),
-                          "rev": part["rev"].filter(pa.array(keep))})
+            # raise (not drop) on a lineitem orderkey missing from
+            # orders — identical behavior to the distributed path's
+            # cogroup_attach, so results never depend on which side of
+            # broadcast_limit the input lands
+            if len(lok) and (len(ok) == 0
+                             or not np.array_equal(ok[i], lok)):
+                raise ValueError(
+                    "top_customers_by_revenue: lineitem orderkey missing "
+                    "from orders"
+                )
+            t = pa.table({"c_custkey": pa.array(ck[i], pa.int64()),
+                          "rev": part["rev"]})
             return t.group_by("c_custkey").aggregate(
                 [("rev", "sum")]).rename_columns(["c_custkey", "rev"])
 

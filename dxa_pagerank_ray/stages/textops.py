@@ -125,9 +125,12 @@ class LangId:
         ).to_numpy(zero_copy_only=False).astype(np.int64)
         valid = codes >= 0
         rows, cds = parent[valid], codes[valid]
-        # SET semantics: one hit per distinct (row, stopword)
-        ukey = np.unique(rows * np.int64(64) + cds)
-        urow, ucode = ukey // 64, ukey % 64
+        # SET semantics: one hit per distinct (row, stopword);
+        # stride = vocabulary size, so growing the stopword tables can
+        # never silently alias codes (the old hardcoded 64 would)
+        stride = np.int64(len(self.word_arr))
+        ukey = np.unique(rows * stride + cds)
+        urow, ucode = ukey // stride, ukey % stride
         ubits = self.bits[ucode]
         counts = np.zeros((n, len(self.langs)), dtype=np.int64)
         for li in range(len(self.langs)):
