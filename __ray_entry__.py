@@ -198,8 +198,9 @@ def _q_embedding_near_dups_lsh(sf_dir: str):
 _MEDIA_N = 256  # deterministic on-disk media fixture (seed 42);
 # sf_dir carries no media table, so the media queries read a parquet
 # fixture written once under /tmp (distributed generator, one file per
-# block) — the driver check is rows-only, but tests pin golden hashes
-# of the decoded content (tests/test_multimodal.py)
+# block); the driver hash-checks them against a sequential reference
+# (_media_expected_dir), and tests additionally pin golden hashes of
+# the decoded content (tests/test_multimodal.py)
 
 
 def _media_ds():
@@ -220,6 +221,26 @@ def _media_ds():
 
             shutil.rmtree(tmp, ignore_errors=True)
     return _rpq(path)
+
+
+def _media_expected_dir() -> str:
+    """Sequential-reference parquet for the media oracles (no Ray;
+    built once per machine, atomic rename against concurrent callers)."""
+    import os
+
+    from dxa_pagerank_ray.stages.multimodal import write_media_expected
+
+    path = f"/tmp/dxa_media_expected_n{_MEDIA_N}_s42"
+    if not (os.path.isdir(path) and os.listdir(path)):
+        tmp = f"{path}.tmp{os.getpid()}"
+        write_media_expected(tmp, _MEDIA_N, seed=42)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a concurrent race — expected dir exists
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
 
 
 def _q_media_decode(sf_dir: str):
@@ -618,4 +639,22 @@ r AS (SELECT query_id, neighbor_id,
       FROM s)
 SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
 """,
+        # media family: the oracle is a sequential single-batch
+        # reference (dxa_pagerank_ray.stages.multimodal
+        # .media_expected_tables) materialized as parquet — numpy row
+        # ops are bit-deterministic, so a hash match proves the
+        # distributed fixture writer + actor-pool run are
+        # partition-independent
+        "media_decode": (
+            "SELECT * FROM "
+            f"read_parquet('{_media_expected_dir()}/media_decode.parquet')"
+        ),
+        "media_audio_features": (
+            "SELECT * FROM read_parquet("
+            f"'{_media_expected_dir()}/media_audio_features.parquet')"
+        ),
+        "media_frame_sample": (
+            "SELECT * FROM read_parquet("
+            f"'{_media_expected_dir()}/media_frame_sample.parquet')"
+        ),
     }

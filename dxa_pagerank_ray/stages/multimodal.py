@@ -325,3 +325,44 @@ def sample_frames(ds, every_k: int = 2, concurrency: int = 4,
     return ds.map_batches(
         FrameSampler, fn_constructor_kwargs=dict(every_k=every_k, **kw),
         batch_format="pyarrow", concurrency=(1, concurrency), batch_size=batch_size)
+
+
+# ---------------------------------------------------- sequential reference
+
+def media_expected_tables(n: int, seed: int = 42,
+                          every_k: int = 2) -> dict[str, pa.Table]:
+    """Driver-oracle reference: the three media-query outputs computed
+    SEQUENTIALLY on one in-memory batch (no Ray, no partitioning, no
+    actor pool).  The per-row math is the stage classes' own ``__call__``
+    — numpy row ops are bit-deterministic, so a DuckDB scan of these
+    tables hash-matches the distributed run iff the fixture writer,
+    batching, actor-pool execution and row expansion are all
+    partition-independent (the plumbing the media family exists to
+    test; content itself is additionally pinned by golden hashes in
+    tests/test_multimodal.py)."""
+    t = media_table(n, seed)
+    decode = ImageDecoder()(t).sort_by("media_id")
+    audio = AudioFeatures()(t).sort_by("media_id")
+    frames = FrameSampler(every_k=every_k)(t)
+    means = [float(_decode_fake_image(b.as_py()).mean())
+             for b in frames["image"]]
+    frame_stats = pa.table({
+        "media_id": frames["media_id"],
+        "frame_idx": frames["frame_idx"],
+        "mean_px": pa.array(means, pa.float64()),
+    }).sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+    return {"media_decode": decode, "media_audio_features": audio,
+            "media_frame_sample": frame_stats}
+
+
+def write_media_expected(path: str, n: int, seed: int = 42,
+                         every_k: int = 2) -> None:
+    """Materialize :func:`media_expected_tables` as one parquet file per
+    query under ``path`` (driver-oracle side table)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    for name, tbl in media_expected_tables(n, seed, every_k).items():
+        pq.write_table(tbl, os.path.join(path, f"{name}.parquet"))
