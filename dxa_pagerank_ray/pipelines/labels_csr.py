@@ -98,19 +98,39 @@ def _make_label_actor_cls():
 
         # ---- connected components (hash-min) ----
         def cc_compute(self):
-            out = []
+            """ONE packed (counts, idx, vals) buffer for all target
+            shards — counts[b] rows belong to target b, concatenated in
+            target order.  A object-store puts per round instead of A²
+            (same packing rationale as ``pagerank_csr`` ``compute``)."""
+            idx_out, val_out = [], []
+            counts = np.zeros(self.A, dtype=np.int64)
             for b in range(self.A):
                 src_l, dst_l = self.blocks[b]
                 if len(dst_l) == 0:
-                    out.append((np.array([], dtype=np.int64),
-                                np.array([], dtype=np.int64)))
                     continue
                 vals = self.labels[src_l]
                 bd = np.flatnonzero(np.r_[True, dst_l[1:] != dst_l[:-1]])
-                out.append((dst_l[bd], np.minimum.reduceat(vals, bd)))
-            return tuple(out) if self.A > 1 else out[0]
+                counts[b] = len(bd)
+                idx_out.append(dst_l[bd])
+                val_out.append(np.minimum.reduceat(vals, bd))
+            return (counts,
+                    np.concatenate(idx_out) if idx_out
+                    else np.array([], dtype=np.int64),
+                    np.concatenate(val_out) if val_out
+                    else np.array([], dtype=np.int64))
 
-        def cc_apply(self, *partials) -> int:
+        def _my_slices(self, packed_list, col0: int = 1):
+            """Slice this shard's segment out of each packed buffer."""
+            segs = []
+            for packed in packed_list:
+                counts = packed[0]
+                end = int(counts[: self.s + 1].sum())
+                start = end - int(counts[self.s])
+                segs.append(tuple(arr[start:end] for arr in packed[col0:]))
+            return segs
+
+        def cc_apply(self, *packed) -> int:
+            partials = self._my_slices(packed)
             idx = np.concatenate([p[0] for p in partials]) if partials else \
                 np.array([], dtype=np.int64)
             if len(idx) == 0:
@@ -130,13 +150,12 @@ def _make_label_actor_cls():
 
         # ---- label propagation (mode, min tie-break) ----
         def lp_compute(self):
-            out = []
+            """Packed like ``cc_compute``: (counts, dst, label, cnt)."""
+            d_out, l_out, c_out = [], [], []
+            counts = np.zeros(self.A, dtype=np.int64)
             for b in range(self.A):
                 src_l, dst_l = self.blocks[b]
                 if len(dst_l) == 0:
-                    out.append((np.array([], dtype=np.int64),
-                                np.array([], dtype=np.int64),
-                                np.array([], dtype=np.int64)))
                     continue
                 lab = self.labels[src_l]
                 order = np.lexsort((lab, dst_l))
@@ -145,10 +164,18 @@ def _make_label_actor_cls():
                     np.r_[True, (d[1:] != d[:-1]) | (l[1:] != l[:-1])]
                 )
                 cnt = np.diff(np.r_[bd, len(d)])
-                out.append((d[bd], l[bd], cnt))
-            return tuple(out) if self.A > 1 else out[0]
+                counts[b] = len(bd)
+                d_out.append(d[bd])
+                l_out.append(l[bd])
+                c_out.append(cnt)
+            empty = np.array([], dtype=np.int64)
+            return (counts,
+                    np.concatenate(d_out) if d_out else empty,
+                    np.concatenate(l_out) if l_out else empty,
+                    np.concatenate(c_out) if c_out else empty)
 
-        def lp_apply(self, *partials) -> int:
+        def lp_apply(self, *packed) -> int:
+            partials = self._my_slices(packed)
             ds = np.concatenate([p[0] for p in partials]) if partials else \
                 np.array([], dtype=np.int64)
             if len(ds) == 0:
@@ -284,18 +311,15 @@ class LabelCSR:
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
 
     def _superstep(self, compute_name: str, apply_name: str) -> int:
+        """2A object-store ops per round: each compute publishes one
+        packed buffer; every apply receives all A refs and slices its
+        own segment (zero-copy plasma reads on shared nodes)."""
         import ray
 
-        outs = [
-            getattr(a, compute_name).options(num_returns=self.A).remote()
-            if self.A > 1 else [getattr(a, compute_name).remote()]
-            for a in self.actors
-        ]
+        outs = [getattr(a, compute_name).remote() for a in self.actors]
         changed = ray.get(
             [
-                getattr(self.actors[b], apply_name).remote(
-                    *[outs[a][b] for a in range(self.A)]
-                )
+                getattr(self.actors[b], apply_name).remote(*outs)
                 for b in range(self.A)
             ]
         )
@@ -360,6 +384,16 @@ class LabelCSR:
                              checkpoint_dir: str | None = None,
                              checkpoint_every: int = 0, resume: bool = False,
                              collect_state: bool = True):
+        """Hash-min label closure: rounds ~ graph DIAMETER + 1 (labels
+        move one hop per superstep — a path graph of N vertices takes N
+        rounds, see tests/test_labels_csr.py path-graph stress).  Web
+        link graphs have small diameters so this is the right default;
+        for pathological high-diameter inputs the standard mitigation
+        is pointer-doubling / star-contraction (two-phase
+        large-star/small-star a la Kiveris et al., "Connected
+        Components in MapReduce and Beyond") which cuts rounds to
+        O(log N) at the cost of mutating the edge set each round — out
+        of scope here, raise ``max_rounds`` instead."""
         from .components import ComponentsResult
 
         rounds, hist = self._resume(checkpoint_dir, resume)

@@ -416,10 +416,12 @@ def jaccard_verified_pairs(docs_ds, threshold: float = 0.8, k: int = 5,
 
     Verification is distributed end to end: only the candidate id set
     (small by construction — LSH has already pruned the N^2 space) is
-    broadcast so each batch re-shingles its candidate docs; the shingle
-    sets are then attached to the pairs by two co-grouped joins and
-    intersected per partition (sorted-array intersect, C per pair) —
-    no shingle set ever lands on the driver.
+    broadcast so each batch re-shingles its candidate docs; pairs are
+    partitioned by ``a % G`` and each candidate doc's shingle set is
+    routed to exactly the partitions whose pairs reference it (the
+    distinct (doc, partition) demand set) — once per partition, never
+    once per pair — then intersected per partition (sorted-array
+    intersect, C per pair).  No shingle set ever lands on the driver.
     """
     import ray
     import ray.data as rd
@@ -463,42 +465,109 @@ def jaccard_verified_pairs(docs_ds, threshold: float = 0.8, k: int = 5,
     sh_ds = docs_ds.map_batches(shingles_of_candidates,
                                 batch_format="pyarrow")
     sh_t = pa.list_(pa.int64())
-    p1 = cogroup_attach(pairs, "a", sh_ds, id_col, "shingles", "sh_a",
-                        _PAIRS_SCHEMA, sh_t, num_groups)
-    s1 = _PAIRS_SCHEMA.append(pa.field("sh_a", sh_t))
-    p2 = cogroup_attach(p1, "b", sh_ds, id_col, "shingles", "sh_b",
-                        s1, sh_t, num_groups)
 
-    def verify(batch: pa.Table) -> pa.Table:
+    # Pair verification is partitioned by the PAIR's coarse key
+    # (a % G); a doc's shingle set is shipped once per (doc, partition)
+    # that references it — NOT once per pair (the old two-join shape
+    # re-shuffled sh_a attached to every pair row, so a doc in j
+    # candidate pairs moved its shingles j times).  `needs` is the
+    # distinct (doc, partition) demand set, distributed end to end.
+    from .agg import coarse_distinct
+
+    G = num_groups
+
+    def need_rows(b: pa.Table) -> pa.Table:
+        av = b["a"].to_numpy(zero_copy_only=False)
+        bv = b["b"].to_numpy(zero_copy_only=False)
+        part = av % G
+        # routing column is named vpart: coarse_distinct adds its own
+        # internal "part" key and the names must not collide
+        return pa.table({
+            id_col: pa.array(np.concatenate([av, bv]), pa.int64()),
+            "vpart": pa.array(np.concatenate([part, part]), pa.int64()),
+        })
+
+    needs = coarse_distinct(
+        pairs.map_batches(need_rows, batch_format="pyarrow"),
+        [id_col, "vpart"], num_groups=G,
+    )
+    needs_schema = pa.schema([(id_col, pa.int64()), ("vpart", pa.int64())])
+    sh_routed = cogroup_attach(needs, id_col, sh_ds, id_col, "shingles",
+                               "shingles", needs_schema, sh_t, G)
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        av = b["a"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vpart": pa.array(av % G, pa.int64()),
+            "kind": pa.array(np.zeros(b.num_rows, np.int64)),
+            "a": b["a"], "b": b["b"],
+            id_col: pa.nulls(b.num_rows, pa.int64()),
+            "shingles": pa.nulls(b.num_rows, sh_t),
+        })
+
+    def tag_shingles(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vpart": b["vpart"],
+            "kind": pa.array(np.ones(b.num_rows, np.int64)),
+            "a": pa.nulls(b.num_rows, pa.int64()),
+            "b": pa.nulls(b.num_rows, pa.int64()),
+            id_col: b[id_col], "shingles": b["shingles"],
+        })
+
+    both = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sh_routed.map_batches(tag_shingles, batch_format="pyarrow")
+    )
+    empty_ref = empty
+
+    def verify_group(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        n = batch.num_rows
-        la = batch["sh_a"].combine_chunks()
-        lb = batch["sh_b"].combine_chunks()
+        kmask = pc.equal(t["kind"], 1)
+        sh = t.filter(kmask)
+        prs = t.filter(pc.invert(kmask))
+        if prs.num_rows == 0:
+            return empty_ref
+        ids = sh[id_col].to_numpy(zero_copy_only=False)
+        lst = sh["shingles"].combine_chunks()
         # flatten() respects slice offsets (raw .values would not)
-        fa = la.flatten().to_numpy(zero_copy_only=False)
-        fb = lb.flatten().to_numpy(zero_copy_only=False)
-        offa = np.r_[0, np.cumsum(
-            pc.list_value_length(la).to_numpy(zero_copy_only=False))]
-        offb = np.r_[0, np.cumsum(
-            pc.list_value_length(lb).to_numpy(zero_copy_only=False))]
+        flat = lst.flatten().to_numpy(zero_copy_only=False)
+        off = np.r_[0, np.cumsum(
+            pc.list_value_length(lst).to_numpy(zero_copy_only=False))]
+        order = np.argsort(ids, kind="stable")
+        sid = ids[order]
+        av = prs["a"].to_numpy(zero_copy_only=False)
+        bv = prs["b"].to_numpy(zero_copy_only=False)
+        ia = np.clip(np.searchsorted(sid, av), 0, max(len(sid) - 1, 0))
+        ib = np.clip(np.searchsorted(sid, bv), 0, max(len(sid) - 1, 0))
+        if len(av) and (len(sid) == 0
+                        or not np.array_equal(sid[ia], av)
+                        or not np.array_equal(sid[ib], bv)):
+            raise ValueError(
+                "jaccard_verified_pairs: candidate doc missing from "
+                "shingle partition"
+            )
+        ra, rb = order[ia], order[ib]
+        n = len(av)
         jac = np.empty(n, dtype=np.float64)
         for i in range(n):  # per-pair, but each step is one C intersect
-            sa = fa[offa[i]:offa[i + 1]]
-            sb = fb[offb[i]:offb[i + 1]]
+            sa = flat[off[ra[i]]:off[ra[i] + 1]]
+            sb = flat[off[rb[i]]:off[rb[i] + 1]]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac[i] = inter / union if union else 1.0
         keep = jac >= threshold
         return pa.table(
             {
-                "a": batch["a"].filter(pa.array(keep)),
-                "b": batch["b"].filter(pa.array(keep)),
+                "a": prs["a"].filter(pa.array(keep)),
+                "b": prs["b"].filter(pa.array(keep)),
                 "jaccard": pa.array(jac[keep], pa.float64()),
             }
         )
 
-    return p2.map_batches(verify, batch_format="pyarrow")
+    return (
+        both.groupby("vpart")
+        .map_groups(verify_group, batch_format="pyarrow")
+    )
 
 
 # ---- SimHash ---------------------------------------------------------------

@@ -106,3 +106,26 @@ def test_csr_cc_on_built_graph_matches_broadcast():
     eng.shutdown()
     np.testing.assert_array_equal(got.labels, bcast.labels)
     assert got.rounds == bcast.rounds
+
+
+def test_csr_cc_path_graph_high_diameter():
+    """Round-count stress on a diameter-(N-1) path graph: hash-min
+    moves labels ONE hop per superstep, so a path of N vertices needs
+    N-1 rounds to converge plus one to observe no change.  Documents
+    the linear-diameter behavior called out in the
+    ``connected_components`` docstring (web graphs have small
+    diameters; pathological inputs need pointer-doubling, out of
+    scope).  Also checks per-round change counts shrink monotonically
+    to zero (each round settles exactly one more vertex tail)."""
+    n = 512
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    und = undirect(_ds(src, dst))
+    eng = LabelCSR(und, n, num_partitions=4, num_actors=2)
+    got = eng.connected_components(max_rounds=n + 2)
+    eng.shutdown()
+    assert np.array_equal(got.labels, np.zeros(n, dtype=np.int64))
+    assert got.rounds == n  # (n-1) hops + the terminal no-change round
+    assert got.changed_per_round[-1] == 0
+    assert all(a >= b for a, b in zip(got.changed_per_round,
+                                      got.changed_per_round[1:]))
