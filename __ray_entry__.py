@@ -152,6 +152,28 @@ def _q_minhash_pairs(sf_dir: str):
     return verify_pairs_by_signature(pairs, sigs, threshold=0.7)
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    """Pairs are not transitive — production dedup unions them into
+    connected components and keeps min-id per cluster.  Composes the
+    MinHash-LSH pair pipeline (same parameters as ``minhash_dup_pairs``)
+    with the hash-min CC superstep engine."""
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_clusters,
+        verify_pairs_by_signature,
+    )
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    sigs = minhash_signatures(docs, num_perm=64).materialize()
+    pairs = lsh_candidate_pairs(sigs, num_perm=64, bands=16)
+    verified = verify_pairs_by_signature(pairs, sigs, threshold=0.7)
+    return near_dup_clusters(verified, n_docs)
+
+
 def _q_jaccard_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -320,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
         "minhash_dup_pairs": _q_minhash_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_dup_pairs": _q_simhash_pairs,
         "ngram_jaccard_dup_pairs": _q_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -583,6 +606,27 @@ GROUP BY lbl_min
 """
 
 
+def _near_dup_clusters_oracle_sql() -> str:
+    """Connected-component closure over the minhash-verified pair set:
+    the full minhash oracle runs as a subquery, its pairs symmetrize
+    into an edge list, and a recursive label-propagation CTE (same
+    shape as ``_CC_SIZES_SQL``) computes each doc's minimum reachable
+    id — exactly the engine's hash-min fixpoint.  Singleton docs keep
+    themselves via the non-recursive seed over ``documents``."""
+    base = _minhash_oracle_sql()
+    return f"""
+WITH RECURSIVE
+p AS (SELECT a, b FROM ({base}) mh),
+und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+r AS (
+  SELECT doc_id AS v, doc_id AS lbl FROM documents
+  UNION
+  SELECT und.dst AS v, r.lbl FROM r JOIN und ON und.src = r.v
+)
+SELECT v AS doc_id, min(lbl) AS keeper FROM r GROUP BY v
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from dxa_pagerank_ray.pipelines import relational as rel
     from dxa_pagerank_ray.pipelines import testdata_graph as tg
@@ -599,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_sizes": _CC_SIZES_SQL,
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
         "minhash_dup_pairs": _minhash_oracle_sql(),
+        "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "simhash_dup_pairs": _simhash_oracle_sql(),
         "embedding_near_dups": _EMBEDDING_NEAR_DUPS_SQL,
         "doc_lang_id": _lang_id_oracle_sql(),

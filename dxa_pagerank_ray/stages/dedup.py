@@ -920,3 +920,53 @@ def embedding_near_dups_lsh(emb_ds, threshold: float = 0.95,
     from .agg import coarse_agg
 
     return coarse_agg(pairs, ["a", "b"], [("cosine", "min", "cosine")])
+
+
+# ---- near-dup clustering (keeper per connected component) ------------------
+
+
+def near_dup_clusters(pairs_ds, num_docs: int,
+                      a_col: str = "a", b_col: str = "b",
+                      num_partitions: int | None = None) -> pa.Table:
+    """Near-dup PAIRS -> per-doc cluster keeper: ``(doc_id, keeper)``
+    where ``keeper`` is the minimum doc id in the doc's connected
+    component of the pair graph (docs in no pair keep themselves).
+
+    This is the step production dedup actually ends with: pairwise
+    near-dup relations are not transitive, so "drop every doc that
+    appears as ``b``" over-deletes (a-b and b-c pairs would drop c even
+    if a-c are unrelated) — the standard resolution (and the
+    reference-free one) is to union pairs into clusters and keep one
+    representative per cluster.
+
+    Runs the hash-min CC superstep engine over the pair graph:
+    broadcast tier below ``BROADCAST_VERTEX_LIMIT`` docs, pinned CSR
+    shard actors above it (same size dispatch as the graph queries).
+    Requires dense integer doc ids in ``[0, num_docs)`` — sparse or
+    hashed id spaces go through ``stages.ids.assign_dense_ids`` first.
+    """
+    from ..context import BROADCAST_VERTEX_LIMIT
+    from ..pipelines.superstep import undirect
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b[a_col], "dst": b[b_col]})
+
+    edges = pairs_ds.select_columns([a_col, b_col]) \
+        .map_batches(as_edges, batch_format="pyarrow")
+    if num_docs <= BROADCAST_VERTEX_LIMIT:
+        from ..pipelines.components import connected_components
+
+        labels = connected_components(edges, num_docs).labels
+    else:  # pragma: no cover - exercised at bench scale
+        from ..pipelines.labels_csr import LabelCSR
+
+        eng = LabelCSR(undirect(edges), num_docs,
+                       num_partitions=num_partitions)
+        try:
+            labels = eng.connected_components().labels
+        finally:
+            eng.shutdown()
+    return pa.table({
+        "doc_id": pa.array(np.arange(num_docs, dtype=np.int64), pa.int64()),
+        "keeper": pa.array(labels, pa.int64()),
+    })

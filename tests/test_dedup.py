@@ -299,3 +299,56 @@ def test_simhash_giant_bucket_bounded_memory():
     assert (17, 4242, 0) in set(zip(d["a"], d["b"], d["hamming"]))
     # ~10 tile-sized uint64/int64 temporaries; 50M-pair triu would be >1e9
     assert peak < 30 * _PAIR_TILE * _PAIR_TILE * 8
+
+
+def test_near_dup_clusters_union_find_oracle():
+    """Chained pairs (0-1, 1-2), a separate pair (5-6), singletons
+    elsewhere — keeper must be the transitive-closure min, which plain
+    per-pair dropping gets wrong (2 relates to 0 only through 1)."""
+    from dxa_pagerank_ray.stages.dedup import near_dup_clusters
+
+    n = 8
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([0, 1, 5], pa.int64()),
+        "b": pa.array([1, 2, 6], pa.int64()),
+    }))
+    got = near_dup_clusters(pairs, n)
+    # union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in [(0, 1), (1, 2), (5, 6)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = np.array([find(v) for v in range(n)], dtype=np.int64)
+    assert got["doc_id"].to_pylist() == list(range(n))
+    np.testing.assert_array_equal(
+        np.asarray(got["keeper"].to_pylist()), expected)
+
+
+def test_near_dup_clusters_end_to_end_planted():
+    """Full pipeline over the planted corpus: each original clusters
+    with its near-dup (keeper = original's id); filler docs stay
+    singletons."""
+    from dxa_pagerank_ray.stages.dedup import (
+        near_dup_clusters,
+        verify_pairs_by_signature,
+    )
+
+    docs = _docs_with_dups()
+    ds = rd.from_arrow(docs).repartition(3)
+    sigs = minhash_signatures(ds, num_perm=64).materialize()
+    pairs = lsh_candidate_pairs(sigs, num_perm=64, bands=16)
+    verified = verify_pairs_by_signature(pairs, sigs, threshold=0.7)
+    got = near_dup_clusters(verified, docs.num_rows)
+    keeper = dict(zip(got["doc_id"].to_pylist(), got["keeper"].to_pylist()))
+    for i in range(3):
+        assert keeper[3 * i] == 3 * i
+        assert keeper[3 * i + 1] == 3 * i      # near-dup joins original
+        assert keeper[3 * i + 2] == 3 * i + 2  # filler stays singleton
