@@ -27,10 +27,23 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..context import derive_num_groups
+from ..context import derive_num_groups, estimate_size_bytes
 
 # combiner for each partial kind: counts combine by SUM
 _COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+# Inputs whose metadata-estimated size fits ONE coarse group take a
+# fast path: map-side partials -> repartition(1) -> one final combine.
+# Ray's sort-shuffle has seconds of fixed cost (sampling + G x blocks
+# exchange tasks) that dominates small inputs — measured 3.0s -> 1.0s
+# on the 1.5 MB sf0.1 documents table; at scale the estimate exceeds
+# the threshold and the general coarse-partition path is unchanged.
+_ONE_GROUP_BYTES = 64 << 20
+
+
+def _fits_one_group(ds) -> bool:
+    est = estimate_size_bytes(ds)
+    return est is not None and est <= _ONE_GROUP_BYTES
 
 
 def _part_for(col: pa.ChunkedArray | pa.Array, G: int) -> np.ndarray:
@@ -58,7 +71,8 @@ def coarse_agg(ds, keys: list[str], specs, num_groups: int | None = None):
     """``SELECT keys, agg(col) AS out GROUP BY keys`` for
     HIGH-CARDINALITY keys.  ``specs``: list of ``(col, kind, out)``
     with kind in sum|min|max|count (col ignored for count)."""
-    G = num_groups or derive_num_groups(ds)
+    small = num_groups is None and _fits_one_group(ds)
+    G = 1 if small else (num_groups or derive_num_groups(ds))
     partial_specs = [(out, kind, out) for _, kind, out in specs]
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -69,29 +83,44 @@ def coarse_agg(ds, keys: list[str], specs, num_groups: int | None = None):
                 if kind == "count" else batch[c]
             )
         g = _group_combine(pa.table(cols), keys, partial_specs)
+        if small:
+            return g
         return g.append_column(
             "part", pa.array(_part_for(g[keys[0]], G), pa.int64())
         )
 
     def combine(t: pa.Table) -> pa.Table:
-        return _group_combine(t.drop_columns(["part"]), keys, partial_specs)
+        if not small:
+            t = t.drop_columns(["part"])
+        return _group_combine(t, keys, partial_specs)
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("part").map_groups(combine, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if small:
+        return partials.repartition(1) \
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    return partials.groupby("part").map_groups(combine, batch_format="pyarrow")
 
 
 def coarse_distinct(ds, keys: list[str], num_groups: int | None = None):
     """Exact DISTINCT on ``keys`` at any cardinality (same shape)."""
-    G = num_groups or derive_num_groups(ds)
+    small = num_groups is None and _fits_one_group(ds)
+    G = 1 if small else (num_groups or derive_num_groups(ds))
 
     def partial(batch: pa.Table) -> pa.Table:
         g = pa.table({k: batch[k] for k in keys}).group_by(keys).aggregate([])
+        if small:
+            return g
         return g.append_column(
             "part", pa.array(_part_for(g[keys[0]], G), pa.int64())
         )
 
     def combine(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["part"]).group_by(keys).aggregate([])
+        if not small:
+            t = t.drop_columns(["part"])
+        return t.group_by(keys).aggregate([])
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("part").map_groups(combine, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if small:
+        return partials.repartition(1) \
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    return partials.groupby("part").map_groups(combine, batch_format="pyarrow")

@@ -1,0 +1,68 @@
+"""coarse_agg / coarse_distinct: small-input fast path vs general path.
+
+The fast path (metadata-estimated input <= one coarse group) skips the
+part-key sort entirely — these tests pin that both shapes produce the
+same relation, and that the fast path is actually taken for tiny
+in-memory inputs.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dxa_pagerank_ray.stages.agg import (
+    _fits_one_group,
+    coarse_agg,
+    coarse_distinct,
+)
+
+
+def _rows(ds, cols):
+    t = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows]
+    )
+    return sorted(zip(*[t[c].to_pylist() for c in cols]))
+
+
+def _input(n=5000, reps=7):
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, n // reps, n)
+    vals = rng.integers(0, 1000, n)
+    return pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })
+
+
+def test_coarse_agg_fast_path_matches_general(ray_session):
+    t = _input()
+    specs = [("v", "sum", "v_sum"), ("v", "min", "v_min"),
+             ("v", "count", "n")]
+    fast_ds = rd.from_arrow(t).repartition(4)
+    assert _fits_one_group(fast_ds)  # tiny input -> fast path taken
+    fast = _rows(coarse_agg(fast_ds, ["k"], specs),
+                 ["k", "v_sum", "v_min", "n"])
+    general = _rows(
+        coarse_agg(rd.from_arrow(t).repartition(4), ["k"], specs,
+                   num_groups=8),
+        ["k", "v_sum", "v_min", "n"])
+    assert fast == general
+    # spot-check against numpy
+    k = t["k"].to_numpy()
+    v = t["v"].to_numpy()
+    k0 = fast[0][0]
+    m = k == k0
+    assert fast[0] == (k0, int(v[m].sum()), int(v[m].min()), int(m.sum()))
+
+
+def test_coarse_distinct_fast_path_matches_general(ray_session):
+    t = _input()
+    fast = _rows(coarse_distinct(rd.from_arrow(t).repartition(4), ["k", "v"]),
+                 ["k", "v"])
+    general = _rows(
+        coarse_distinct(rd.from_arrow(t).repartition(4), ["k", "v"],
+                        num_groups=8),
+        ["k", "v"])
+    assert fast == general
+    assert fast == sorted(set(zip(t["k"].to_pylist(), t["v"].to_pylist())))
