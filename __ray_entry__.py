@@ -192,6 +192,14 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_dups(docs, max_hamming=3, bands=4)
 
 
+# The synthetic embeddings have max pairwise cosine ~0.51 (clusters
+# are loose), so the production default of 0.95 returns zero rows at
+# every sf — a trivially-empty check.  The driver queries run at 0.4
+# instead so the bucket routing, in-bucket matmul and pair dedup are
+# exercised on real rows; the stages' own default stays 0.95.
+_EMB_NEAR_DUP_THR = 0.4
+
+
 def _q_embedding_near_dups(sf_dir: str):
     import ray.data as rd
 
@@ -202,7 +210,8 @@ def _q_embedding_near_dups(sf_dir: str):
     # int columns only: the DuckDB oracle recomputes the cosine, and
     # float columns would make the value-hash sensitive to summation
     # order inside the dot product
-    return embedding_near_dups(emb, threshold=0.95).select(["a", "b"])
+    return embedding_near_dups(emb, threshold=_EMB_NEAR_DUP_THR).select(
+        ["a", "b"])
 
 
 def _q_embedding_near_dups_lsh(sf_dir: str):
@@ -212,9 +221,8 @@ def _q_embedding_near_dups_lsh(sf_dir: str):
 
     emb = _rpq(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    return embedding_near_dups_lsh(emb, threshold=0.95).select_columns(
-        ["a", "b"]
-    )
+    return embedding_near_dups_lsh(
+        emb, threshold=_EMB_NEAR_DUP_THR).select_columns(["a", "b"])
 
 
 _MEDIA_N = 256  # deterministic on-disk media fixture (seed 42);
@@ -262,6 +270,70 @@ def _media_expected_dir() -> str:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+# driver-gate scale factor: the graft driver runs queries() vs
+# oracle_sql() side-by-side at sf=0.01, so the sequential-reference
+# oracles below (same pattern as the media family) are materialized
+# from that directory's tables
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_SEQ_EXPECTED_V = 1  # bump to invalidate the cached expected dir
+
+
+def _seq_expected_dir() -> str:
+    """Sequential no-Ray references for the approximate/iterative
+    queries (``oracles.ann_reference``), materialized once as parquet:
+    ann_lsh_top10, ann_ivf_top10, embedding_near_dups_lsh,
+    pagerank_top20.  A hash match proves the distributed runs are
+    partition- and execution-order-independent; outputs are
+    integer-only so ~ulp BLAS differences cannot flip the hash."""
+    import os
+
+    path = f"/tmp/dxa_seq_expected_sf001_v{_SEQ_EXPECTED_V}"
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dxa_pagerank_ray.oracles.ann_reference import (
+        embedding_near_dups_lsh_reference,
+        ivf_topk_reference,
+        lsh_topk_reference,
+        pagerank_top20_reference,
+    )
+
+    emb = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    q, qids = _load_queries(_ORACLE_SF_DIR)
+    # customer_edges' dedup'd edge list straight from SQL (the edge
+    # construction itself is SQL-checked via edges_dedup/cc oracles)
+    edges = duckdb.connect().execute(f"""
+        SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
+        FROM read_parquet('{_ORACLE_SF_DIR}/orders.parquet')
+        WHERE o_custkey <> o_orderkey % 1500
+    """).fetch_arrow_table()
+    src = edges["src"].to_numpy().astype(np.int64)
+    dst = edges["dst"].to_numpy().astype(np.int64)
+    n = int(max(src.max(), dst.max())) + 1
+    tables = {
+        "ann_lsh_top10": lsh_topk_reference(emb, q, qids, k=10),
+        "ann_ivf_top10": ivf_topk_reference(emb, q, qids, k=10,
+                                            n_centroids=16, nprobe=6),
+        "embedding_near_dups_lsh": embedding_near_dups_lsh_reference(
+            emb, threshold=_EMB_NEAR_DUP_THR),
+        "pagerank_top20": pagerank_top20_reference(src, dst, n, k=20),
+    }
+    tmp = f"{path}.tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for name, t in tables.items():
+        pq.write_table(t, f"{tmp}/{name}.parquet")
+    try:
+        os.rename(tmp, path)
+    except OSError:  # lost a concurrent race — expected dir exists
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
@@ -575,11 +647,11 @@ WHERE bit_count(xor(CAST(sa AS UBIGINT), CAST(sb AS UBIGINT)))
 """
 
 
-_EMBEDDING_NEAR_DUPS_SQL = """
+_EMBEDDING_NEAR_DUPS_SQL = f"""
 SELECT x.vec_id AS a, y.vec_id AS b
 FROM embeddings x JOIN embeddings y ON y.vec_id > x.vec_id
 WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                             CAST(y.embedding AS DOUBLE[])) >= 0.95
+                             CAST(y.embedding AS DOUBLE[])) >= {_EMB_NEAR_DUP_THR}
 """
 
 # Connected components as a recursive min-label closure: r holds every
@@ -690,6 +762,27 @@ SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         # ops are bit-deterministic, so a hash match proves the
         # distributed fixture writer + actor-pool run are
         # partition-independent
+        # approximate / iterative family: sequential single-batch
+        # references (dxa_pagerank_ray.oracles.ann_reference)
+        # materialized as parquet — integer-only outputs, so a hash
+        # match proves the distributed bucketing/sampling/merge is
+        # partition-independent
+        "ann_lsh_top10": (
+            "SELECT * FROM "
+            f"read_parquet('{_seq_expected_dir()}/ann_lsh_top10.parquet')"
+        ),
+        "ann_ivf_top10": (
+            "SELECT * FROM "
+            f"read_parquet('{_seq_expected_dir()}/ann_ivf_top10.parquet')"
+        ),
+        "embedding_near_dups_lsh": (
+            "SELECT * FROM read_parquet("
+            f"'{_seq_expected_dir()}/embedding_near_dups_lsh.parquet')"
+        ),
+        "pagerank_top20": (
+            "SELECT * FROM "
+            f"read_parquet('{_seq_expected_dir()}/pagerank_top20.parquet')"
+        ),
         "media_decode": (
             "SELECT * FROM "
             f"read_parquet('{_media_expected_dir()}/media_decode.parquet')"

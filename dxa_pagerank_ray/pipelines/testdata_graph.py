@@ -143,18 +143,26 @@ def q_triangle_count_shuffle(sf_dir: str):
 
 def q_pagerank_top20(sf_dir: str):
     """Top-20 customer-graph vertices by lump PageRank (1e-8
-    convergence) on the pinned CSR engine; no SQL oracle (iterative) —
-    conformance is the numpy oracle in tests/test_entry_oracle.py."""
+    convergence) on the pinned CSR engine.  Output is (v, rank) —
+    integer-only so the driver's value hash is immune to the ~ulp
+    summation-order differences between the engine's p-ordered
+    reduction and the numpy reference (oracle: an expected-parquet
+    scan of ``oracles.ann_reference.pagerank_top20_reference`` over
+    the SQL-derived edge list; pr VALUES are hash-checked separately
+    through ``pagerank_fixed4``'s integer-nano window)."""
     from .pagerank_csr import PageRankCSR
 
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
     eng = PageRankCSR(edges, n, num_partitions=8, damping=0.85)
     eng.run(threshold=1e-8, max_rounds=200, collect_state=False)
-    ids, vals = eng.top_k(20)  # distributed per-shard top-k + merge
+    ids, _vals = eng.top_k(20)  # distributed per-shard top-k + merge
     eng.shutdown()
-    return pa.table({"v": pa.array(ids, pa.int64()),
-                     "pr": pa.array(vals, pa.float64())})
+    return pa.table({
+        "v": pa.array(ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64),
+                         pa.int64()),
+    })
 
 
 def q_pagerank_fixed4(sf_dir: str):

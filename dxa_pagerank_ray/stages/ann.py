@@ -181,20 +181,28 @@ def lsh_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     return _merge_topk(parts, qids, k)
 
 
-def train_ivf_centroids(emb_ds, n_centroids: int = 16, sample_n: int = 4096,
-                        iters: int = 10, seed: int = 7,
-                        vec_col: str = "embedding") -> np.ndarray:
-    """Spherical k-means on a driver-side sample -> (C, d) unit
-    centroids.  The sample is a bounded ``limit()`` read (the training
-    set stays O(sample_n) regardless of dataset size); at 100 TB the
-    same code trains on a pushed-down sampled read."""
-    batches = list(
-        emb_ds.limit(sample_n).iter_batches(batch_size=sample_n,
-                                            batch_format="pyarrow")
-    )
-    m = _normalize(
-        np.concatenate([_to_matrix(b[vec_col]) for b in batches], axis=0)
-    )
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain, Vigna) — vectorized uint64
+    mix used as a deterministic pseudo-random order on integer ids."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _sample_order(ids: np.ndarray, sample_n: int) -> np.ndarray:
+    """Row indices of the ``sample_n`` smallest ``(_mix64(id), id)``
+    keys, in that key order — a partition- and execution-order-
+    independent pseudo-random sample selection."""
+    h = _mix64(ids)
+    return np.lexsort((ids, h))[:sample_n]
+
+
+def _kmeans(m: np.ndarray, n_centroids: int, iters: int,
+            seed: int) -> np.ndarray:
+    """Spherical k-means on a fixed (n, d) unit matrix — pure numpy,
+    bit-deterministic given ``m``'s exact row order (shared by the
+    distributed trainer and the sequential driver-oracle reference)."""
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
     for _ in range(iters):
@@ -205,6 +213,41 @@ def train_ivf_centroids(emb_ds, n_centroids: int = 16, sample_n: int = 4096,
                 cents[c] = sel.mean(axis=0)
         cents = _normalize(cents)
     return cents
+
+
+def train_ivf_centroids(emb_ds, n_centroids: int = 16, sample_n: int = 4096,
+                        iters: int = 10, seed: int = 7,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means on a DETERMINISTIC bounded sample -> (C, d)
+    unit centroids.  Each batch pre-selects its ``sample_n`` smallest
+    ``(_mix64(id), id)`` rows (so at most sample_n vectors per batch
+    reach the driver); the driver merges to the global smallest
+    ``sample_n`` in key order.  The selected set AND its training
+    order are functions of the ids alone — independent of
+    partitioning, block arrival order, and parallelism — which makes
+    the centroids (and every downstream cell assignment)
+    bit-reproducible across runs and cluster shapes.  A plain
+    ``limit()`` sample here would vary with the streaming executor's
+    block order under ``preserve_order=False``."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(_sample_order(ids, sample_n)))
+
+    batches = [
+        b for b in emb_ds.select_columns([id_col, vec_col])
+        .map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not batches:
+        raise ValueError("train_ivf_centroids: empty embedding dataset")
+    t = pa.concat_tables(batches)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = _sample_order(ids, sample_n)
+    m = _normalize(_to_matrix(t[vec_col])[order])
+    return _kmeans(m, n_centroids, iters, seed)
 
 
 def ivf_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
@@ -220,7 +263,7 @@ def ivf_topk(emb_ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     if centroids is None:
         centroids = train_ivf_centroids(emb_ds, n_centroids, seed=seed,
-                                        vec_col=vec_col)
+                                        id_col=id_col, vec_col=vec_col)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     # per-query probe lists: nprobe nearest centroids
     probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
