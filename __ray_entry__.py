@@ -66,6 +66,75 @@ def _q_doc_token_counts(sf_dir: str):
     return token_counts(docs)
 
 
+def _q_top_terms(sf_dir: str):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import top_terms
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return top_terms(docs, k=50)
+
+
+_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, count(*) AS n FROM toks WHERE term <> '' GROUP BY term)
+SELECT term, n FROM cnt ORDER BY n DESC, term ASC LIMIT 50
+"""
+
+
+def _q_docs_sample(sf_dir: str):
+    from dxa_pagerank_ray.stages.sampling import hash_sample
+
+    docs = _rpq(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "n_chars"])
+    return hash_sample(docs, fraction=0.25, seed=42)
+
+
+def _q_docs_split_counts(sf_dir: str):
+    from dxa_pagerank_ray.stages.agg import coarse_agg
+    from dxa_pagerank_ray.stages.sampling import hash_split
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    tagged = hash_split(docs, holdout_fraction=0.1, seed=7)
+    return coarse_agg(tagged, ["split"], [("doc_id", "count", "n")])
+
+
+def _sample_hash_sql(id_expr: str, seed: int) -> str:
+    """splitmix64 of ``id_expr`` at stream position seed+1, in HUGEINT
+    (same 32-bit-split modular-multiply emulation as the minhash
+    oracle) — mirrors ``stages.sampling.sample_hash`` bit-for-bit."""
+    M64, M32 = "18446744073709551616", "4294967296"
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    INC = ((seed + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+
+    def mm(h, c):
+        return (f"((({h}) % {M32}) * {c} + "
+                f"((({h}) // {M32}) * {c} % {M32}) * {M32}) % {M64}")
+
+    def xs(h, s):
+        return (f"CAST(xor(CAST(({h}) AS UBIGINT), "
+                f"CAST(({h}) AS UBIGINT) >> {s}) AS HUGEINT)")
+
+    h0 = f"(CAST({id_expr} AS HUGEINT) + {INC}) % {M64}"
+    return xs(mm(xs(mm(xs(h0, 30), C1), 27), C2), 31)
+
+
+def _docs_sample_oracle_sql() -> str:
+    cut = min(int(0.25 * (1 << 64)), (1 << 64) - 1)
+    return (f"SELECT doc_id, n_chars FROM documents "
+            f"WHERE {_sample_hash_sql('doc_id', 42)} < {cut}")
+
+
+def _docs_split_oracle_sql() -> str:
+    cut = min(int(0.1 * (1 << 64)), (1 << 64) - 1)
+    return (f"SELECT CASE WHEN {_sample_hash_sql('doc_id', 7)} < {cut} "
+            "THEN 'holdout' ELSE 'train' END AS split, "
+            "count(*) AS n FROM documents GROUP BY 1")
+
+
 def _q_doc_quality(sf_dir: str):
     import ray.data as rd
 
@@ -409,6 +478,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
+        "top_terms": _q_top_terms,
+        "docs_sample": _q_docs_sample,
+        "docs_split_counts": _q_docs_split_counts,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "ann_cosine_top10": _q_ann_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
@@ -494,7 +566,8 @@ FROM documents x JOIN documents y
 """
 
 def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
-                        seed: int = 1, threshold: float = 0.7) -> str:
+                        seed: int = 1, threshold: float = 0.7,
+                        src: str = "documents") -> str:
     """Full MinHash+LSH near-dup oracle in ONE SQL statement, generated
     from the engine's OWN constants (splitmix64 finisher, FNV polynomial
     shingle hash, multiply-shift permutation coefficients inlined as
@@ -537,7 +610,7 @@ def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
     rpb = num_perm // bands
     return f"""
 WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i.i AS INTEGER), {k}) AS g
-            FROM documents,
+            FROM {src},
                  unnest(range(1, greatest(length(text) - {k - 2}, 2))) AS i(i)
             WHERE length(text) > 0),
 pw(j, pj) AS (VALUES {powvals}),
@@ -554,7 +627,7 @@ m AS (SELECT doc_id, p, min(({mm('x', 'pa')} + pb) % {M64}) AS mv
       FROM hv CROSS JOIN perm GROUP BY doc_id, p
       UNION ALL
       SELECT d.doc_id, perm.p, 0::HUGEINT AS mv
-      FROM documents d CROSS JOIN perm WHERE length(d.text) = 0),
+      FROM {src} d CROSS JOIN perm WHERE length(d.text) = 0),
 chunk AS (SELECT doc_id, p // {rpb} AS band, array_agg(mv ORDER BY p) AS c
           FROM m GROUP BY doc_id, p // {rpb}),
 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -744,6 +817,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY text"
         ),
+        "top_terms": _TOP_TERMS_SQL,
+        "docs_sample": _docs_sample_oracle_sql(),
+        "docs_split_counts": _docs_split_oracle_sql(),
         "ann_cosine_top10": f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN ({ann_ids})),

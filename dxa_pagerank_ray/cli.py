@@ -195,6 +195,23 @@ def cmd_dedup(args) -> None:
 
         res = simhash_near_dups(docs, max_hamming=args.max_hamming)
         name = "pairs"
+    elif args.method == "cluster":
+        # minhash pairs -> connected-component keepers (one row per doc)
+        from .stages.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            near_dup_clusters,
+            verify_pairs_by_signature,
+        )
+
+        n_docs = docs.count()
+        sigs = minhash_signatures(docs, num_perm=args.num_perm).materialize()
+        pairs = lsh_candidate_pairs(sigs, num_perm=args.num_perm,
+                                    bands=args.bands)
+        verified = verify_pairs_by_signature(pairs, sigs,
+                                             threshold=args.threshold,
+                                             num_perm=args.num_perm)
+        res, name = near_dup_clusters(verified, n_docs), "clusters"
     else:  # jaccard
         from .stages.dedup import jaccard_verified_pairs
 
@@ -204,6 +221,10 @@ def cmd_dedup(args) -> None:
     import shutil
 
     shutil.rmtree(dest, ignore_errors=True)
+    if isinstance(res, pa.Table):
+        import ray.data as rd
+
+        res = rd.from_arrow(res)
     res.write_parquet(dest)
     n = sum(f.metadata.num_rows for f in _pq_files(dest))
     exec_time = time.perf_counter() - t0
@@ -275,6 +296,10 @@ def cmd_textops(args) -> None:
                 ["doc_id", "lang_pred"])
         elif op == "fingerprint":
             res = textops.fingerprints(docs)
+        elif op == "terms":
+            import ray.data as rd
+
+            res = rd.from_arrow(textops.top_terms(docs, k=args.top_k))
         else:
             raise SystemExit(f"unknown op {op!r}")
         dest = os.path.join(args.out, op)
@@ -358,13 +383,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_synth_pages)
 
-    p = sub.add_parser("dedup", help="document dedup: exact keepers or "
-                       "near-dup pairs (minhash / simhash / jaccard)")
+    p = sub.add_parser("dedup", help="document dedup: exact keepers, "
+                       "near-dup pairs (minhash / simhash / jaccard), or "
+                       "cluster = minhash pairs unioned into "
+                       "connected-component keepers")
     p.add_argument("--docs", required=True,
                    help="documents Parquet dir (doc_id, text)")
     p.add_argument("--out", required=True)
     p.add_argument("--method", required=True,
-                   choices=["exact", "minhash", "simhash", "jaccard"])
+                   choices=["exact", "minhash", "simhash", "jaccard",
+                            "cluster"])
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--num-perm", type=int, default=64)
     p.add_argument("--bands", type=int, default=16)
@@ -384,10 +412,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("textops", help="text analysis sweep "
-                       "(tokens / quality / lang / fingerprint)")
+                       "(tokens / quality / lang / fingerprint / terms)")
     p.add_argument("--docs", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--ops", default="tokens,quality,lang,fingerprint")
+    p.add_argument("--top-k", type=int, default=50,
+                   help="k for the 'terms' corpus top-k op")
     p.set_defaults(fn=cmd_textops)
     return ap
 

@@ -1,0 +1,66 @@
+"""Deterministic document sampling (graft-added training-data op).
+
+Training pipelines need reproducible down-sampling and train/holdout
+splitting that is independent of partitioning, execution order, and
+cluster size — so no RNG state, no ``Dataset.random_sample``.  Both
+ops here are pure functions of ``(id, seed)``: a splitmix64 hash of
+the id keys a Bernoulli draw, exactly mirrorable in SQL (the oracle
+emulates the same multiply/xor-shift chain in HUGEINT, the minhash-
+oracle technique).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+_INC = 0x9E3779B97F4A7C15
+
+
+def sample_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64 of ``id`` at stream position ``seed + 1`` — uniform
+    uint64, vectorized, wraparound."""
+    inc = np.uint64(((seed + 1) * _INC) % (1 << 64))
+    z = ids.astype(np.uint64) + inc
+    z = (z ^ (z >> np.uint64(30))) * _C1
+    z = (z ^ (z >> np.uint64(27))) * _C2
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_sample(ds, fraction: float, seed: int = 0, id_col: str = "doc_id"):
+    """Keep each row iff ``sample_hash(id) < fraction * 2^64`` — a
+    seeded Bernoulli sample with EXACTLY reproducible membership: the
+    same (id, seed, fraction) keeps the same row on any cluster, any
+    partitioning, any run.  Streaming filter; no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = np.uint64(min(int(fraction * (1 << 64)), (1 << 64) - 1))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(sample_hash(ids, seed) < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(ds, holdout_fraction: float, seed: int = 0,
+               id_col: str = "doc_id", out_col: str = "split"):
+    """Append ``out_col`` = 'holdout' | 'train' by the same
+    deterministic draw — disjoint, exhaustive, reproducible."""
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError(
+            f"holdout_fraction must be in [0, 1], got {holdout_fraction}")
+    cut = np.uint64(min(int(holdout_fraction * (1 << 64)), (1 << 64) - 1))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hold = sample_hash(ids, seed) < cut
+        return batch.append_column(
+            out_col,
+            pa.array(np.where(hold, "holdout", "train").tolist(),
+                     pa.string()),
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -153,6 +153,63 @@ def lang_id(docs_ds, concurrency: int = 4):
                                concurrency=(1, concurrency), batch_size=1024)
 
 
+def term_frequencies(docs_ds, text_col: str = "text",
+                     num_groups: int | None = None):
+    """Corpus-level term frequency: ``(term, n)`` over lowercased ASCII
+    ``\\w+`` tokens — the classic web-text vocabulary sweep.
+
+    Shape: Arrow C kernels lower/split/flatten the whole batch, a
+    per-batch ``value_counts`` pre-combines (map-side partial — the
+    payload leaving each batch is its distinct-term histogram, not the
+    token stream), then ``coarse_agg`` sums per term.  Term cardinality
+    scales with the corpus, so the native sort-aggregate is out
+    (stages/agg.py rationale)."""
+    import pyarrow.compute as pc
+
+    from .agg import coarse_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\W+")
+        if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counted = docs_ds.map_batches(partial, batch_format="pyarrow")
+    return coarse_agg(counted, ["term"], [("n", "sum", "n")],
+                      num_groups=num_groups)
+
+
+def top_terms(docs_ds, k: int = 50, text_col: str = "text") -> pa.Table:
+    """Top-``k`` corpus terms by frequency, ties broken term-ascending.
+    Per-partition top-k cut after the distributed count — the driver
+    merges at most (partitions x k) candidate rows, never the full
+    vocabulary."""
+    freqs = term_frequencies(docs_ds, text_col=text_col)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(batch["term"].to_pylist())
+        order = np.lexsort((terms, -n))[:k]
+        return pa.table({"term": pa.array(terms[order].tolist(), pa.string()),
+                         "n": pa.array(n[order], pa.int64())})
+
+    parts = [
+        b for b in freqs.map_batches(
+            cut, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    return cut(pa.concat_tables(parts))
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """128-bit MD5 content fingerprint (hex) — one C call per document

@@ -1,0 +1,47 @@
+"""hash_sample / hash_split: reproducibility and partition independence."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dxa_pagerank_ray.stages.sampling import hash_sample, hash_split, sample_hash
+
+
+def _ids(ds):
+    return sorted(
+        i for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        for i in b["doc_id"].to_pylist()
+    )
+
+
+def test_hash_sample_partition_independent(ray_session):
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    a = _ids(hash_sample(rd.from_arrow(t).repartition(2), 0.3, seed=5))
+    b = _ids(hash_sample(rd.from_arrow(t).repartition(13), 0.3, seed=5))
+    assert a == b
+    # matches the driver-side formula exactly
+    ids = np.arange(2000, dtype=np.int64)
+    exp = ids[sample_hash(ids, 5) < np.uint64(int(0.3 * (1 << 64)))]
+    assert a == exp.tolist()
+    # roughly the requested fraction
+    assert 0.2 < len(a) / 2000 < 0.4
+
+
+def test_hash_split_disjoint_exhaustive(ray_session):
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    out = pa.concat_tables(
+        b for b in hash_split(rd.from_arrow(t).repartition(3), 0.2, seed=9)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    assert out.num_rows == 1000
+    splits = dict(zip(out["doc_id"].to_pylist(), out["split"].to_pylist()))
+    hold = {k for k, v in splits.items() if v == "holdout"}
+    # holdout == the docs hash_sample(0.2, seed=9) would keep
+    kept = set(_ids(hash_sample(rd.from_arrow(t), 0.2, seed=9)))
+    assert hold == kept
+
+
+def test_hash_sample_fraction_edges(ray_session):
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    assert _ids(hash_sample(rd.from_arrow(t), 0.0)) == []
+    assert _ids(hash_sample(rd.from_arrow(t), 1.0)) == list(range(100))
