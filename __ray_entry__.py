@@ -243,6 +243,49 @@ def _q_near_dup_clusters(sf_dir: str):
     return near_dup_clusters(verified, n_docs)
 
 
+def _q_training_corpus(sf_dir: str):
+    """Flagship composite: language + quality filter -> MinHash-LSH
+    near-dup clustering -> keep the min-id representative per cluster.
+    Output (doc_id, lang_pred) of the kept documents."""
+    from dxa_pagerank_ray.pipelines.corpus import select_training_corpus
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return select_training_corpus(
+        docs, num_docs=docs.count(), langs=("en", "es"),
+        min_tokens=20, max_punct_ratio=0.2,
+    )
+
+
+def _corpus_oracle_sql() -> str:
+    """Composite oracle: the lang-id subquery + the quality predicates
+    + the minhash oracle over the survivor set + the recursive hash-min
+    closure — every piece reuses a generator already verified alone."""
+    lang = _lang_id_oracle_sql()
+    surv = rf"""
+SELECT d.doc_id, d.text, l.lang_pred
+FROM documents d JOIN ({lang}) l ON l.doc_id = d.doc_id
+WHERE l.lang_pred IN ('en', 'es')
+  AND len(regexp_extract_all(d.text, '\w+')) >= 20
+  AND len(regexp_extract_all(d.text, '[^\w\s]'))
+      <= 0.2 * greatest(length(d.text), 1)
+"""
+    mh = _minhash_oracle_sql(src="surv")
+    return f"""
+WITH RECURSIVE
+surv AS ({surv}),
+mhp AS (SELECT a, b FROM ({mh}) q),
+und AS (SELECT a AS src, b AS dst FROM mhp UNION SELECT b, a FROM mhp),
+r AS (
+  SELECT doc_id AS v, doc_id AS lbl FROM surv
+  UNION
+  SELECT und.dst AS v, r.lbl FROM r JOIN und ON und.src = r.v
+),
+k AS (SELECT v AS doc_id, min(lbl) AS keeper FROM r GROUP BY v)
+SELECT s.doc_id, s.lang_pred FROM surv s JOIN k ON k.doc_id = s.doc_id
+WHERE k.keeper = s.doc_id
+"""
+
+
 def _q_jaccard_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -487,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top10": _q_ann_ivf_top10,
         "minhash_dup_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
+        "training_corpus": _q_training_corpus,
         "simhash_dup_pairs": _q_simhash_pairs,
         "ngram_jaccard_dup_pairs": _q_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -789,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
         "minhash_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
+        "training_corpus": _corpus_oracle_sql(),
         "simhash_dup_pairs": _simhash_oracle_sql(),
         "embedding_near_dups": _EMBEDDING_NEAR_DUPS_SQL,
         "doc_lang_id": _lang_id_oracle_sql(),

@@ -1,0 +1,108 @@
+"""Training-corpus selection — the flagship composite pipeline.
+
+This is the end-to-end shape a web-text training-data pipeline
+actually runs: language filter -> quality filter -> near-dup
+clustering -> keep one representative per cluster.  Every stage is a
+streaming Ray Data transform already verified on its own
+(``stages.textops``, ``stages.dedup``); this module only composes them
+and pins the cross-stage contract.
+
+Scale notes: the filters run BEFORE the (shuffling) dedup stages so
+the minhash/LSH exchange only moves surviving documents; the final
+cluster-keeper table is O(total docs) on the driver here (same bound
+as ``stages.dedup.near_dup_clusters`` — at true web scale the
+``LabelCSR`` tier writes labels as partitioned parquet instead and the
+keep step becomes a co-grouped join on that output).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.textops import _PUNCT_RE, _TOKEN_RE
+
+
+def filter_quality_lang(docs_ds, langs: tuple[str, ...],
+                        min_tokens: int, max_punct_ratio: float,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Streaming doc filter: predicted language in ``langs`` (LangId
+    actor pool), token count >= ``min_tokens``, punctuation ratio <=
+    ``max_punct_ratio``.  -> (doc_id, text, lang_pred) of survivors."""
+    from ..stages.textops import lang_id
+
+    lang_set = set(langs)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        preds = batch["lang_pred"].to_pylist()
+        mask = np.zeros(len(texts), dtype=bool)
+        for i, (t, lp) in enumerate(zip(texts, preds)):
+            if lp not in lang_set:
+                continue
+            t = t or ""
+            if len(_TOKEN_RE.findall(t)) < min_tokens:
+                continue
+            if len(_PUNCT_RE.findall(t)) > max_punct_ratio * max(len(t), 1):
+                continue
+            mask[i] = True
+        return batch.filter(pa.array(mask)).select(
+            [id_col, text_col, "lang_pred"])
+
+    return lang_id(docs_ds).map_batches(keep, batch_format="pyarrow")
+
+
+def select_training_corpus(docs_ds, num_docs: int,
+                           langs: tuple[str, ...] = ("en",),
+                           min_tokens: int = 30,
+                           max_punct_ratio: float = 0.2,
+                           num_perm: int = 64, bands: int = 16,
+                           threshold: float = 0.7,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """-> (doc_id, lang_pred) of the KEPT documents: survivors of the
+    language/quality filters whose doc id is the minimum of their
+    near-dup cluster (MinHash-LSH pairs unioned by hash-min connected
+    components — exact duplicates collide in every band, so a separate
+    exact-dedup pass is subsumed).  ``num_docs`` bounds the id space
+    ([0, num_docs), dense), not the survivor count."""
+    import ray
+
+    from ..stages.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_clusters,
+        verify_pairs_by_signature,
+    )
+
+    survivors = filter_quality_lang(
+        docs_ds, langs, min_tokens, max_punct_ratio,
+        text_col=text_col, id_col=id_col,
+    ).materialize()  # read twice: signatures + final keep filter
+
+    sigs = minhash_signatures(
+        survivors.select_columns([id_col, text_col]),
+        num_perm=num_perm).materialize()
+    pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    verified = verify_pairs_by_signature(pairs, sigs, threshold=threshold,
+                                         num_perm=num_perm)
+    keeper = near_dup_clusters(verified, num_docs)["keeper"].to_numpy()
+    keeper_ref = ray.put(keeper)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = ray.get(keeper_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(k[ids] == ids)).select(
+            [id_col, "lang_pred"])
+
+    out = [
+        b for b in survivors.map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not out:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "lang_pred": pa.array([], pa.string())})
+    t = pa.concat_tables(out)
+    order = np.argsort(t[id_col].to_numpy(zero_copy_only=False))
+    return t.take(pa.array(order))
