@@ -365,6 +365,136 @@ def _media_ds():
     return _rpq(path)
 
 
+_PAGES_N = 512  # deterministic pages fixture for the host-graph query;
+# sf_dir carries no html table, so (like the media family) the query
+# reads a parquet fixture written once under /tmp by the distributed
+# generator.  The oracle is DuckDB regex over the SAME parquet — a
+# genuinely independent extraction (RE2 href scan + string resolution
+# vs the engine's HTMLParser-equivalent state machine).
+
+
+def _pages_fixture_dir() -> str:
+    import os
+
+    from dxa_pagerank_ray.sources.pages import write_pages_parquet
+
+    path = f"/tmp/dxa_pages_fixture_n{_PAGES_N}_s42"
+    if not (os.path.isdir(path) and os.listdir(path)):
+        tmp = f"{path}.tmp{os.getpid()}"
+        write_pages_parquet(tmp, _PAGES_N, seed=42, override_num_blocks=8)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a concurrent race — fixture exists
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def _q_host_graph(sf_dir: str):
+    from dxa_pagerank_ray.pipelines.graph_build import host_edges
+
+    return host_edges(_rpq(_pages_fixture_dir(), columns=["url", "html"]))
+
+
+def _host_graph_oracle_sql() -> str:
+    """Independent host-collapse oracle: RE2 ``href="..."`` scan over
+    the raw fixture html + SQL-side relative-url resolution, vs the
+    engine's state-machine extraction + ``normalize_url``.  Exact on
+    the fixture's href inventory (absolute http(s), root-relative
+    paths, ``#fragment`` and ``mailto:`` noise — the generator emits
+    nothing needing dot-segment or port normalization)."""
+    return f"""
+WITH pages AS (
+  SELECT url, decode(html) AS h
+  FROM read_parquet('{_pages_fixture_dir()}/*.parquet')
+),{_HOST_RESOLVED_CTES}
+SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+       regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
+       count(*) AS n_links
+FROM resolved GROUP BY 1, 2
+"""
+
+
+_HOST_RESOLVED_CTES = """
+hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS href
+  FROM pages
+),
+resolved AS (
+  SELECT src_url,
+         CASE WHEN href LIKE 'http%' THEN href
+              ELSE regexp_extract(src_url, '^https?://[^/]+') || href
+         END AS dst_url
+  FROM hrefs
+  WHERE NOT starts_with(href, '#') AND NOT starts_with(href, 'mailto:')
+)"""
+
+
+def _q_host_pagerank_fixed4(sf_dir: str):
+    """Lump PageRank (4 rounds + dangling restore, integer nano) over
+    the HOST graph collapsed from the pages fixture — the full web
+    chain (html parse -> link extraction -> host collapse -> dense id
+    assignment -> iterative rank) under one hash-checked oracle.
+    Unweighted distinct inter-host edges (see
+    ``graph_build.host_graph_dense``)."""
+    from dxa_pagerank_ray.pipelines.graph_build import (
+        host_edges,
+        host_graph_dense,
+    )
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = _rpq(_pages_fixture_dir(), columns=["url", "html"])
+    g = host_graph_dense(host_edges(pages), num_partitions=8)
+    eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=8,
+                      damping=0.85)
+    res = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    pr_nano = np.floor(res.pr * 1e9 + 0.5).astype(np.int64)
+    # host names back from the id map (id = rank in sorted-host order;
+    # the map is O(hosts) — tiny next to the page universe)
+    mt = pa.concat_tables(g.url_ids.iter_batches(batch_size=1 << 20,
+                                                 batch_format="pyarrow"))
+    v = mt["v"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v)
+    hosts = mt["url"].combine_chunks().take(pa.array(order, pa.int64()))
+    return pa.table({"host": hosts,
+                     "pr_nano": pa.array(pr_nano, pa.int64())})
+
+
+def _host_pagerank_oracle_sql() -> str:
+    """Host-PageRank oracle: the independent regex host collapse (see
+    ``_host_graph_oracle_sql``) + row_number dense ids + the shared
+    unrolled lump-PageRank rounds (``testdata_graph.pagerank_core_sql``)
+    joined back to host names.  PageRank is invariant to the vertex
+    relabeling, so the id orders don't even need to agree — only the
+    (host, pr) pairs are compared."""
+    from dxa_pagerank_ray.pipelines.testdata_graph import pagerank_core_sql
+
+    head = f"""
+WITH pages AS (
+  SELECT url, decode(html) AS h
+  FROM read_parquet('{_pages_fixture_dir()}/*.parquet')
+),{_HOST_RESOLVED_CTES},
+hp AS (
+  SELECT DISTINCT regexp_extract(src_url, '^https?://([^/]+)', 1) AS a,
+         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS b
+  FROM resolved
+),
+hp2 AS (SELECT a, b FROM hp WHERE a <> b),
+hosts AS (SELECT a AS hh FROM hp2 UNION SELECT b FROM hp2),
+ids AS (SELECT hh, row_number() OVER (ORDER BY hh) - 1 AS v FROM hosts),
+raw AS (SELECT ia.v AS src, ib.v AS dst FROM hp2
+        JOIN ids ia ON ia.hh = hp2.a JOIN ids ib ON ib.hh = hp2.b),
+nv AS (SELECT count(*) AS n FROM ids),
+verts AS (SELECT v FROM ids),"""
+    final = ("SELECT ids.hh AS host, "
+             "CAST(round(fin.pr * 1e9) AS BIGINT) AS pr_nano "
+             "FROM fin JOIN ids ON ids.v = fin.v")
+    return head + pagerank_core_sql(4, 0.85, final)
+
+
 def _media_expected_dir() -> str:
     """Sequential-reference parquet for the media oracles (no Ray;
     built once per machine, atomic rename against concurrent callers)."""
@@ -390,7 +520,7 @@ def _media_expected_dir() -> str:
 # oracles below (same pattern as the media family) are materialized
 # from that directory's tables
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
-_SEQ_EXPECTED_V = 1  # bump to invalidate the cached expected dir
+_SEQ_EXPECTED_V = 2  # bump to invalidate the cached expected dir
 
 
 def _seq_expected_dir() -> str:
@@ -414,6 +544,7 @@ def _seq_expected_dir() -> str:
         lsh_topk_reference,
         pagerank_top20_reference,
     )
+    from dxa_pagerank_ray.oracles.graph_oracles import core_numbers
 
     emb = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
@@ -435,6 +566,12 @@ def _seq_expected_dir() -> str:
         "embedding_near_dups_lsh": embedding_near_dups_lsh_reference(
             emb, threshold=_EMB_NEAR_DUP_THR),
         "pagerank_top20": pagerank_top20_reference(src, dst, n, k=20),
+        # independent-ALGORITHM reference: min-degree peeling vs the
+        # engine's distributed h-index iteration
+        "kcore_numbers": pa.table({
+            "v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "core": pa.array(core_numbers(src, dst, n), pa.int64()),
+        }),
     }
     tmp = f"{path}.tmp{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
@@ -510,6 +647,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed4": tg.q_pagerank_fixed4,
         "cc_sizes": tg.q_cc_sizes,
         "labelprop_sizes": tg.q_labelprop_sizes,
+        "kcore_numbers": tg.q_kcore_numbers,
+        "degree_distribution": tg.q_degree_distribution,
+        "host_graph": _q_host_graph,
+        "host_pagerank_fixed4": _q_host_pagerank_fixed4,
         # relational operator coverage
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_customers_revenue": rel.top_customers_by_revenue,
@@ -827,6 +968,9 @@ def oracle_sql() -> dict[str, str]:
         "dangling_vertices": tg.SQL["dangling_vertices"],
         "triangle_count": tg.SQL["triangle_count"],
         "triangle_count_shuffle": tg.SQL["triangle_count"],
+        "degree_distribution": tg.SQL["degree_distribution"],
+        "host_graph": _host_graph_oracle_sql(),
+        "host_pagerank_fixed4": _host_pagerank_oracle_sql(),
         "pagerank_fixed4": tg.SQL["pagerank_fixed4"],
         "labelprop_sizes": tg.SQL["labelprop_sizes"],
         "cc_sizes": _CC_SIZES_SQL,
@@ -903,6 +1047,10 @@ SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         "pagerank_top20": (
             "SELECT * FROM "
             f"read_parquet('{_seq_expected_dir()}/pagerank_top20.parquet')"
+        ),
+        "kcore_numbers": (
+            "SELECT * FROM "
+            f"read_parquet('{_seq_expected_dir()}/kcore_numbers.parquet')"
         ),
         "media_decode": (
             "SELECT * FROM "

@@ -110,17 +110,22 @@ def cmd_pagerank(args) -> None:
 
 def _run_label_alg(args, alg: str) -> None:
     from .pipelines.labels_csr import LabelCSR
-    from .pipelines.superstep import undirect
+    from .pipelines.superstep import simple_undirect, undirect
 
     edges, n, _, input_time = _load_graph(args)
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
-    eng = LabelCSR(undirect(edges), n, num_partitions=args.partitions)
+    # k-core requires the SIMPLE symmetrized graph (no self-loops/dups)
+    und = (simple_undirect(edges) if alg == "core_decomposition"
+           else undirect(edges))
+    eng = LabelCSR(und, n, num_partitions=args.partitions)
     kw = dict(checkpoint_dir=args.checkpoint_dir,
               checkpoint_every=args.checkpoint_every, resume=args.resume,
               collect_state=False)
     if alg == "connected_components":
         res = eng.connected_components(max_rounds=args.max_rounds, **kw)
+    elif alg == "core_decomposition":
+        res = eng.core_decomposition(max_rounds=args.max_rounds, **kw)
     else:
         res = eng.label_propagation(rounds=args.max_rounds, **kw)
     labs, _sizes = eng.label_sizes()
@@ -145,6 +150,10 @@ def cmd_components(args) -> None:
 
 def cmd_labelprop(args) -> None:
     _run_label_alg(args, "label_propagation")
+
+
+def cmd_kcore(args) -> None:
+    _run_label_alg(args, "core_decomposition")
 
 
 def cmd_triangles(args) -> None:
@@ -367,6 +376,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("components", help="hash-min connected components")
     add_common(p)
     p.set_defaults(fn=cmd_components)
+
+    p = sub.add_parser("kcore", help="k-core decomposition "
+                       "(distributed h-index iteration)")
+    add_common(p)
+    p.set_defaults(fn=cmd_kcore)
 
     p = sub.add_parser("labelprop", help="synchronous label propagation")
     add_common(p)

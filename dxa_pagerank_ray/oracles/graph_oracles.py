@@ -132,6 +132,47 @@ def label_propagation(src: np.ndarray, dst: np.ndarray, n: int,
     return labels
 
 
+def core_numbers(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
+    """Exact core number per vertex of the undirected simple graph
+    underlying ``(src, dst)`` — textbook min-degree peeling (Batagelj &
+    Zaveršnik, "An O(m) Algorithm for Cores Decomposition of
+    Networks"), vectorized in waves: repeatedly remove every vertex
+    whose remaining degree is <= the current peel level k; a removed
+    vertex's core number is k.  Deliberately a DIFFERENT algorithm from
+    the engine's distributed h-index iteration, so agreement is a real
+    cross-check, not a reimplementation."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    keep = src != dst
+    a = np.concatenate([src[keep], dst[keep]])
+    b = np.concatenate([dst[keep], src[keep]])
+    # simple graph: dedup directed pairs of the symmetrized multiset
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    if len(a):
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        a, b = a[first], b[first]
+    deg = np.bincount(a, minlength=n).astype(np.int64)
+    core = np.zeros(n, dtype=np.int64)
+    alive_v = np.ones(n, dtype=bool)
+    alive_e = np.ones(len(a), dtype=bool)
+    k = 0
+    while alive_v.any():
+        k = max(k, int(deg[alive_v].min()))
+        while True:
+            rem = alive_v & (deg <= k)
+            if not rem.any():
+                break
+            core[rem] = k
+            alive_v[rem] = False
+            em = alive_e & rem[a]
+            if em.any():
+                deg -= np.bincount(b[em], minlength=n)
+                alive_e[em] = False
+            # (deg of dead vertices may go stale/negative — never read)
+    return core
+
+
 def triangle_count(src: np.ndarray, dst: np.ndarray, n: int) -> int:
     """Exact triangle count of the undirected simple graph underlying
     ``(src, dst)`` (direction dropped, self-loops and duplicates

@@ -119,6 +119,85 @@ def dedup_edges(edges_ds, num_partitions: int | None = None):
         .groupby("part").map_groups(distinct, batch_format="pyarrow")
 
 
+def hosts_of(urls):
+    """Vectorized netloc extraction (one RE2 C call per batch):
+    ``https://sub.example.com/p/1`` -> ``sub.example.com``.  Input urls
+    are normalized (``functions.html.normalize_url``) so the scheme is
+    always present and the netloc lowercase."""
+    import pyarrow.compute as pc
+
+    return pc.replace_substring_regex(
+        urls, pattern=r"^https?://([^/]+).*$", replacement=r"\1"
+    )
+
+
+def host_edges(pages_ds, batch_size: int = 256):
+    """pages -> ``(src_host, dst_host, n_links)`` — the host-level
+    collapse of the page link graph (the standard first aggregation of
+    a web crawl: host graphs are ~3 orders of magnitude smaller than
+    page graphs and drive host-level PageRank / spam analyses).
+
+    Page-level duplicates are PRESERVED as link weight: ``n_links``
+    counts every anchor, so the collapse is a pure aggregation of the
+    extraction output (no dedup stage in between).  Shape: stateless
+    extract ``map_batches`` -> vectorized host slice -> ``coarse_agg``
+    on (src_host, dst_host) — map-side combine first, so only
+    host-pair partials (tiny vs page links) enter the shuffle."""
+    from ..stages.agg import coarse_agg
+
+    links = extract_links_stage(pages_ds, batch_size)
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        return pa.table({"src_host": hosts_of(batch["src_url"]),
+                         "dst_host": hosts_of(batch["dst_url"])})
+
+    pairs = links.map_batches(to_hosts, batch_format="pyarrow")
+    return coarse_agg(pairs, ["src_host", "dst_host"],
+                      [("src_host", "count", "n_links")])
+
+
+def host_graph_dense(pairs_ds, num_partitions: int = 32) -> "LinkGraph":
+    """``(src_host, dst_host, ...)`` pairs -> ``LinkGraph`` over hosts:
+    self-host (intra-site) edges dropped, ids dense in sorted-host
+    order (``assign_dense_ids``, same determinism contract as the page
+    graph), UNWEIGHTED — one edge per distinct inter-host pair.  Feeds
+    the host-level PageRank, the standard web ranking granularity
+    above pages."""
+    import pyarrow.compute as pc
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch["src_host"], batch["dst_host"]))
+        t = batch.filter(keep)
+        return pa.table({"src_url": t["src_host"], "dst_url": t["dst_host"]})
+
+    links = pairs_ds.map_batches(drop_self, batch_format="pyarrow") \
+        .materialize()
+    from ..stages.agg import coarse_distinct
+
+    src_u = links.select_columns(["src_url"]).rename_columns(
+        {"src_url": "url"})
+    dst_u = links.select_columns(["dst_url"]).rename_columns(
+        {"dst_url": "url"})
+    hosts = coarse_distinct(src_u.union(dst_u), ["url"])
+    mapping = assign_dense_ids(hosts, "url", "v").materialize()
+    n = mapping.count()
+    if n <= BROADCAST_VERTEX_LIMIT:
+        e = _map_ids_broadcast(links, mapping)
+    else:  # pragma: no cover - host universes beyond 1e7 hosts
+        e = links.join(mapping, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("src_url",), right_on=("url",))
+        e = e.rename_columns({"v": "src"})
+        e = e.join(mapping, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("dst_url",), right_on=("url",))
+        e = e.rename_columns({"v": "dst"}).select_columns(["src", "dst"])
+    # input pairs are already distinct (host_edges aggregates), and the
+    # host->id map is injective, so no dedup stage is needed here
+    return LinkGraph(edges=e.materialize(), num_vertices=int(n),
+                     url_ids=mapping)
+
+
 def out_degree_table(edges_ds):
     """``(v, outdeg)`` over deduplicated edges (A1 of SURVEY.md §2.6);
     map-side partial counts then a coarse-partition combine — key

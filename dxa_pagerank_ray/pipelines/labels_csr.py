@@ -199,6 +199,83 @@ def _make_label_actor_cls():
             self.labels = new
             return changed
 
+        # ---- k-core decomposition (distributed h-index iteration) ----
+        def deg_compute(self):
+            """(counts, dst, cnt) — per-target incoming-edge counts
+            (with a SIMPLE symmetrized edge set, indegree == degree);
+            packed like ``cc_compute``."""
+            i_out, c_out = [], []
+            counts = np.zeros(self.A, dtype=np.int64)
+            for b in range(self.A):
+                _, dst_l = self.blocks[b]
+                if len(dst_l) == 0:
+                    continue
+                bd = np.flatnonzero(np.r_[True, dst_l[1:] != dst_l[:-1]])
+                counts[b] = len(bd)
+                i_out.append(dst_l[bd])
+                c_out.append(np.diff(np.r_[bd, len(dst_l)]).astype(np.int64))
+            empty = np.array([], dtype=np.int64)
+            return (counts,
+                    np.concatenate(i_out) if i_out else empty,
+                    np.concatenate(c_out) if c_out else empty)
+
+        def deg_apply(self, *packed) -> int:
+            """Initialize core estimates: labels[v] = degree(v) (0 for
+            isolated vertices)."""
+            partials = self._my_slices(packed)
+            self.labels = np.zeros(self.size, dtype=np.int64)
+            idx = np.concatenate([p[0] for p in partials]) if partials else \
+                np.array([], dtype=np.int64)
+            if len(idx) == 0:
+                return 0
+            cnt = np.concatenate([p[1] for p in partials])
+            order = np.argsort(idx, kind="stable")
+            idx, cnt = idx[order], cnt[order]
+            b = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+            self.labels[idx[b]] = np.add.reduceat(cnt, b)
+            return 0
+
+        def core_compute(self):
+            """Messages are (dst, current core of src, multiplicity) —
+            identical wire shape to ``lp_compute``."""
+            return self.lp_compute()
+
+        def core_apply(self, *packed) -> int:
+            """H-index step: new core(v) = max h such that >= h
+            neighbors have core >= h, clipped at the current estimate
+            (the clip is a no-op — the iteration is monotone
+            non-increasing from the degree init — but keeps the update
+            safe under any init)."""
+            partials = self._my_slices(packed)
+            ds = np.concatenate([p[0] for p in partials]) if partials else \
+                np.array([], dtype=np.int64)
+            if len(ds) == 0:
+                return 0
+            ls = np.concatenate([p[1] for p in partials])
+            cs = np.concatenate([p[2] for p in partials])
+            # combine multiplicities of equal (dst, value) across shards
+            order = np.lexsort((ls, ds))
+            ds, ls, cs = ds[order], ls[order], cs[order]
+            b = np.flatnonzero(
+                np.r_[True, (ds[1:] != ds[:-1]) | (ls[1:] != ls[:-1])]
+            )
+            ds, ls = ds[b], ls[b]
+            cs = np.add.reduceat(cs, b)
+            # H per dst: values descending, h = max(min(value, cum-count))
+            order = np.lexsort((-ls, ds))
+            ds, ls, cs = ds[order], ls[order], cs[order]
+            b = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+            sizes = np.diff(np.r_[b, len(ds)])
+            cum = np.cumsum(cs)
+            within = cum - np.repeat(cum[b] - cs[b], sizes)
+            h = np.maximum.reduceat(np.minimum(ls, within), b)
+            tgt = ds[b]
+            new = self.labels.copy()
+            new[tgt] = np.minimum(new[tgt], h)
+            changed = int(np.sum(new != self.labels))
+            self.labels = new
+            return changed
+
         def get_state(self):
             return self.lo, self.labels
 
@@ -431,6 +508,49 @@ class LabelCSR:
         return LabelPropResult(
             labels=self._collect() if collect_state else None,
             rounds=done, changed_per_round=hist)
+
+    def core_decomposition(self, max_rounds: int = 10_000,
+                           checkpoint_dir: str | None = None,
+                           checkpoint_every: int = 0, resume: bool = False,
+                           collect_state: bool = True):
+        """Core number per vertex via distributed h-index iteration
+        (Lü, Zhou, Zhang & Stanley 2016, "The H-index of a network node
+        and its relation to degree and coreness", Nat. Commun. —
+        public-literature algorithm): estimates initialize to vertex
+        degree, each superstep replaces a vertex's estimate with the
+        H-index of its neighbors' estimates, and the fixpoint is exactly
+        the coreness.  The estimate vector is monotone non-increasing,
+        so convergence (changed == 0) is a safe stop; round count is
+        bounded by the largest per-vertex estimate drop and is small on
+        web-like graphs (degrees ~ cores after a handful of rounds).
+
+        Expects a SIMPLE symmetrized edge Dataset —
+        ``superstep.simple_undirect(edges)`` (self-loops dropped,
+        deduplicated) — degrees count each neighbor once and a vertex
+        never feeds its own estimate into its H-index.  Message volume per round equals label propagation's
+        (distinct (dst, value) pairs per target shard); no new exchange
+        machinery.  No reference counterpart (dxa-pageRank implements
+        only PageRank); included as the standard fourth member of the
+        link-graph analytics family (north_rule)."""
+        rounds, hist = self._resume(checkpoint_dir, resume)
+        if rounds == 0:
+            # one degree superstep seeds the estimates (labels := deg)
+            self._superstep("deg_compute", "deg_apply")
+        if not (hist and hist[-1] == 0):
+            while rounds < max_rounds:
+                rounds += 1
+                changed = self._superstep("core_compute", "core_apply")
+                hist.append(changed)
+                if (checkpoint_dir is not None and checkpoint_every > 0
+                        and rounds % checkpoint_every == 0):
+                    self._checkpoint(checkpoint_dir, rounds, hist)
+                if changed == 0:
+                    break
+        from .components import ComponentsResult
+
+        return ComponentsResult(
+            labels=self._collect() if collect_state else None,
+            rounds=rounds, changed_per_round=hist)
 
     def _collect(self) -> np.ndarray:
         import ray

@@ -176,3 +176,20 @@ def undirect(edges_ds):
     return edges_ds.union(
         edges_ds.map_batches(flip, batch_format="pyarrow")
     ).materialize()
+
+
+def simple_undirect(edges_ds):
+    """SIMPLE symmetrized edge Dataset: self-loops dropped, then
+    symmetrized and exactly deduplicated — the k-core input contract
+    (a self-loop would inflate a vertex's degree and feed its own
+    estimate into its H-index)."""
+    from .graph_build import dedup_edges
+
+    def drop_loops(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(pc.equal(batch["src"], batch["dst"])))
+
+    return dedup_edges(
+        undirect(edges_ds.map_batches(drop_loops, batch_format="pyarrow"))
+    ).materialize()

@@ -202,6 +202,54 @@ def q_cc_sizes(sf_dir: str):
                      "size": pa.array(sizes.astype(np.int64), pa.int64())})
 
 
+def q_kcore_numbers(sf_dir: str):
+    """(v, core) for every customer-graph vertex — k-core decomposition
+    on the CSR label engine (distributed h-index iteration).  Input is
+    the SIMPLE symmetrized graph (``simple_undirect(edges)``);
+    oracle: a materialized parquet from the independent min-degree
+    PEELING reference (``oracles.graph_oracles.core_numbers``) over the
+    SQL-derived edge list — two different algorithms agreeing on exact
+    integers."""
+    from .labels_csr import LabelCSR
+    from .superstep import simple_undirect
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = LabelCSR(simple_undirect(edges), n, num_partitions=8)
+    res = eng.core_decomposition()
+    eng.shutdown()
+    return pa.table({"v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                     "core": pa.array(res.labels, pa.int64())})
+
+
+def q_degree_distribution(sf_dir: str):
+    """(outdeg, n_vertices) histogram of the supplier->part graph,
+    INCLUDING the degree-0 (dangling) vertices — the standard first
+    diagnostic over a new crawl's link graph.  Degree table and
+    histogram are both coarse-partition aggregates; only the final
+    O(distinct-degree) histogram reaches the driver."""
+    import ray.data as rd
+
+    from ..stages.agg import coarse_agg, coarse_distinct
+    from .graph_build import out_degree_table
+
+    edges = supplier_part_edges(sf_dir).materialize()
+    od = out_degree_table(edges).materialize()
+    hist = coarse_agg(od, ["outdeg"], [("outdeg", "count", "n_vertices")])
+    # degree-0 row: |vertex universe| - |vertices with an out-edge|
+    src_u = edges.select_columns(["src"]).rename_columns({"src": "v"})
+    dst_u = edges.select_columns(["dst"]).rename_columns({"dst": "v"})
+    n_total = coarse_distinct(src_u.union(dst_u), ["v"]).count()
+    n_zero = int(n_total) - int(od.count())
+    if n_zero > 0:
+        zero = rd.from_arrow(pa.table({
+            "outdeg": pa.array([0], pa.int64()),
+            "n_vertices": pa.array([n_zero], pa.int64()),
+        }))
+        hist = hist.union(zero)
+    return hist
+
+
 def q_labelprop_sizes(sf_dir: str):
     """(label, size) after 5 synchronous LP rounds, customer graph, CSR
     label engine; rows-only driver check + exact numpy-oracle check in
@@ -236,6 +284,14 @@ SQL = {
         "SELECT DISTINCT dst AS v FROM e "
         "WHERE dst NOT IN (SELECT src FROM e)"
     ),
+    "degree_distribution": (
+        "WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst "
+        "FROM lineitem), "
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e), "
+        "od AS (SELECT src AS v, count(*) AS outdeg FROM e GROUP BY src) "
+        "SELECT COALESCE(od.outdeg, 0) AS outdeg, count(*) AS n_vertices "
+        "FROM verts LEFT JOIN od ON od.v = verts.v GROUP BY 1"
+    ),
     "triangle_count": (
         "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
         f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
@@ -249,20 +305,17 @@ SQL = {
 }
 
 
-def pagerank_fixed_sql(rounds: int = 4, damping: float = 0.85) -> str:
-    """Unrolled lump-PageRank oracle (fixed round count — recursion-free
-    standard SQL): round k materializes ``prk(v, pr, nd)`` and the
-    lumped dangling scalar ``dpk``, mirroring ``pagerank_lump``
-    term-by-term (same expression association, so engines differ only
-    by summation-order ulps, absorbed by the integer nano rounding)."""
+def pagerank_core_sql(rounds: int, damping: float, final_select: str) -> str:
+    """The reusable unrolled lump-PageRank middle: given CTEs
+    ``raw(src, dst)`` (deduplicated directed edges over integer vertex
+    ids), ``nv(n)`` and ``verts(v)`` already open in a WITH list,
+    appends odeg/pr0/dp0 + ``rounds`` materialized iterations + the
+    final dangling restore, then ``final_select`` (which reads
+    ``fin(v, pr)``).  Mirrors ``pagerank_lump`` term-by-term (same
+    expression association, so engines differ only by summation-order
+    ulps, absorbed by integer nano rounding in the callers)."""
     d = repr(damping)
     head = f"""
-WITH raw AS (
-  SELECT DISTINCT o_custkey AS src, o_orderkey % {CUSTOMER_MOD} AS dst
-  FROM orders WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}
-),
-nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
-verts AS (SELECT unnest(range(0, (SELECT n FROM nv))) AS v),
 odeg AS (SELECT src AS v, count(*) AS outdeg FROM raw GROUP BY src),
 pr0 AS (SELECT verts.v, 1.0 / (SELECT n FROM nv) AS pr,
                odeg.outdeg IS NOT NULL AS nd
@@ -294,8 +347,23 @@ fin AS (SELECT p.v,
                 + {d} * (SELECT dpr FROM dp{k}) / (SELECT n FROM nv)
       END AS pr
       FROM pr{k} p LEFT JOIN gr ON gr.v = p.v)
-SELECT v, CAST(round(pr * 1e9) AS BIGINT) AS pr_nano FROM fin"""
+{final_select}"""
     return head + "".join(steps) + tail
+
+
+def pagerank_fixed_sql(rounds: int = 4, damping: float = 0.85) -> str:
+    """Unrolled lump-PageRank oracle over the customer graph (fixed
+    round count — recursion-free standard SQL), integer nano output."""
+    head = f"""
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % {CUSTOMER_MOD} AS dst
+  FROM orders WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}
+),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS (SELECT unnest(range(0, (SELECT n FROM nv))) AS v),"""
+    return head + pagerank_core_sql(
+        rounds, damping,
+        "SELECT v, CAST(round(pr * 1e9) AS BIGINT) AS pr_nano FROM fin")
 
 
 SQL["pagerank_fixed4"] = pagerank_fixed_sql(4)

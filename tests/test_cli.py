@@ -72,6 +72,12 @@ def test_cli_components_and_triangles_on_edges(tmp_path):
     stats = json.load(open(os.path.join(out2, "statistics.json")))
     assert stats["NUM_TRIANGLES"] == 1
 
+    # k-core: the triangle is the 2-core, the pendant pair core 1
+    out3 = str(tmp_path / "kcore_out")
+    main(["kcore", "--edges", edges_dir, "--out", out3])
+    cores = _read_vertex_col(out3, "labels", "label")
+    np.testing.assert_array_equal(cores, [2, 2, 2, 1, 1])
+
 
 def test_cli_pagerank_text_format(pages_dir, tmp_path):
     """--format text: '<v> <pr>' plain-decimal lines (no scientific

@@ -104,3 +104,21 @@ def test_map_ids_broadcast_survives_hash_collisions(monkeypatch):
     out = _map_ids_broadcast(links, mapping).to_pandas()
     got = sorted(zip(out["src"], out["dst"]))
     assert got == [(0, 1), (3, 2), (5, 0), (7, 6)]
+
+
+def test_host_edges_matches_ground_truth():
+    """Host collapse vs the fixture's ground-truth link list collapsed
+    in plain Python (duplicates preserved as n_links weight)."""
+    from collections import Counter
+
+    from dxa_pagerank_ray.pipelines.graph_build import host_edges
+
+    pages = rd.from_arrow(pages_table(96, seed=7)).repartition(4)
+    got = host_edges(pages).to_pandas()
+    src, dst = expected_links(96, seed=7)
+    host = lambda u: u.split("/")[2]
+    exp = Counter((host(a), host(b)) for a, b in zip(src, dst))
+    got_map = {(r.src_host, r.dst_host): r.n_links
+               for r in got.itertuples()}
+    assert got_map == dict(exp)
+    assert got["n_links"].max() > 1  # duplicate hrefs exercised

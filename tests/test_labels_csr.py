@@ -129,3 +129,84 @@ def test_csr_cc_path_graph_high_diameter():
     assert got.changed_per_round[-1] == 0
     assert all(a >= b for a, b in zip(got.changed_per_round,
                                       got.changed_per_round[1:]))
+
+
+# ---- k-core decomposition (distributed h-index iteration) -------------------
+
+
+def _simple_und(src, dst):
+    from dxa_pagerank_ray.pipelines.superstep import simple_undirect
+
+    return simple_undirect(_ds(src, dst))
+
+
+@pytest.mark.parametrize("name", list(CASES))
+@pytest.mark.parametrize("parts", [1, 3])
+def test_csr_kcore_exact_small(name, parts):
+    """Engine (h-index iteration) vs the independent min-degree peeling
+    oracle on the hand-built cases — two different algorithms."""
+    src, dst, n = CASES[name]
+    eng = LabelCSR(_simple_und(src, dst), n, num_partitions=parts)
+    got = eng.core_decomposition()
+    eng.shutdown()
+    np.testing.assert_array_equal(got.labels, oracle.core_numbers(src, dst, n))
+    assert got.changed_per_round[-1] == 0
+
+
+def test_csr_kcore_known_structure():
+    """Clique K5 (core 4) + a pendant path off it (core 1) + one
+    isolated vertex (core 0) — known answers by construction."""
+    k5 = np.array([(a, b) for a in range(5) for b in range(a + 1, 5)])
+    path = np.array([(4, 5), (5, 6)])
+    src = np.concatenate([k5[:, 0], path[:, 0]])
+    dst = np.concatenate([k5[:, 1], path[:, 1]])
+    n = 8  # vertex 7 isolated
+    eng = LabelCSR(_simple_und(src, dst), n, num_partitions=3)
+    got = eng.core_decomposition()
+    eng.shutdown()
+    np.testing.assert_array_equal(
+        got.labels, np.array([4, 4, 4, 4, 4, 1, 1, 0]))
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_csr_kcore_random_vs_peeling(seed):
+    """Random multigraph (dups + self-loops in the raw edge list, both
+    dropped by the simple-graph build) vs the peeling oracle, and
+    shard-count invariance of labels AND round history."""
+    rng = np.random.default_rng(seed)
+    n, m = 300, 2400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    und = _simple_und(src, dst)
+    exp = oracle.core_numbers(src, dst, n)
+    res = {}
+    for a in (1, 4):
+        eng = LabelCSR(und, n, num_partitions=8, num_actors=a)
+        res[a] = eng.core_decomposition()
+        eng.shutdown()
+    np.testing.assert_array_equal(res[1].labels, exp)
+    np.testing.assert_array_equal(res[4].labels, exp)
+    assert res[1].changed_per_round == res[4].changed_per_round
+    assert exp.max() >= 3  # dense enough to exercise multi-level peeling
+
+
+def test_csr_kcore_checkpoint_resume(tmp_path):
+    """Interrupt after 1 round, rebuild at a different shard count,
+    resume — identical cores and total round count."""
+    rng = np.random.default_rng(5)
+    n, m = 200, 1600
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    und = _simple_und(src, dst)
+    eng = LabelCSR(und, n, num_partitions=8, num_actors=2)
+    full = eng.core_decomposition()
+    eng.shutdown()
+    ck = str(tmp_path / "kcore")
+    eng = LabelCSR(und, n, num_partitions=8, num_actors=2)
+    eng.core_decomposition(max_rounds=1, checkpoint_dir=ck, checkpoint_every=1)
+    eng.shutdown()
+    eng = LabelCSR(und, n, num_partitions=8, num_actors=4)
+    resumed = eng.core_decomposition(checkpoint_dir=ck, resume=True)
+    eng.shutdown()
+    np.testing.assert_array_equal(resumed.labels, full.labels)
+    assert resumed.rounds == full.rounds
