@@ -495,6 +495,65 @@ verts AS (SELECT v FROM ids),"""
     return head + pagerank_core_sql(4, 0.85, final)
 
 
+def _q_host_pagerank_weighted(sf_dir: str):
+    """WEIGHTED lump PageRank over the host graph: contributions
+    distribute proportionally to the page-level link counts
+    (``n_links`` from the collapse), ``PR(u) * w(u,v) / W(u)`` — the
+    real-world host ranking shape (Xing & Ghorbani 2004).  Same 4-round
+    + dangling-restore integer-nano window as the unweighted query."""
+    from dxa_pagerank_ray.pipelines.graph_build import (
+        host_edges,
+        host_graph_dense,
+    )
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = _rpq(_pages_fixture_dir(), columns=["url", "html"])
+    g = host_graph_dense(host_edges(pages), num_partitions=8, weighted=True)
+    eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=8,
+                      damping=0.85, weighted=True)
+    res = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    pr_nano = np.floor(res.pr * 1e9 + 0.5).astype(np.int64)
+    mt = pa.concat_tables(g.url_ids.iter_batches(batch_size=1 << 20,
+                                                 batch_format="pyarrow"))
+    v = mt["v"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v)
+    hosts = mt["url"].combine_chunks().take(pa.array(order, pa.int64()))
+    return pa.table({"host": hosts,
+                     "pr_nano": pa.array(pr_nano, pa.int64())})
+
+
+def _host_pagerank_weighted_oracle_sql() -> str:
+    """Weighted variant of ``_host_pagerank_oracle_sql``: the regex
+    collapse keeps ``count(*)`` link weights, and the shared PageRank
+    core runs in weighted mode (out-strength sums, per-edge
+    ``pr / W * w`` terms)."""
+    from dxa_pagerank_ray.pipelines.testdata_graph import pagerank_core_sql
+
+    head = f"""
+WITH pages AS (
+  SELECT url, decode(html) AS h
+  FROM read_parquet('{_pages_fixture_dir()}/*.parquet')
+),{_HOST_RESOLVED_CTES},
+hp AS (
+  SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS a,
+         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS b,
+         count(*) AS w
+  FROM resolved GROUP BY 1, 2
+),
+hp2 AS (SELECT a, b, CAST(w AS DOUBLE) AS w FROM hp WHERE a <> b),
+hosts AS (SELECT a AS hh FROM hp2 UNION SELECT b FROM hp2),
+ids AS (SELECT hh, row_number() OVER (ORDER BY hh) - 1 AS v FROM hosts),
+raw AS (SELECT ia.v AS src, ib.v AS dst, hp2.w AS w FROM hp2
+        JOIN ids ia ON ia.hh = hp2.a JOIN ids ib ON ib.hh = hp2.b),
+nv AS (SELECT count(*) AS n FROM ids),
+verts AS (SELECT v FROM ids),"""
+    final = ("SELECT ids.hh AS host, "
+             "CAST(round(fin.pr * 1e9) AS BIGINT) AS pr_nano "
+             "FROM fin JOIN ids ON ids.v = fin.v")
+    return head + pagerank_core_sql(4, 0.85, final, weighted=True)
+
+
 def _media_expected_dir() -> str:
     """Sequential-reference parquet for the media oracles (no Ray;
     built once per machine, atomic rename against concurrent callers)."""
@@ -651,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": tg.q_degree_distribution,
         "host_graph": _q_host_graph,
         "host_pagerank_fixed4": _q_host_pagerank_fixed4,
+        "host_pagerank_weighted": _q_host_pagerank_weighted,
         # relational operator coverage
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_customers_revenue": rel.top_customers_by_revenue,
@@ -971,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_distribution": tg.SQL["degree_distribution"],
         "host_graph": _host_graph_oracle_sql(),
         "host_pagerank_fixed4": _host_pagerank_oracle_sql(),
+        "host_pagerank_weighted": _host_pagerank_weighted_oracle_sql(),
         "pagerank_fixed4": tg.SQL["pagerank_fixed4"],
         "labelprop_sizes": tg.SQL["labelprop_sizes"],
         "cc_sizes": _CC_SIZES_SQL,

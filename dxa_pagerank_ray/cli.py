@@ -72,7 +72,8 @@ def cmd_pagerank(args) -> None:
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
     eng = PageRankCSR(edges, n, num_partitions=args.partitions,
-                      damping=args.damping)
+                      damping=args.damping,
+                      weighted=getattr(args, "weighted", False))
     res = eng.run(threshold=args.threshold, max_rounds=args.max_rounds,
                   checkpoint_dir=args.checkpoint_dir,
                   checkpoint_every=args.checkpoint_every,
@@ -367,6 +368,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(p)
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--threshold", type=float, default=1e-6)
+    p.add_argument("--weighted", action="store_true",
+                   help="with --edges: distribute contributions by the "
+                   "per-edge 'w' column (PR(u)*w/W(u))")
     p.add_argument("--format", choices=["parquet", "text"],
                    default="parquet",
                    help="text = '<v> <pr>' plain-decimal lines per "

@@ -30,8 +30,15 @@ def pagerank_lump(
     damping: float = 0.85,
     threshold: float = 1e-6,
     max_rounds: int = 200,
+    weights: np.ndarray | None = None,
 ):
     """Reference-semantics lump PageRank.
+
+    With ``weights`` (per-edge, positive), contributions distribute
+    proportionally: ``PR(u) * w(u,v) / W(u)`` with ``W(u)`` the out-edge
+    weight sum — the weighted PageRank of Xing & Ghorbani 2004
+    ("Weighted PageRank Algorithm", public literature); dangling =
+    zero out-strength.
 
     Per normal round, only non-dangling vertices update
     (``RunLumpPrRoundTask.java:71-76``):
@@ -49,15 +56,26 @@ def pagerank_lump(
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
-    outdeg = out_degrees(src, n)
-    nondangling = outdeg != 0
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float64)
+        wsum = np.bincount(src, weights=w, minlength=n)
+        nondangling = wsum != 0
+        wdiv = np.where(nondangling, wsum, 1.0)
+    else:
+        outdeg = out_degrees(src, n)
+        nondangling = outdeg != 0
     pr = np.full(n, 1.0 / n, dtype=np.float64)
     dangling_pr = float(np.sum(~nondangling)) / n  # correct initial mass
     d = damping
     errs: list[float] = []
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        contrib = pr[src] / outdeg[src]
+        if weights is not None:
+            # per-vertex ratio FIRST, then per-edge multiply — the same
+            # association as the CSR engine and the SQL oracle
+            contrib = (pr / wdiv)[src] * w
+        else:
+            contrib = pr[src] / outdeg[src]
         gathered = np.bincount(dst, weights=contrib, minlength=n)
         new_pr = (1.0 - d) / n + d * gathered + d * dangling_pr / n
         err = float(np.sum(np.abs(new_pr[nondangling] - pr[nondangling])))
@@ -68,7 +86,10 @@ def pagerank_lump(
             break
     # Dangling restore: same formula, dangling vertices only, using the
     # post-loop dangling mass.
-    contrib = pr[src] / outdeg[src]
+    if weights is not None:
+        contrib = (pr / wdiv)[src] * w
+    else:
+        contrib = pr[src] / outdeg[src]
     gathered = np.bincount(dst, weights=contrib, minlength=n)
     restored = (1.0 - d) / n + d * gathered + d * dangling_pr / n
     pr = np.where(nondangling, pr, restored)

@@ -156,19 +156,25 @@ def host_edges(pages_ds, batch_size: int = 256):
                       [("src_host", "count", "n_links")])
 
 
-def host_graph_dense(pairs_ds, num_partitions: int = 32) -> "LinkGraph":
-    """``(src_host, dst_host, ...)`` pairs -> ``LinkGraph`` over hosts:
-    self-host (intra-site) edges dropped, ids dense in sorted-host
-    order (``assign_dense_ids``, same determinism contract as the page
-    graph), UNWEIGHTED — one edge per distinct inter-host pair.  Feeds
-    the host-level PageRank, the standard web ranking granularity
-    above pages."""
+def host_graph_dense(pairs_ds, num_partitions: int = 32,
+                     weighted: bool = False) -> "LinkGraph":
+    """``(src_host, dst_host[, n_links])`` pairs -> ``LinkGraph`` over
+    hosts: self-host (intra-site) edges dropped, ids dense in
+    sorted-host order (``assign_dense_ids``, same determinism contract
+    as the page graph).  Default UNWEIGHTED — one edge per distinct
+    inter-host pair; ``weighted=True`` keeps ``n_links`` as the edge
+    weight column ``w`` for the weighted PageRank
+    (``PageRankCSR(weighted=True)``).  Feeds the host-level PageRank,
+    the standard web ranking granularity above pages."""
     import pyarrow.compute as pc
 
     def drop_self(batch: pa.Table) -> pa.Table:
         keep = pc.invert(pc.equal(batch["src_host"], batch["dst_host"]))
         t = batch.filter(keep)
-        return pa.table({"src_url": t["src_host"], "dst_url": t["dst_host"]})
+        cols = {"src_url": t["src_host"], "dst_url": t["dst_host"]}
+        if weighted:
+            cols["w"] = pc.cast(t["n_links"], pa.float64())
+        return pa.table(cols)
 
     links = pairs_ds.map_batches(drop_self, batch_format="pyarrow") \
         .materialize()
@@ -191,7 +197,8 @@ def host_graph_dense(pairs_ds, num_partitions: int = 32) -> "LinkGraph":
         e = e.join(mapping, join_type="inner",
                    num_partitions=num_partitions,
                    on=("dst_url",), right_on=("url",))
-        e = e.rename_columns({"v": "dst"}).select_columns(["src", "dst"])
+        e = e.rename_columns({"v": "dst"}).select_columns(
+            ["src", "dst"] + (["w"] if weighted else []))
     # input pairs are already distinct (host_edges aggregates), and the
     # host->id map is injective, so no dedup stage is needed here
     return LinkGraph(edges=e.materialize(), num_vertices=int(n),
@@ -341,12 +348,14 @@ def _map_ids_broadcast(links, mapping):
                     out[k] = exact_ids[urls[k].as_py()]
             return out
 
-        return pa.table(
-            {
-                "src": pa.array(lookup(batch["src_url"]), pa.int64()),
-                "dst": pa.array(lookup(batch["dst_url"]), pa.int64()),
-            }
-        )
+        cols = {
+            "src": pa.array(lookup(batch["src_url"]), pa.int64()),
+            "dst": pa.array(lookup(batch["dst_url"]), pa.int64()),
+        }
+        for c in batch.column_names:  # carry payload columns (weights)
+            if c not in ("src_url", "dst_url"):
+                cols[c] = batch[c]
+        return pa.table(cols)
 
     return links.map_batches(to_ids, batch_format="pyarrow")
 

@@ -126,7 +126,7 @@ def _make_actor_cls():
     class CSRShard:
         def __init__(self, shard_id: int, bounds: np.ndarray,
                      shard_parts: np.ndarray, n: int, damping: float,
-                     msg_dtype: str = "float64"):
+                     msg_dtype: str = "float64", weighted: bool = False):
             # per-round message value dtype: "float32" halves the value
             # bytes of every (idx, sums) partial (12 -> 8 B/entry with
             # the int32 index) — the single-box DRAM/object-store
@@ -149,16 +149,24 @@ def _make_actor_cls():
             self.d = damping
             self.pr = np.full(self.size, 1.0 / n, dtype=np.float64)
             self.outdeg = np.zeros(self.size, dtype=np.int64)
+            self.weighted = weighted
             self._edge_src: list[np.ndarray] = []
             self._edge_dst: list[np.ndarray] = []
+            self._edge_w: list[np.ndarray] = []
 
         def add_edges(self, t: pa.Table) -> int:
             """Feed a chunk of this shard's out-edges (src in [lo, hi));
-            callable repeatedly during load."""
+            callable repeatedly during load.  Weighted engines read the
+            per-edge ``w`` column (positive out-weights)."""
             src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             self._edge_src.append(src)
             self._edge_dst.append(dst)
+            if self.weighted:
+                w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+                if len(w) and w.min() <= 0:
+                    raise ValueError("edge weights must be positive")
+                self._edge_w.append(w)
             return len(src)
 
         def seal(self) -> int:
@@ -175,7 +183,9 @@ def _make_actor_cls():
                    if self._edge_src else np.array([], dtype=np.int64))
             dst = (np.concatenate(self._edge_dst)
                    if self._edge_dst else np.array([], dtype=np.int64))
-            self._edge_src = self._edge_dst = []
+            w = (np.concatenate(self._edge_w)
+                 if self._edge_w else np.array([], dtype=np.float64))
+            self._edge_src = self._edge_dst = self._edge_w = []
             src_local = src - self.lo
             self.outdeg = np.bincount(src_local,
                                       minlength=self.size).astype(np.int64)
@@ -184,8 +194,10 @@ def _make_actor_cls():
             key = sp * self.P + tp
             order = np.lexsort((dst, key))
             src_local, dst, key = src_local[order], dst[order], key[order]
+            if self.weighted:
+                w = w[order]
             # block index: (p, q) -> slice
-            self.blocks: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+            self.blocks: dict[tuple[int, int], tuple] = {}
             starts = (np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
                       if len(key) else np.array([], dtype=np.int64))
             ends = np.r_[starts[1:], len(key)] if len(starts) else starts
@@ -194,14 +206,23 @@ def _make_actor_cls():
                 # int32 locals: partition slices are < 2^31 rows, so
                 # 32-bit indices halve both the pinned CSR footprint
                 # and the per-round message index bytes
-                self.blocks[(p, q)] = (
+                block = (
                     src_local[s:e].astype(np.int32),
                     (dst[s:e] - int(self.bounds[q])).astype(np.int32),
                 )
-            self.inv_outdeg = np.where(
-                self.outdeg > 0, 1.0 / np.maximum(self.outdeg, 1), 0.0
-            )
-            self.nondangling = self.outdeg > 0
+                if self.weighted:
+                    block = block + (w[s:e],)
+                self.blocks[(p, q)] = block
+            if self.weighted:
+                # out-STRENGTH: contributions distribute as w/W(u)
+                self.wsum = np.bincount(src_local, weights=w,
+                                        minlength=self.size)
+                self.nondangling = self.wsum > 0
+            else:
+                self.inv_outdeg = np.where(
+                    self.outdeg > 0, 1.0 / np.maximum(self.outdeg, 1), 0.0
+                )
+                self.nondangling = self.outdeg > 0
             return int(len(dst))
 
         def compute(self):
@@ -218,12 +239,22 @@ def _make_actor_cls():
             shards share it — per-node bytes grow toward the full
             message volume, but object count (the scheduler-side
             throttle at high A) drops by A×."""
-            contrib = self.pr * self.inv_outdeg
+            if self.weighted:
+                # per-vertex ratio FIRST, then per-edge multiply — the
+                # association shared with the numpy and SQL oracles
+                contrib = np.where(self.nondangling,
+                                   self.pr / np.where(self.nondangling,
+                                                      self.wsum, 1.0), 0.0)
+            else:
+                contrib = self.pr * self.inv_outdeg
             metas: list[tuple[int, int, int, int]] = []
             idx_out: list[np.ndarray] = []
             val_out: list[np.ndarray] = []
-            for (p, q), (src_l, dst_l) in sorted(self.blocks.items()):
+            for (p, q), block in sorted(self.blocks.items()):
+                src_l, dst_l = block[0], block[1]
                 vals = contrib[src_l]
+                if self.weighted:
+                    vals = vals * block[2]
                 # dst_l is sorted within the block -> reduceat combine
                 b = np.flatnonzero(np.r_[True, dst_l[1:] != dst_l[:-1]])
                 tgt_shard = int(np.searchsorted(self.sp, q, side="right") - 1)
@@ -414,7 +445,7 @@ class PageRankCSR:
     def __init__(self, edges_ds, num_vertices: int, num_partitions: int = 32,
                  damping: float = 0.85, num_actors: int | None = None,
                  num_cpus_per_actor: float = 1.0,
-                 message_dtype: str = "float64"):
+                 message_dtype: str = "float64", weighted: bool = False):
         import ray
 
         self.n = num_vertices
@@ -428,7 +459,7 @@ class PageRankCSR:
         self.actors = [
             cls.options(num_cpus=num_cpus_per_actor).remote(
                 a, self.bounds, self.sp, num_vertices, damping,
-                msg_dtype=message_dtype,
+                msg_dtype=message_dtype, weighted=weighted,
             )
             for a in range(self.A)
         ]

@@ -305,18 +305,25 @@ SQL = {
 }
 
 
-def pagerank_core_sql(rounds: int, damping: float, final_select: str) -> str:
+def pagerank_core_sql(rounds: int, damping: float, final_select: str,
+                      weighted: bool = False) -> str:
     """The reusable unrolled lump-PageRank middle: given CTEs
     ``raw(src, dst)`` (deduplicated directed edges over integer vertex
-    ids), ``nv(n)`` and ``verts(v)`` already open in a WITH list,
-    appends odeg/pr0/dp0 + ``rounds`` materialized iterations + the
-    final dangling restore, then ``final_select`` (which reads
-    ``fin(v, pr)``).  Mirrors ``pagerank_lump`` term-by-term (same
-    expression association, so engines differ only by summation-order
-    ulps, absorbed by integer nano rounding in the callers)."""
+    ids; plus ``w`` when ``weighted``), ``nv(n)`` and ``verts(v)``
+    already open in a WITH list, appends odeg/pr0/dp0 + ``rounds``
+    materialized iterations + the final dangling restore, then
+    ``final_select`` (which reads ``fin(v, pr)``).  Mirrors
+    ``pagerank_lump`` term-by-term (same expression association, so
+    engines differ only by summation-order ulps, absorbed by integer
+    nano rounding in the callers).  Weighted: ``outdeg`` becomes the
+    out-STRENGTH ``sum(w)`` and each gathered term is
+    ``(pr / strength) * w`` — the engine/numpy association."""
     d = repr(damping)
+    deg_expr = "sum(w)" if weighted else "count(*)"
+    gat = ("p.pr / odeg.outdeg * raw.w" if weighted
+           else "p.pr / odeg.outdeg")
     head = f"""
-odeg AS (SELECT src AS v, count(*) AS outdeg FROM raw GROUP BY src),
+odeg AS (SELECT src AS v, {deg_expr} AS outdeg FROM raw GROUP BY src),
 pr0 AS (SELECT verts.v, 1.0 / (SELECT n FROM nv) AS pr,
                odeg.outdeg IS NOT NULL AS nd
         FROM verts LEFT JOIN odeg ON odeg.v = verts.v),
@@ -325,7 +332,7 @@ dp0 AS (SELECT CAST(count(*) FILTER (WHERE NOT nd) AS DOUBLE)
     steps = []
     for k in range(1, rounds + 1):
         steps.append(f""",
-g{k} AS (SELECT raw.dst AS v, sum(p.pr / odeg.outdeg) AS gathered
+g{k} AS (SELECT raw.dst AS v, sum({gat}) AS gathered
        FROM raw JOIN pr{k - 1} p ON p.v = raw.src
        JOIN odeg ON odeg.v = raw.src GROUP BY raw.dst),
 pr{k} AS (SELECT p.v,
@@ -337,7 +344,7 @@ pr{k} AS (SELECT p.v,
 dp{k} AS (SELECT 1.0 - sum(pr) FILTER (WHERE nd) AS dpr FROM pr{k})""")
     k = rounds
     tail = f""",
-gr AS (SELECT raw.dst AS v, sum(p.pr / odeg.outdeg) AS gathered
+gr AS (SELECT raw.dst AS v, sum({gat}) AS gathered
        FROM raw JOIN pr{k} p ON p.v = raw.src
        JOIN odeg ON odeg.v = raw.src GROUP BY raw.dst),
 fin AS (SELECT p.v,

@@ -170,3 +170,63 @@ def test_csr_float32_messages_bit_identical_and_accurate():
     assert res[1].errs == res[4].errs
     np.testing.assert_allclose(res[4].pr, exp_pr, rtol=0, atol=5e-7)
     assert abs(res[4].pr.sum() - 1.0) < 1e-5
+
+
+def _weighted_ds(seed: int, n: int, m: int):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # dedup pairs, weight = multiplicity + a deterministic positive part
+    key = src * n + dst
+    uk, w = np.unique(key, return_counts=True)
+    src, dst = uk // n, uk % n
+    w = w.astype(np.float64) + (uk % 7) * 0.5
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    return rd.from_arrow(t).repartition(4).materialize(), src, dst, w
+
+
+def test_csr_weighted_vs_numpy_oracle():
+    """Weighted contributions PR(u)*w(u,v)/W(u) (Xing & Ghorbani 2004)
+    vs the weighted numpy oracle; dangling = zero out-strength."""
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    n = 400
+    ds, src, dst, w = _weighted_ds(13, n, 3000)
+    exp, exp_rounds, _ = pagerank_lump(src, dst, n, 0.85, 1e-10, 500,
+                                       weights=w)
+    eng = PageRankCSR(ds, n, num_partitions=8, num_actors=2, weighted=True)
+    r = eng.run(threshold=1e-10, max_rounds=500)
+    eng.shutdown()
+    assert r.rounds == exp_rounds
+    np.testing.assert_allclose(r.pr, exp, rtol=0, atol=1e-14)
+    assert abs(r.pr.sum() - 1.0) < 1e-9
+
+
+def test_csr_weighted_bit_identical_across_shard_counts():
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    n = 400
+    ds, *_ = _weighted_ds(29, n, 3000)
+    res = {}
+    for a in (1, 4):
+        eng = PageRankCSR(ds, n, num_partitions=8, num_actors=a,
+                          weighted=True)
+        res[a] = eng.run(threshold=1e-8)
+        eng.shutdown()
+    np.testing.assert_array_equal(res[1].pr, res[4].pr)
+    assert res[1].errs == res[4].errs
+
+
+def test_csr_weighted_rejects_nonpositive_weights():
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    t = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([1.0, 0.0], pa.float64())})
+    ds = rd.from_arrow(t).materialize()
+    with pytest.raises(Exception, match="positive"):
+        PageRankCSR(ds, 3, num_partitions=2, num_actors=1, weighted=True)
