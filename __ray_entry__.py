@@ -704,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_shuffle": tg.q_triangle_count_shuffle,
         "pagerank_top20": tg.q_pagerank_top20,
         "pagerank_fixed4": tg.q_pagerank_fixed4,
+        "ppr_fixed4": tg.q_ppr_fixed4,
         "cc_sizes": tg.q_cc_sizes,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
@@ -1033,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank_fixed4": _host_pagerank_oracle_sql(),
         "host_pagerank_weighted": _host_pagerank_weighted_oracle_sql(),
         "pagerank_fixed4": tg.SQL["pagerank_fixed4"],
+        "ppr_fixed4": tg.SQL["ppr_fixed4"],
         "labelprop_sizes": tg.SQL["labelprop_sizes"],
         "cc_sizes": _CC_SIZES_SQL,
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,

@@ -74,6 +74,8 @@ def cmd_pagerank(args) -> None:
     eng = PageRankCSR(edges, n, num_partitions=args.partitions,
                       damping=args.damping,
                       weighted=getattr(args, "weighted", False))
+    if getattr(args, "seeds", None):
+        eng.personalize([int(s) for s in args.seeds.split(",")])
     res = eng.run(threshold=args.threshold, max_rounds=args.max_rounds,
                   checkpoint_dir=args.checkpoint_dir,
                   checkpoint_every=args.checkpoint_every,
@@ -371,6 +373,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weighted", action="store_true",
                    help="with --edges: distribute contributions by the "
                    "per-edge 'w' column (PR(u)*w/W(u))")
+    p.add_argument("--seeds", default=None,
+                   help="personalized PageRank: comma-separated seed "
+                   "vertex ids (teleport uniform over the set)")
     p.add_argument("--format", choices=["parquet", "text"],
                    default="parquet",
                    help="text = '<v> <pr>' plain-decimal lines per "

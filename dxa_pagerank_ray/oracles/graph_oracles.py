@@ -31,6 +31,7 @@ def pagerank_lump(
     threshold: float = 1e-6,
     max_rounds: int = 200,
     weights: np.ndarray | None = None,
+    teleport: np.ndarray | None = None,
 ):
     """Reference-semantics lump PageRank.
 
@@ -39,6 +40,11 @@ def pagerank_lump(
     weight sum — the weighted PageRank of Xing & Ghorbani 2004
     ("Weighted PageRank Algorithm", public literature); dangling =
     zero out-strength.
+
+    With ``teleport`` (a length-n distribution summing to 1),
+    personalized PageRank: init, the (1-d) term and the dangling lump
+    all use ``t(v)`` in place of 1/N (topic-sensitive PageRank,
+    Haveliwala 2002).
 
     Per normal round, only non-dangling vertices update
     (``RunLumpPrRoundTask.java:71-76``):
@@ -64,8 +70,13 @@ def pagerank_lump(
     else:
         outdeg = out_degrees(src, n)
         nondangling = outdeg != 0
-    pr = np.full(n, 1.0 / n, dtype=np.float64)
-    dangling_pr = float(np.sum(~nondangling)) / n  # correct initial mass
+    if teleport is not None:
+        t = np.asarray(teleport, dtype=np.float64)
+        pr = t.copy()
+        dangling_pr = float(t[~nondangling].sum())
+    else:
+        pr = np.full(n, 1.0 / n, dtype=np.float64)
+        dangling_pr = float(np.sum(~nondangling)) / n  # initial mass
     d = damping
     errs: list[float] = []
     rounds = 0
@@ -77,7 +88,10 @@ def pagerank_lump(
         else:
             contrib = pr[src] / outdeg[src]
         gathered = np.bincount(dst, weights=contrib, minlength=n)
-        new_pr = (1.0 - d) / n + d * gathered + d * dangling_pr / n
+        if teleport is not None:
+            new_pr = (1.0 - d) * t + d * gathered + d * dangling_pr * t
+        else:
+            new_pr = (1.0 - d) / n + d * gathered + d * dangling_pr / n
         err = float(np.sum(np.abs(new_pr[nondangling] - pr[nondangling])))
         pr = np.where(nondangling, new_pr, pr)
         dangling_pr = 1.0 - float(np.sum(pr[nondangling]))
@@ -91,7 +105,10 @@ def pagerank_lump(
     else:
         contrib = pr[src] / outdeg[src]
     gathered = np.bincount(dst, weights=contrib, minlength=n)
-    restored = (1.0 - d) / n + d * gathered + d * dangling_pr / n
+    if teleport is not None:
+        restored = (1.0 - d) * t + d * gathered + d * dangling_pr * t
+    else:
+        restored = (1.0 - d) / n + d * gathered + d * dangling_pr / n
     pr = np.where(nondangling, pr, restored)
     return pr, rounds, errs
 

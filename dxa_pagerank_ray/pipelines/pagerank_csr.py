@@ -150,6 +150,7 @@ def _make_actor_cls():
             self.pr = np.full(self.size, 1.0 / n, dtype=np.float64)
             self.outdeg = np.zeros(self.size, dtype=np.int64)
             self.weighted = weighted
+            self.tv: np.ndarray | None = None  # teleport slice (PPR)
             self._edge_src: list[np.ndarray] = []
             self._edge_dst: list[np.ndarray] = []
             self._edge_w: list[np.ndarray] = []
@@ -296,8 +297,12 @@ def _make_actor_cls():
                 off = int(self.bounds[q]) - self.lo
                 for _, idx, vals in sorted(entries, key=lambda e: e[0]):
                     gathered[off + idx] += vals
-            new_pr = (1.0 - self.d) / self.n + self.d * gathered \
-                + self.d * dangling_pr / self.n
+            if self.tv is not None:  # personalized: teleport to seeds
+                new_pr = (1.0 - self.d) * self.tv + self.d * gathered \
+                    + self.d * dangling_pr * self.tv
+            else:
+                new_pr = (1.0 - self.d) / self.n + self.d * gathered \
+                    + self.d * dangling_pr / self.n
             if restore:
                 self.pr = np.where(self.nondangling, self.pr, new_pr)
                 return self._partition_scalars(None)
@@ -320,6 +325,18 @@ def _make_actor_cls():
 
         def num_dangling(self) -> int:
             return int((~self.nondangling).sum())
+
+        def set_teleport(self, seeds: np.ndarray, k: int) -> float:
+            """Personalized PageRank teleport: uniform 1/k over the
+            ``seeds`` id set (k = global seed count).  Re-initializes
+            pr to the teleport distribution and returns this shard's
+            DANGLING teleport mass (the driver sums these for the
+            initial lumped scalar).  Must be called before ``run``."""
+            self.tv = np.zeros(self.size, dtype=np.float64)
+            local = seeds[(seeds >= self.lo) & (seeds < self.hi)] - self.lo
+            self.tv[local] = 1.0 / k
+            self.pr = self.tv.copy()
+            return float(self.tv[~self.nondangling].sum())
 
         def get_state(self):
             return self.lo, self.pr
@@ -468,6 +485,29 @@ class PageRankCSR:
         self.num_dangling = sum(
             ray.get([a.num_dangling.remote() for a in self.actors])
         )
+        self._init_dangling_pr: float | None = None
+
+    def personalize(self, seeds) -> None:
+        """Switch the engine to PERSONALIZED PageRank: teleport mass
+        distributes uniformly over the ``seeds`` vertex ids instead of
+        1/N over all vertices (topic-sensitive PageRank, Haveliwala
+        2002 — public literature), and the dangling lump redistributes
+        to the seeds likewise.  Call once before ``run`` (and again
+        before a ``resume=True`` run — the teleport vector is engine
+        setup, not checkpointed state).  The seed list is broadcast
+        whole: seed sets are query-sized (topics, trusted hosts), not
+        graph-sized."""
+        import ray
+
+        seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+        if len(seeds) == 0:
+            raise ValueError("personalize() needs at least one seed")
+        if seeds[0] < 0 or seeds[-1] >= self.n:
+            raise ValueError("seed ids out of range")
+        k = len(seeds)
+        parts = ray.get([a.set_teleport.remote(seeds, k)
+                         for a in self.actors])
+        self._init_dangling_pr = float(np.sum(parts))
 
     def shutdown(self) -> None:
         """Kill the shard actors and release their CPU reservation.  A
@@ -558,7 +598,9 @@ class PageRankCSR:
 
         import ray
 
-        dangling_pr = self.num_dangling / self.n
+        dangling_pr = (self._init_dangling_pr
+                       if self._init_dangling_pr is not None
+                       else self.num_dangling / self.n)
         errs: list[float] = []
         seconds: list[float] = []
         rounds = 0

@@ -186,6 +186,24 @@ def q_pagerank_fixed4(sf_dir: str):
                      "pr_nano": pa.array(pr_nano, pa.int64())})
 
 
+def q_ppr_fixed4(sf_dir: str):
+    """PERSONALIZED PageRank (teleport uniform over the deterministic
+    seed set ``v % 100 == 0``), 4 rounds + dangling restore, integer
+    nano — the personalized analogue of ``pagerank_fixed4``
+    (topic-sensitive PageRank, Haveliwala 2002)."""
+    from .pagerank_csr import PageRankCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = PageRankCSR(edges, n, num_partitions=8, damping=0.85)
+    eng.personalize(np.arange(0, n, 100, dtype=np.int64))
+    res = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    pr_nano = np.floor(res.pr * 1e9 + 0.5).astype(np.int64)
+    return pa.table({"v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                     "pr_nano": pa.array(pr_nano, pa.int64())})
+
+
 def q_cc_sizes(sf_dir: str):
     """(component label, size), customer graph, CSR label engine;
     rows-only driver check + exact numpy-oracle check in tests."""
@@ -306,7 +324,8 @@ SQL = {
 
 
 def pagerank_core_sql(rounds: int, damping: float, final_select: str,
-                      weighted: bool = False) -> str:
+                      weighted: bool = False,
+                      personalized: bool = False) -> str:
     """The reusable unrolled lump-PageRank middle: given CTEs
     ``raw(src, dst)`` (deduplicated directed edges over integer vertex
     ids; plus ``w`` when ``weighted``), ``nv(n)`` and ``verts(v)``
@@ -317,18 +336,38 @@ def pagerank_core_sql(rounds: int, damping: float, final_select: str,
     engines differ only by summation-order ulps, absorbed by integer
     nano rounding in the callers).  Weighted: ``outdeg`` becomes the
     out-STRENGTH ``sum(w)`` and each gathered term is
-    ``(pr / strength) * w`` — the engine/numpy association."""
+    ``(pr / strength) * w`` — the engine/numpy association.
+    Personalized: expects an additional CTE ``tp(v, tv)`` (the teleport
+    distribution over seed vertices); init, the (1-d) term and the
+    dangling lump use ``tv`` in place of 1/N."""
     d = repr(damping)
     deg_expr = "sum(w)" if weighted else "count(*)"
     gat = ("p.pr / odeg.outdeg * raw.w" if weighted
            else "p.pr / odeg.outdeg")
+    tj = " LEFT JOIN tp ON tp.v = p.v" if personalized else ""
+    tv = "COALESCE(tp.tv, 0)"
+    if personalized:
+        base = f"(1.0 - {d}) * {tv}"
+        lump = "* " + tv
+        init = ("SELECT verts.v, COALESCE(tp.tv, 0) AS pr,\n"
+                "               odeg.outdeg IS NOT NULL AS nd\n"
+                "        FROM verts LEFT JOIN odeg ON odeg.v = verts.v\n"
+                "        LEFT JOIN tp ON tp.v = verts.v")
+        # COALESCE: an empty sum (no dangling vertices) is NULL in SQL
+        dp0 = ("SELECT CAST(COALESCE(sum(pr) FILTER (WHERE NOT nd), 0) "
+               "AS DOUBLE) AS dpr FROM pr0")
+    else:
+        base = f"(1.0 - {d}) / (SELECT n FROM nv)"
+        lump = "/ (SELECT n FROM nv)"
+        init = ("SELECT verts.v, 1.0 / (SELECT n FROM nv) AS pr,\n"
+                "               odeg.outdeg IS NOT NULL AS nd\n"
+                "        FROM verts LEFT JOIN odeg ON odeg.v = verts.v")
+        dp0 = ("SELECT CAST(count(*) FILTER (WHERE NOT nd) AS DOUBLE)\n"
+               "               / (SELECT n FROM nv) AS dpr FROM pr0")
     head = f"""
 odeg AS (SELECT src AS v, {deg_expr} AS outdeg FROM raw GROUP BY src),
-pr0 AS (SELECT verts.v, 1.0 / (SELECT n FROM nv) AS pr,
-               odeg.outdeg IS NOT NULL AS nd
-        FROM verts LEFT JOIN odeg ON odeg.v = verts.v),
-dp0 AS (SELECT CAST(count(*) FILTER (WHERE NOT nd) AS DOUBLE)
-               / (SELECT n FROM nv) AS dpr FROM pr0)"""
+pr0 AS ({init}),
+dp0 AS ({dp0})"""
     steps = []
     for k in range(1, rounds + 1):
         steps.append(f""",
@@ -336,11 +375,11 @@ g{k} AS (SELECT raw.dst AS v, sum({gat}) AS gathered
        FROM raw JOIN pr{k - 1} p ON p.v = raw.src
        JOIN odeg ON odeg.v = raw.src GROUP BY raw.dst),
 pr{k} AS (SELECT p.v,
-      CASE WHEN p.nd THEN (1.0 - {d}) / (SELECT n FROM nv)
+      CASE WHEN p.nd THEN {base}
                 + {d} * COALESCE(g{k}.gathered, 0)
-                + {d} * (SELECT dpr FROM dp{k - 1}) / (SELECT n FROM nv)
+                + {d} * (SELECT dpr FROM dp{k - 1}) {lump}
            ELSE p.pr END AS pr, p.nd AS nd
-      FROM pr{k - 1} p LEFT JOIN g{k} ON g{k}.v = p.v),
+      FROM pr{k - 1} p LEFT JOIN g{k} ON g{k}.v = p.v{tj}),
 dp{k} AS (SELECT 1.0 - sum(pr) FILTER (WHERE nd) AS dpr FROM pr{k})""")
     k = rounds
     tail = f""",
@@ -349,11 +388,11 @@ gr AS (SELECT raw.dst AS v, sum({gat}) AS gathered
        JOIN odeg ON odeg.v = raw.src GROUP BY raw.dst),
 fin AS (SELECT p.v,
       CASE WHEN p.nd THEN p.pr
-           ELSE (1.0 - {d}) / (SELECT n FROM nv)
+           ELSE {base}
                 + {d} * COALESCE(gr.gathered, 0)
-                + {d} * (SELECT dpr FROM dp{k}) / (SELECT n FROM nv)
+                + {d} * (SELECT dpr FROM dp{k}) {lump}
       END AS pr
-      FROM pr{k} p LEFT JOIN gr ON gr.v = p.v)
+      FROM pr{k} p LEFT JOIN gr ON gr.v = p.v{tj})
 {final_select}"""
     return head + "".join(steps) + tail
 
@@ -374,6 +413,27 @@ verts AS (SELECT unnest(range(0, (SELECT n FROM nv))) AS v),"""
 
 
 SQL["pagerank_fixed4"] = pagerank_fixed_sql(4)
+
+
+def ppr_fixed_sql(rounds: int = 4, damping: float = 0.85) -> str:
+    """Unrolled PERSONALIZED lump-PageRank oracle over the customer
+    graph: teleport uniform over the ``v % 100 == 0`` seed set."""
+    head = f"""
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % {CUSTOMER_MOD} AS dst
+  FROM orders WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}
+),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS (SELECT unnest(range(0, (SELECT n FROM nv))) AS v),
+tp AS (SELECT v, 1.0 / (SELECT count(*) FROM verts WHERE v % 100 = 0) AS tv
+       FROM verts WHERE v % 100 = 0),"""
+    return head + pagerank_core_sql(
+        rounds, damping,
+        "SELECT v, CAST(round(pr * 1e9) AS BIGINT) AS pr_nano FROM fin",
+        personalized=True)
+
+
+SQL["ppr_fixed4"] = ppr_fixed_sql(4)
 
 
 def labelprop_fixed_sql(rounds: int = 5) -> str:

@@ -230,3 +230,46 @@ def test_csr_weighted_rejects_nonpositive_weights():
     ds = rd.from_arrow(t).materialize()
     with pytest.raises(Exception, match="positive"):
         PageRankCSR(ds, 3, num_partitions=2, num_actors=1, weighted=True)
+
+
+def test_csr_personalized_vs_numpy_oracle():
+    """Personalized (topic-sensitive) PageRank: teleport over a seed
+    set, dangling lump redistributed to seeds; vs the teleport numpy
+    oracle, plus shard-count invariance."""
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = rd.from_arrow(pages_table(128, seed=3)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    src, dst = edges_to_numpy(g.edges)
+    n = g.num_vertices
+    seeds = np.arange(0, n, 7, dtype=np.int64)
+    t = np.zeros(n)
+    t[seeds] = 1.0 / len(seeds)
+    exp, exp_rounds, _ = pagerank_lump(src, dst, n, 0.85, 1e-10, 500,
+                                       teleport=t)
+    res = {}
+    for a in (1, 4):
+        eng = PageRankCSR(g.edges, n, num_partitions=8, num_actors=a)
+        eng.personalize(seeds)
+        res[a] = eng.run(threshold=1e-10, max_rounds=500)
+        eng.shutdown()
+    assert res[1].rounds == exp_rounds
+    np.testing.assert_allclose(res[1].pr, exp, rtol=0, atol=1e-14)
+    np.testing.assert_array_equal(res[1].pr, res[4].pr)
+    assert abs(res[1].pr.sum() - 1.0) < 1e-9
+    # teleport concentrates mass on seeds: well above their uniform share
+    assert res[1].pr[seeds].sum() > 2.0 * len(seeds) / n
+
+
+def test_csr_personalize_validates_seeds():
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    t = pa.table({"src": pa.array([0], pa.int64()),
+                  "dst": pa.array([1], pa.int64())})
+    ds = rd.from_arrow(t).materialize()
+    eng = PageRankCSR(ds, 2, num_partitions=2, num_actors=1)
+    with pytest.raises(ValueError, match="seed"):
+        eng.personalize([])
+    with pytest.raises(ValueError, match="range"):
+        eng.personalize([5])
+    eng.shutdown()
