@@ -495,6 +495,45 @@ verts AS (SELECT v FROM ids),"""
     return head + pagerank_core_sql(4, 0.85, final)
 
 
+def _q_anchor_texts(sf_dir: str):
+    """``(src_url, dst_url, anchor)`` over the pages fixture — anchor
+    text is the classic target-relevance label for web training data.
+    Oracle: DuckDB regex over the same fixture html (independent of the
+    engine's HTMLParser event machine; exact on the fixture's anchor
+    inventory — simple ``<a href="...">text</a>`` elements)."""
+    from dxa_pagerank_ray.pipelines.graph_build import anchor_texts_stage
+
+    return anchor_texts_stage(_rpq(_pages_fixture_dir(),
+                                   columns=["url", "html"]))
+
+
+def _anchor_texts_oracle_sql() -> str:
+    return f"""
+WITH pages AS (
+  SELECT url, decode(html) AS h
+  FROM read_parquet('{_pages_fixture_dir()}/*.parquet')
+),
+raw_a AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(h, '<a href="[^"]*">[^<]*</a>')) AS m
+  FROM pages
+),
+split_a AS (
+  SELECT src_url,
+         regexp_extract(m, 'href="([^"]*)"', 1) AS href,
+         regexp_extract(m, '>([^<]*)</a>', 1) AS anchor
+  FROM raw_a
+)
+SELECT src_url,
+       CASE WHEN href LIKE 'http%' THEN href
+            ELSE regexp_extract(src_url, '^https?://[^/]+') || href
+       END AS dst_url,
+       anchor
+FROM split_a
+WHERE NOT starts_with(href, '#') AND NOT starts_with(href, 'mailto:')
+"""
+
+
 def _q_host_pagerank_weighted(sf_dir: str):
     """WEIGHTED lump PageRank over the host graph: contributions
     distribute proportionally to the page-level link counts
@@ -712,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "host_pagerank_fixed4": _q_host_pagerank_fixed4,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
+        "anchor_texts": _q_anchor_texts,
         # relational operator coverage
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_customers_revenue": rel.top_customers_by_revenue,
@@ -1033,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _host_graph_oracle_sql(),
         "host_pagerank_fixed4": _host_pagerank_oracle_sql(),
         "host_pagerank_weighted": _host_pagerank_weighted_oracle_sql(),
+        "anchor_texts": _anchor_texts_oracle_sql(),
         "pagerank_fixed4": tg.SQL["pagerank_fixed4"],
         "ppr_fixed4": tg.SQL["ppr_fixed4"],
         "labelprop_sizes": tg.SQL["labelprop_sizes"],

@@ -75,6 +75,74 @@ class _Extractor(HTMLParser):
             self.chunks.append(data)
 
 
+class _AnchorExtractor(HTMLParser):
+    """``(href, anchor text)`` pairs in document order.  Anchor text is
+    the whitespace-normalized character data inside the ``<a>`` element
+    (same skip-subtree rules as ``extract_text``).  ``<a>`` does not
+    nest in HTML — a new ``<a>`` start implicitly closes an open one
+    (the HTML5 tree-construction rule)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._href: str | None = None
+        self._buf: list[str] = []
+        self.anchors: list[tuple[str, str]] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.anchors.append(
+                (self._href, " ".join(" ".join(self._buf).split()))
+            )
+        self._href = None
+        self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        if tag == "a":
+            self._flush()
+            for name, val in attrs:
+                if name == "href" and val is not None:
+                    self._href = val
+                    break
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "a":  # self-closing <a/>: empty anchor text
+            self.handle_starttag(tag, attrs)
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and self._skip_depth == 0 and data:
+            self._buf.append(data)
+
+
+def extract_anchor_texts(html: bytes | str,
+                         base_url: str) -> list[tuple[str, str]]:
+    """``[(target url, anchor text)]`` for every anchor with an
+    http(s) target, document order, duplicates preserved — anchor text
+    is the classic relevance/label signal for the link target (used by
+    web search and as training-data supervision)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _AnchorExtractor()
+    p.feed(html)
+    p.close()
+    p._flush()  # EOF inside an unterminated <a>
+    out = []
+    for href, text in p.anchors:
+        u = normalize_url(href, base_url)
+        if u is not None:
+            out.append((u, text))
+    return out
+
+
 def _parse(html: bytes | str) -> _Extractor:
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")

@@ -78,6 +78,30 @@ def extract_links_stage(pages_ds, batch_size: int = 256):
     )
 
 
+def anchor_texts_stage(pages_ds, batch_size: int = 256):
+    """pages -> ``(src_url, dst_url, anchor)`` — anchor-text pairs in
+    document order, duplicates preserved (``functions.html
+    .extract_anchor_texts``).  Stateless ``map_batches``; the html
+    column is dropped at this stage like ``extract_stage``."""
+    from ..functions.html import extract_anchor_texts
+
+    def ex(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        src, dst, txt = [], [], []
+        for u, h in zip(urls, htmls):
+            for t_url, t_txt in extract_anchor_texts(h, u):
+                src.append(u)
+                dst.append(t_url)
+                txt.append(t_txt)
+        return pa.table({"src_url": pa.array(src, pa.string()),
+                         "dst_url": pa.array(dst, pa.string()),
+                         "anchor": pa.array(txt, pa.string())})
+
+    return pages_ds.map_batches(ex, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+
 def local_distinct(batch: pa.Table) -> pa.Table:
     """Within-batch distinct (pre-combine before the global shuffle)."""
     return batch.group_by(batch.column_names).aggregate([])

@@ -78,3 +78,32 @@ def test_distributed_links_match_ground_truth():
     got_pairs = sorted(zip(got["src_url"], got["dst_url"]))
     exp_pairs = sorted(zip(*expected_links(n, seed=42)))
     assert got_pairs == exp_pairs
+
+
+def test_extract_anchor_texts_semantics():
+    """Anchor-text extraction on constructs the fixture (and its regex
+    oracle) never emits: nested inline tags, entities, implicit close
+    by a new <a>, skip-subtrees inside anchors, EOF inside an anchor."""
+    from dxa_pagerank_ray.functions.html import extract_anchor_texts
+
+    html = (
+        '<body>'
+        '<a href="/x">hello <b>bold</b> world</a>'
+        '<a href="/amp">a &amp; b</a>'
+        '<a href="/one">first'            # implicitly closed by next <a>
+        '<a href="/two">second</a>'
+        '<a href="#frag">skipped</a>'
+        '<a href="mailto:a@b">skipped</a>'
+        '<a href="/script"><script>var x;</script>visible</a>'
+        '<a href="/eof">tail text'        # EOF inside the anchor
+        '</body>'
+    )
+    got = extract_anchor_texts(html, "https://h.example/p/1")
+    assert got == [
+        ("https://h.example/x", "hello bold world"),
+        ("https://h.example/amp", "a & b"),
+        ("https://h.example/one", "first"),
+        ("https://h.example/two", "second"),
+        ("https://h.example/script", "visible"),
+        ("https://h.example/eof", "tail text"),
+    ]
