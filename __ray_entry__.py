@@ -744,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top20": tg.q_pagerank_top20,
         "pagerank_fixed4": tg.q_pagerank_fixed4,
         "ppr_fixed4": tg.q_ppr_fixed4,
+        "hits_fixed4": tg.q_hits_fixed4,
         "cc_sizes": tg.q_cc_sizes,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
@@ -1076,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": _anchor_texts_oracle_sql(),
         "pagerank_fixed4": tg.SQL["pagerank_fixed4"],
         "ppr_fixed4": tg.SQL["ppr_fixed4"],
+        "hits_fixed4": tg.SQL["hits_fixed4"],
         "labelprop_sizes": tg.SQL["labelprop_sizes"],
         "cc_sizes": _CC_SIZES_SQL,
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,

@@ -159,6 +159,29 @@ def cmd_kcore(args) -> None:
     _run_label_alg(args, "core_decomposition")
 
 
+def cmd_hits(args) -> None:
+    from .pipelines.hits_csr import HitsCSR
+
+    edges, n, _, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    eng = HitsCSR(edges, n, num_partitions=args.partitions)
+    res = eng.run(threshold=args.threshold, max_rounds=args.max_rounds,
+                  collect_state=False)
+    eng.write_scores(os.path.join(args.out, "scores"))
+    eng.shutdown()
+    exec_time = time.perf_counter() - t0
+    _statistics(args.out, {
+        "ALGORITHM": "hits", "NUM_VERTICES": n,
+        "NUM_ROUNDS": res.rounds, "CONVERGED": res.converged,
+        "INPUT_TIME_S": round(input_time, 3),
+        "EXECUTION_TIME_S": round(exec_time, 3),
+        "ERR_PER_ROUND": res.errs,
+    })
+    print(json.dumps({"out": args.out, "rounds": res.rounds,
+                      "converged": res.converged}))
+
+
 def cmd_triangles(args) -> None:
     from .pipelines.triangles import triangle_count
 
@@ -394,6 +417,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("labelprop", help="synchronous label propagation")
     add_common(p)
     p.set_defaults(fn=cmd_labelprop)
+
+    p = sub.add_parser("hits", help="HITS hubs & authorities "
+                       "(bidirectional CSR engine)")
+    add_common(p)
+    p.add_argument("--threshold", type=float, default=1e-9)
+    p.set_defaults(fn=cmd_hits)
 
     p = sub.add_parser("triangles", help="triangle count")
     add_common(p)

@@ -113,6 +113,33 @@ def pagerank_lump(
     return pr, rounds, errs
 
 
+def hits(src: np.ndarray, dst: np.ndarray, n: int,
+         threshold: float = 1e-9, max_rounds: int = 100):
+    """HITS hubs & authorities (Kleinberg 1999), synchronous power
+    iteration with L2 normalization after each half-step; hub init = 1.
+    Returns ``(auth, hub, rounds, errs)`` with err = L1 delta of both
+    vectors per round."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    errs: list[float] = []
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        raw_a = np.bincount(dst, weights=hub[src], minlength=n)
+        na = float(np.sqrt(np.sum(raw_a * raw_a)))
+        new_auth = raw_a / na if na > 0 else raw_a
+        raw_h = np.bincount(src, weights=new_auth[dst], minlength=n)
+        nh = float(np.sqrt(np.sum(raw_h * raw_h)))
+        new_hub = raw_h / nh if nh > 0 else raw_h
+        errs.append(float(np.sum(np.abs(new_auth - auth)))
+                    + float(np.sum(np.abs(new_hub - hub))))
+        auth, hub = new_auth, new_hub
+        if errs[-1] <= threshold:
+            break
+    return auth, hub, rounds, errs
+
+
 def connected_components(src: np.ndarray, dst: np.ndarray, n: int,
                          max_rounds: int = 10_000) -> np.ndarray:
     """Hash-min label exchange on the *undirected* edge set; labels

@@ -204,6 +204,26 @@ def q_ppr_fixed4(sf_dir: str):
                      "pr_nano": pa.array(pr_nano, pa.int64())})
 
 
+def q_hits_fixed4(sf_dir: str):
+    """HITS hubs & authorities (4 L2-normalized rounds, Kleinberg
+    1999) on the customer graph via the bidirectional CSR shard engine;
+    integer nano output, unrolled SQL oracle."""
+    from .hits_csr import HitsCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = HitsCSR(edges, n, num_partitions=8)
+    res = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    return pa.table({
+        "v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "auth_nano": pa.array(
+            np.floor(res.auth * 1e9 + 0.5).astype(np.int64), pa.int64()),
+        "hub_nano": pa.array(
+            np.floor(res.hub * 1e9 + 0.5).astype(np.int64), pa.int64()),
+    })
+
+
 def q_cc_sizes(sf_dir: str):
     """(component label, size), customer graph, CSR label engine;
     rows-only driver check + exact numpy-oracle check in tests."""
@@ -434,6 +454,49 @@ tp AS (SELECT v, 1.0 / (SELECT count(*) FROM verts WHERE v % 100 = 0) AS tv
 
 
 SQL["ppr_fixed4"] = ppr_fixed_sql(4)
+
+
+def hits_fixed_sql(rounds: int = 4) -> str:
+    """Unrolled HITS oracle over the customer graph: per round, gather
+    hub along src->dst (authority), L2-normalize, gather auth along
+    dst->src (hub), L2-normalize; hub init = 1.  Norms sum squares over
+    the gathered rows only — absent vertices contribute 0."""
+    head = f"""
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % {CUSTOMER_MOD} AS dst
+  FROM orders WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}
+),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS (SELECT unnest(range(0, (SELECT n FROM nv))) AS v),
+h0 AS (SELECT v, 1.0 AS h FROM verts)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        # MATERIALIZED: the two interleaved chains reference each
+        # level several times (join + scalar norm subqueries); without
+        # it DuckDB re-inlines every reference and the plan blows up
+        # exponentially in the round count.
+        steps.append(f""",
+ra{k} AS MATERIALIZED (SELECT raw.dst AS v, sum(p.h) AS s
+        FROM raw JOIN h{k - 1} p ON p.v = raw.src GROUP BY raw.dst),
+na{k} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM ra{k}),
+a{k} AS MATERIALIZED (SELECT verts.v,
+               COALESCE(ra{k}.s, 0) / (SELECT nrm FROM na{k}) AS a
+       FROM verts LEFT JOIN ra{k} ON ra{k}.v = verts.v),
+rh{k} AS MATERIALIZED (SELECT raw.src AS v, sum(q.a) AS s
+        FROM raw JOIN a{k} q ON q.v = raw.dst GROUP BY raw.src),
+nh{k} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM rh{k}),
+h{k} AS MATERIALIZED (SELECT verts.v,
+               COALESCE(rh{k}.s, 0) / (SELECT nrm FROM nh{k}) AS h
+       FROM verts LEFT JOIN rh{k} ON rh{k}.v = verts.v)""")
+    k = rounds
+    tail = f"""
+SELECT a{k}.v, CAST(round(a{k}.a * 1e9) AS BIGINT) AS auth_nano,
+       CAST(round(h{k}.h * 1e9) AS BIGINT) AS hub_nano
+FROM a{k} JOIN h{k} ON h{k}.v = a{k}.v"""
+    return head + "".join(steps) + tail
+
+
+SQL["hits_fixed4"] = hits_fixed_sql(4)
 
 
 def labelprop_fixed_sql(rounds: int = 5) -> str:
