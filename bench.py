@@ -140,7 +140,8 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
     for name in ["q1_pricing_summary", "top_customers_revenue", "events_hourly",
                  "doc_token_counts", "docs_exact_dedup", "ann_cosine_top10",
                  "triangle_count", "cc_sizes", "pagerank_top20",
-                 "kcore_numbers", "degree_distribution",
+                 "kcore_numbers", "degree_distribution", "hits_fixed4",
+                 "ppr_fixed4", "host_pagerank_weighted", "anchor_texts",
                  "minhash_dup_pairs", "top_terms", "docs_sample",
                  "training_corpus"]:
         t0 = time.perf_counter()
