@@ -466,11 +466,12 @@ class LabelCSR:
         rounds, see tests/test_labels_csr.py path-graph stress).  Web
         link graphs have small diameters so this is the right default;
         for pathological high-diameter inputs the standard mitigation
-        is pointer-doubling / star-contraction (two-phase
-        large-star/small-star a la Kiveris et al., "Connected
-        Components in MapReduce and Beyond") which cuts rounds to
-        O(log N) at the cost of mutating the edge set each round — out
-        of scope here, raise ``max_rounds`` instead."""
+        is star contraction (two-phase large-star/small-star a la
+        Kiveris et al., "Connected Components in MapReduce and
+        Beyond") which cuts rounds to O(log N) at the cost of three
+        O(E) shuffles per round — implemented as the pure-Ray-Data
+        ``pipelines.cc_star.connected_components_star``; use that for
+        high-diameter inputs."""
         from .components import ComponentsResult
 
         rounds, hist = self._resume(checkpoint_dir, resume)

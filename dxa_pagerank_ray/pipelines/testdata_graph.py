@@ -240,6 +240,18 @@ def q_cc_sizes(sf_dir: str):
                      "size": pa.array(sizes.astype(np.int64), pa.int64())})
 
 
+def q_cc_sizes_star(sf_dir: str):
+    """Same (label, size) contract as ``cc_sizes``, computed by the
+    O(log N)-round large-star/small-star contraction
+    (``pipelines.cc_star``) instead of the hash-min CSR engine — the
+    high-diameter scale path, pure Ray Data ops, same SQL oracle."""
+    from .cc_star import cc_sizes_star
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    return cc_sizes_star(edges, n)
+
+
 def q_kcore_numbers(sf_dir: str):
     """(v, core) for every customer-graph vertex — k-core decomposition
     on the CSR label engine (distributed h-index iteration).  Input is
