@@ -495,6 +495,30 @@ verts AS (SELECT v FROM ids),"""
     return head + pagerank_core_sql(4, 0.85, final)
 
 
+def _q_random_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walk corpus over the customer
+    graph: length-8 walks from the ``v % 50 == 0`` seed set, one row
+    per (walk_id, step, v).  Oracle: the sequential replay
+    (``pipelines.walks.walks_reference``) materialized as parquet — a
+    hash match proves the distributed walker exchange is partition-
+    and execution-order-independent."""
+    import numpy as np
+
+    from dxa_pagerank_ray.pipelines.testdata_graph import (
+        _num_vertices,
+        customer_edges,
+    )
+    from dxa_pagerank_ray.pipelines.walks import WalkCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = WalkCSR(edges, n, num_partitions=8, seed=_WALK_SEED)
+    eng.run(np.arange(0, n, 50, dtype=np.int64), length=_WALK_LEN)
+    out = eng.collect()
+    eng.shutdown()
+    return out
+
+
 def _q_anchor_texts(sf_dir: str):
     """``(src_url, dst_url, anchor)`` over the pages fixture — anchor
     text is the classic target-relevance label for web training data.
@@ -618,7 +642,9 @@ def _media_expected_dir() -> str:
 # oracles below (same pattern as the media family) are materialized
 # from that directory's tables
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
-_SEQ_EXPECTED_V = 2  # bump to invalidate the cached expected dir
+_SEQ_EXPECTED_V = 3  # bump to invalidate the cached expected dir
+_WALK_LEN = 8
+_WALK_SEED = 42
 
 
 def _seq_expected_dir() -> str:
@@ -643,6 +669,7 @@ def _seq_expected_dir() -> str:
         pagerank_top20_reference,
     )
     from dxa_pagerank_ray.oracles.graph_oracles import core_numbers
+    from dxa_pagerank_ray.pipelines.walks import walks_reference
 
     emb = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
@@ -670,6 +697,10 @@ def _seq_expected_dir() -> str:
             "v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
             "core": pa.array(core_numbers(src, dst, n), pa.int64()),
         }),
+        # sequential replay of the deterministic walk arithmetic
+        "random_walks": walks_reference(
+            src, dst, n, np.arange(0, n, 50, dtype=np.int64),
+            _WALK_LEN, seed=_WALK_SEED),
     }
     tmp = f"{path}.tmp{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
@@ -754,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_fixed4": _q_host_pagerank_fixed4,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
         "anchor_texts": _q_anchor_texts,
+        "random_walks": _q_random_walks,
         # relational operator coverage
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_customers_revenue": rel.top_customers_by_revenue,
@@ -1159,6 +1191,10 @@ SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         "kcore_numbers": (
             "SELECT * FROM "
             f"read_parquet('{_seq_expected_dir()}/kcore_numbers.parquet')"
+        ),
+        "random_walks": (
+            "SELECT * FROM "
+            f"read_parquet('{_seq_expected_dir()}/random_walks.parquet')"
         ),
         "media_decode": (
             "SELECT * FROM "

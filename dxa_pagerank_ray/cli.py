@@ -159,6 +159,33 @@ def cmd_kcore(args) -> None:
     _run_label_alg(args, "core_decomposition")
 
 
+def cmd_walks(args) -> None:
+    """Deterministic random-walk corpus (DeepWalk-style) — walks of
+    --length from every --stride'th vertex, per-shard Parquet logs."""
+    import numpy as np
+
+    from .pipelines.walks import WalkCSR
+
+    edges, n, _, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    eng = WalkCSR(edges, n, num_partitions=args.partitions,
+                  seed=args.walk_seed)
+    seeds = np.arange(0, n, args.stride, dtype=np.int64)
+    eng.run(seeds, length=args.length)
+    files = eng.write_logs(os.path.join(args.out, "walks"))
+    eng.shutdown()
+    exec_time = time.perf_counter() - t0
+    _statistics(args.out, {
+        "ALGORITHM": "random_walks", "NUM_VERTICES": n,
+        "NUM_WALKS": int(len(seeds)), "WALK_LENGTH": args.length,
+        "INPUT_TIME_S": round(input_time, 3),
+        "EXECUTION_TIME_S": round(exec_time, 3),
+    })
+    print(json.dumps({"out": args.out, "walks": int(len(seeds)),
+                      "files": len(files)}))
+
+
 def cmd_hits(args) -> None:
     from .pipelines.hits_csr import HitsCSR
 
@@ -423,6 +450,15 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(p)
     p.add_argument("--threshold", type=float, default=1e-9)
     p.set_defaults(fn=cmd_hits)
+
+    p = sub.add_parser("walks", help="deterministic random-walk corpus "
+                       "(DeepWalk-style node sentences)")
+    add_common(p)
+    p.add_argument("--length", type=int, default=10)
+    p.add_argument("--stride", type=int, default=1,
+                   help="walk from every stride'th vertex")
+    p.add_argument("--walk-seed", type=int, default=0)
+    p.set_defaults(fn=cmd_walks)
 
     p = sub.add_parser("triangles", help="triangle count")
     add_common(p)
