@@ -778,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_fixed4": tg.q_hits_fixed4,
         "cc_sizes": tg.q_cc_sizes,
         "cc_sizes_star": tg.q_cc_sizes_star,
+        "bfs_depths": tg.q_bfs_depths,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
         "degree_distribution": tg.q_degree_distribution,
@@ -1114,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "labelprop_sizes": tg.SQL["labelprop_sizes"],
         "cc_sizes": _CC_SIZES_SQL,
         "cc_sizes_star": _CC_SIZES_SQL,
+        "bfs_depths": tg.SQL["bfs_depths"],
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
         "minhash_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),

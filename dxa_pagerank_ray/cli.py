@@ -159,6 +159,34 @@ def cmd_kcore(args) -> None:
     _run_label_alg(args, "core_decomposition")
 
 
+def cmd_bfs(args) -> None:
+    """Multi-source depth-bounded BFS (crawl depth) over the DIRECTED
+    edge set; per-partition (v, label=distance) Parquet, sentinel
+    NUM_VERTICES for vertices unreached within --max-depth."""
+    from .pipelines.labels_csr import LabelCSR
+
+    edges, n, _, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    eng = LabelCSR(edges, n, num_partitions=args.partitions)
+    res = eng.bfs_distances(
+        [int(s) for s in args.seeds.split(",")], max_depth=args.max_depth,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume,
+        collect_state=False)
+    eng.write_labels(os.path.join(args.out, "depths"))
+    eng.shutdown()
+    exec_time = time.perf_counter() - t0
+    _statistics(args.out, {
+        "ALGORITHM": "bfs_distances", "NUM_VERTICES": n,
+        "MAX_DEPTH": args.max_depth, "NUM_ROUNDS": res.rounds,
+        "INPUT_TIME_S": round(input_time, 3),
+        "EXECUTION_TIME_S": round(exec_time, 3),
+        "CHANGED_PER_ROUND": res.changed_per_round,
+    })
+    print(json.dumps({"out": args.out, "rounds": res.rounds}))
+
+
 def cmd_walks(args) -> None:
     """Deterministic random-walk corpus (DeepWalk-style) — walks of
     --length from every --stride'th vertex, per-shard Parquet logs."""
@@ -450,6 +478,14 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(p)
     p.add_argument("--threshold", type=float, default=1e-9)
     p.set_defaults(fn=cmd_hits)
+
+    p = sub.add_parser("bfs", help="multi-source depth-bounded BFS "
+                       "(crawl depth over the directed edge set)")
+    add_common(p)
+    p.add_argument("--seeds", default="0",
+                   help="comma-separated seed vertex ids")
+    p.add_argument("--max-depth", type=int, default=32)
+    p.set_defaults(fn=cmd_bfs)
 
     p = sub.add_parser("walks", help="deterministic random-walk corpus "
                        "(DeepWalk-style node sentences)")

@@ -65,8 +65,13 @@ def _make_hits_actor_cls():
             self._raw = np.zeros(self.size, dtype=np.float64)
             self._edge_src: list[np.ndarray] = []
             self._edge_dst: list[np.ndarray] = []
+            self._seen_keys: set[str] = set()
 
-        def add_edges(self, t: pa.Table) -> int:
+        def add_edges(self, t: pa.Table, key: str | None = None) -> int:
+            if key is not None:
+                if key in self._seen_keys:
+                    return 0
+                self._seen_keys.add(key)
             src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             self._edge_src.append(src)
@@ -108,6 +113,7 @@ def _make_hits_actor_cls():
             dst = (np.concatenate(self._edge_dst)
                    if self._edge_dst else np.array([], dtype=np.int64))
             self._edge_src = self._edge_dst = []
+            self._seen_keys = set()
             self.fwd = self._build_blocks(src, dst)
             # stage reversed edges for the reverse routing exchange:
             # group by the shard that owns DST (the reverse source)

@@ -60,8 +60,13 @@ def _make_label_actor_cls():
             self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
             self._edge_src: list[np.ndarray] = []
             self._edge_dst: list[np.ndarray] = []
+            self._seen_keys: set[str] = set()
 
-        def add_edges(self, t: pa.Table) -> int:
+        def add_edges(self, t: pa.Table, key: str | None = None) -> int:
+            if key is not None:
+                if key in self._seen_keys:
+                    return 0
+                self._seen_keys.add(key)
             src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             self._edge_src.append(src)
@@ -79,6 +84,7 @@ def _make_label_actor_cls():
             dst = (np.concatenate(self._edge_dst)
                    if self._edge_dst else np.array([], dtype=np.int64))
             self._edge_src = self._edge_dst = []
+            self._seen_keys = set()
             src_local = src - self.lo
             ts = np.searchsorted(self.shard_lo, dst, side="right") - 1
             order = np.lexsort((dst, ts))
@@ -95,6 +101,14 @@ def _make_label_actor_cls():
 
         def reset_labels(self) -> None:
             self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
+
+        def seed_distances(self, seeds: np.ndarray, sentinel: int) -> None:
+            """BFS init: 0 for seed vertices owned by this shard,
+            ``sentinel`` (= num_vertices, larger than any real hop
+            distance) everywhere else."""
+            self.labels = np.full(self.size, sentinel, dtype=np.int64)
+            mine = seeds[(seeds >= self.lo) & (seeds < self.hi)]
+            self.labels[mine - self.lo] = 0
 
         # ---- connected components (hash-min) ----
         def cc_compute(self):
@@ -144,6 +158,31 @@ def _make_label_actor_cls():
             new = self.labels.copy()
             tgt = idx[b]
             new[tgt] = np.minimum(new[tgt], np.minimum.reduceat(vals, b))
+            changed = int(np.sum(new != self.labels))
+            self.labels = new
+            return changed
+
+        def bfs_apply(self, *packed) -> int:
+            """Relax step for multi-source BFS: new(v) = min(old(v),
+            1 + min over in-neighbors u of old(u)).  Reuses
+            ``cc_compute`` on the wire (per-dst min of source labels);
+            the sentinel is stable under +1 because the update is
+            clipped by the old value (min(sentinel, sentinel+1) =
+            sentinel).  After k supersteps label(v) is the true hop
+            distance iff dist(v) <= k, else the sentinel."""
+            partials = self._my_slices(packed)
+            idx = np.concatenate([p[0] for p in partials]) if partials else \
+                np.array([], dtype=np.int64)
+            if len(idx) == 0:
+                return 0
+            vals = np.concatenate([p[1] for p in partials])
+            order = np.argsort(idx, kind="stable")
+            idx, vals = idx[order], vals[order]
+            b = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+            new = self.labels.copy()
+            tgt = idx[b]
+            new[tgt] = np.minimum(new[tgt],
+                                  np.minimum.reduceat(vals, b) + 1)
             changed = int(np.sum(new != self.labels))
             self.labels = new
             return changed
@@ -402,9 +441,12 @@ class LabelCSR:
         )
         return int(sum(changed))
 
-    def _resume(self, checkpoint_dir: str | None, resume: bool):
+    def _resume(self, checkpoint_dir: str | None, resume: bool,
+                init_name: str = "reset_labels", init_args: tuple = ()):
         """-> (start_round, changed history) restored from the latest
-        complete checkpoint, or (0, []) after a label reset."""
+        complete checkpoint, or (0, []) after the algorithm's fresh
+        init (``init_name`` actor method; identity labels by default,
+        ``seed_distances`` for BFS)."""
         import json
         import os
 
@@ -426,7 +468,8 @@ class LabelCSR:
                 ray.get([a.load_ckpt.remote(checkpoint_dir, it)
                          for a in self.actors])
                 return it, [m["changed"] for m in manifest["metrics"]]
-        ray.get([a.reset_labels.remote() for a in self.actors])
+        ray.get([getattr(a, init_name).remote(*init_args)
+                 for a in self.actors])
         return 0, []
 
     def _checkpoint(self, checkpoint_dir: str, it: int,
@@ -509,6 +552,48 @@ class LabelCSR:
         return LabelPropResult(
             labels=self._collect() if collect_state else None,
             rounds=done, changed_per_round=hist)
+
+    def bfs_distances(self, seeds, max_depth: int = 32,
+                      checkpoint_dir: str | None = None,
+                      checkpoint_every: int = 0, resume: bool = False,
+                      collect_state: bool = True):
+        """Multi-source shortest HOP distance (crawl depth) from
+        ``seeds``, bounded at ``max_depth`` — the bound is part of the
+        operator contract (crawl-frontier semantics: "everything within
+        D hops of the seed list"), which also makes the recursive-CTE
+        SQL oracle exact by construction instead of relying on an
+        unverifiable cap.  Edge direction is taken as given: pass the
+        directed edge Dataset for forward/crawl BFS or
+        ``superstep.undirect(edges)`` for undirected distance.  One
+        superstep extends the frontier one hop, so after
+        min(max_depth, fixpoint) rounds every label is either the true
+        distance (<= max_depth) or the sentinel ``num_vertices``
+        (unreached within the bound).  Message volume per round equals
+        connected components' (``cc_compute`` is reused on the wire).
+        No reference counterpart (dxa-pageRank implements only
+        PageRank, `MainPR.java`); standard link-graph companion op."""
+        from .components import ComponentsResult
+
+        seeds = np.asarray(seeds, dtype=np.int64)
+        if len(seeds) == 0:
+            raise ValueError("bfs_distances needs at least one seed")
+        if seeds.min() < 0 or seeds.max() >= self.n:
+            raise ValueError("seed vertex id out of range")
+        rounds, hist = self._resume(checkpoint_dir, resume,
+                                    "seed_distances", (seeds, self.n))
+        if not (hist and hist[-1] == 0):
+            while rounds < max_depth:
+                rounds += 1
+                changed = self._superstep("cc_compute", "bfs_apply")
+                hist.append(changed)
+                if (checkpoint_dir is not None and checkpoint_every > 0
+                        and rounds % checkpoint_every == 0):
+                    self._checkpoint(checkpoint_dir, rounds, hist)
+                if changed == 0:
+                    break
+        return ComponentsResult(
+            labels=self._collect() if collect_state else None,
+            rounds=rounds, changed_per_round=hist)
 
     def core_decomposition(self, max_rounds: int = 10_000,
                            checkpoint_dir: str | None = None,

@@ -66,6 +66,10 @@ def default_num_actors(num_partitions: int) -> int:
     return max(1, min(num_partitions, cpus))
 
 
+_ROUTE_ACK_TIMEOUT_S = 60.0  # per ray.wait round on the ack barrier
+_ROUTE_ACK_TRIES = 10        # loud failure after ~10 min of no ack
+
+
 def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
     """Route an edge Dataset to its owning shard actors WORKER-SIDE:
     a ``map_batches`` pass splits each batch by src range and pushes the
@@ -85,9 +89,23 @@ def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
     The routing op therefore runs with ``max_retries=0``: a lost worker
     fails the load loudly instead, and the caller restarts the engine
     (at real cluster scale, prefer the partitioned-Parquet write +
-    per-shard read path, which is idempotent by construction)."""
+    per-shard read path, which is idempotent by construction).
+
+    Liveness: an actor-task submission through a freshly deserialized
+    handle can be lost in transit (observed once on a heavily throttled
+    host: one ``add_edges`` of four never executed and the plain
+    ``ray.get`` ack barrier slept ~30 min until a transport-level retry
+    redelivered it).  Each chunk therefore carries a unique key the
+    actor dedups on, and the ack barrier is a bounded ``ray.wait`` loop
+    that RESUBMITS unacked chunks with the same key — safe because the
+    actor ignores a key it has already applied — and fails loudly after
+    ``_ROUTE_ACK_TRIES`` rounds instead of hanging a 100-TB load."""
+    import uuid
+
     import ray
 
+    # barrier: actors fully constructed/registered before routing starts
+    ray.get([a.__ray_ready__.remote() for a in actors])
     handles_ref = ray.put(actors)
 
     def route(batch: pa.Table) -> pa.Table:
@@ -100,12 +118,33 @@ def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
         A = len(acts)
         starts = np.searchsorted(osort, np.arange(A))
         ends = np.searchsorted(osort, np.arange(A), side="right")
-        refs = [
-            acts[a].add_edges.remote(t.slice(starts[a], ends[a] - starts[a]))
-            for a in range(A)
-            if ends[a] > starts[a]
-        ]
-        ray.get(refs)  # ack before the block is retired (load barrier)
+        pending = {}
+        for a in range(A):
+            if ends[a] > starts[a]:
+                key = uuid.uuid4().hex
+                sl = t.slice(starts[a], ends[a] - starts[a])
+                pending[acts[a].add_edges.remote(sl, key)] = (a, key, sl)
+        # ack before the block is retired (load barrier), resubmitting
+        # chunks whose submission was lost (idempotent via key)
+        tries = 0
+        while pending:
+            ready, not_ready = ray.wait(list(pending),
+                                        num_returns=len(pending),
+                                        timeout=_ROUTE_ACK_TIMEOUT_S)
+            ray.get(ready)  # surface actor-side errors loudly
+            for r in ready:
+                pending.pop(r)
+            if not not_ready:
+                break
+            tries += 1
+            if tries >= _ROUTE_ACK_TRIES:
+                raise RuntimeError(
+                    f"edge routing: {len(not_ready)} add_edges chunks "
+                    f"unacked after {tries * _ROUTE_ACK_TIMEOUT_S:.0f}s"
+                )
+            for r in not_ready:
+                a, key, sl = pending.pop(r)
+                pending[acts[a].add_edges.remote(sl, key)] = (a, key, sl)
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
     routed = edges_ds.map_batches(route, batch_format="pyarrow",
@@ -154,11 +193,18 @@ def _make_actor_cls():
             self._edge_src: list[np.ndarray] = []
             self._edge_dst: list[np.ndarray] = []
             self._edge_w: list[np.ndarray] = []
+            self._seen_keys: set[str] = set()
 
-        def add_edges(self, t: pa.Table) -> int:
+        def add_edges(self, t: pa.Table, key: str | None = None) -> int:
             """Feed a chunk of this shard's out-edges (src in [lo, hi));
             callable repeatedly during load.  Weighted engines read the
-            per-edge ``w`` column (positive out-weights)."""
+            per-edge ``w`` column (positive out-weights).  ``key`` makes
+            the call idempotent: a chunk resubmitted by the routing ack
+            barrier (lost-submission recovery) is applied once."""
+            if key is not None:
+                if key in self._seen_keys:
+                    return 0
+                self._seen_keys.add(key)
             src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             self._edge_src.append(src)
@@ -187,6 +233,7 @@ def _make_actor_cls():
             w = (np.concatenate(self._edge_w)
                  if self._edge_w else np.array([], dtype=np.float64))
             self._edge_src = self._edge_dst = self._edge_w = []
+            self._seen_keys = set()
             src_local = src - self.lo
             self.outdeg = np.bincount(src_local,
                                       minlength=self.size).astype(np.int64)

@@ -300,6 +300,29 @@ def q_degree_distribution(sf_dir: str):
     return hist
 
 
+BFS_SEEDS = (1, 2, 3)
+BFS_MAX_DEPTH = 16
+
+
+def q_bfs_depths(sf_dir: str):
+    """(v, dist) — shortest hop distance from the seed set
+    ``BFS_SEEDS`` over the DIRECTED customer graph, bounded at
+    ``BFS_MAX_DEPTH`` (crawl-frontier semantics; the bound is part of
+    the operator contract so the engine and the depth-bounded
+    recursive-CTE oracle agree by construction).  Vertices unreached
+    within the bound are excluded."""
+    from .labels_csr import LabelCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = LabelCSR(edges, n, num_partitions=8)
+    res = eng.bfs_distances(list(BFS_SEEDS), max_depth=BFS_MAX_DEPTH)
+    eng.shutdown()
+    vs = np.flatnonzero(res.labels < n)
+    return pa.table({"v": pa.array(vs.astype(np.int64), pa.int64()),
+                     "dist": pa.array(res.labels[vs], pa.int64())})
+
+
 def q_labelprop_sizes(sf_dir: str):
     """(label, size) after 5 synchronous LP rounds, customer graph, CSR
     label engine; rows-only driver check + exact numpy-oracle check in
@@ -341,6 +364,23 @@ SQL = {
         "od AS (SELECT src AS v, count(*) AS outdeg FROM e GROUP BY src) "
         "SELECT COALESCE(od.outdeg, 0) AS outdeg, count(*) AS n_vertices "
         "FROM verts LEFT JOIN od ON od.v = verts.v GROUP BY 1"
+    ),
+    # depth-bounded multi-source BFS: the recursive CTE enumerates
+    # (v, depth) pairs only to BFS_MAX_DEPTH - 1 expansions (cycles make
+    # the unbounded version non-terminating), so MIN(d) is exact for
+    # every vertex within the bound — the same contract the engine's
+    # max_depth implements.
+    "bfs_depths": (
+        "WITH RECURSIVE raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "b(v, d) AS ("
+        "SELECT CAST(s.v AS BIGINT), 0 FROM (VALUES "
+        + ", ".join(f"({s})" for s in BFS_SEEDS) + ") s(v) "
+        "UNION "
+        "SELECT raw.dst, b.d + 1 FROM b JOIN raw ON raw.src = b.v "
+        f"WHERE b.d < {BFS_MAX_DEPTH}) "
+        "SELECT v, CAST(min(d) AS BIGINT) AS dist FROM b GROUP BY v"
     ),
     "triangle_count": (
         "WITH raw AS (SELECT DISTINCT o_custkey AS src, "

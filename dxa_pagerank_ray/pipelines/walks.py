@@ -58,11 +58,16 @@ def _make_walk_actor_cls():
             self.seed = seed
             self._edge_src: list[np.ndarray] = []
             self._edge_dst: list[np.ndarray] = []
+            self._seen_keys: set[str] = set()
             self.wid = np.array([], dtype=np.int64)   # resident walkers
             self.cur = np.array([], dtype=np.int64)   # their LOCAL vertex
             self._log: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
-        def add_edges(self, t: pa.Table) -> int:
+        def add_edges(self, t: pa.Table, key: str | None = None) -> int:
+            if key is not None:
+                if key in self._seen_keys:
+                    return 0
+                self._seen_keys.add(key)
             src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             self._edge_src.append(src)
@@ -78,6 +83,7 @@ def _make_walk_actor_cls():
             dst = (np.concatenate(self._edge_dst)
                    if self._edge_dst else np.array([], dtype=np.int64))
             self._edge_src = self._edge_dst = []
+            self._seen_keys = set()
             src_local = src - self.lo
             order = np.lexsort((dst, src_local))
             src_local, dst = src_local[order], dst[order]

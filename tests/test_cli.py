@@ -78,6 +78,13 @@ def test_cli_components_and_triangles_on_edges(tmp_path):
     cores = _read_vertex_col(out3, "labels", "label")
     np.testing.assert_array_equal(cores, [2, 2, 2, 1, 1])
 
+    # directed BFS from 0: around the triangle; 3->4 unreached (n=5)
+    out4 = str(tmp_path / "bfs_out")
+    main(["bfs", "--edges", edges_dir, "--out", out4, "--seeds", "0",
+          "--max-depth", "8"])
+    depths = _read_vertex_col(out4, "depths", "label")
+    np.testing.assert_array_equal(depths, [0, 1, 2, 5, 5])
+
 
 def test_cli_pagerank_text_format(pages_dir, tmp_path):
     """--format text: '<v> <pr>' plain-decimal lines (no scientific

@@ -190,6 +190,141 @@ def test_csr_kcore_random_vs_peeling(seed):
     assert exp.max() >= 3  # dense enough to exercise multi-level peeling
 
 
+def test_add_edges_key_idempotent():
+    """The routing ack barrier may RESUBMIT a chunk whose submission was
+    lost; the actor must apply a given key exactly once (lost-ack
+    recovery must not double-append edges)."""
+    import ray
+
+    from dxa_pagerank_ray.pipelines.labels_csr import _make_label_actor_cls
+
+    cls = _make_label_actor_cls()
+    a = cls.options(num_cpus=0).remote(
+        0, np.array([0, 4], dtype=np.int64), np.array([0, 1], dtype=np.int64))
+    t = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64())})
+    try:
+        assert ray.get(a.add_edges.remote(t, "k1")) == 2
+        assert ray.get(a.add_edges.remote(t, "k1")) == 0  # dup key ignored
+        assert ray.get(a.add_edges.remote(t, "k2")) == 2
+        assert ray.get(a.seal.remote()) == 4
+    finally:
+        ray.kill(a)
+
+
+# ---- multi-source depth-bounded BFS -----------------------------------------
+
+
+def _bfs_oracle(src, dst, n, seeds, max_depth):
+    """Sequential frontier BFS over the DIRECTED edge list; unreached
+    (within max_depth) = sentinel n."""
+    dist = np.full(n, n, dtype=np.int64)
+    dist[np.asarray(seeds, dtype=np.int64)] = 0
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    frontier = list(seeds)
+    for depth in range(1, max_depth + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if dist[v] > depth:
+                    dist[v] = depth
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("name", list(CASES))
+@pytest.mark.parametrize("parts", [1, 3])
+def test_csr_bfs_exact_small(name, parts):
+    """Directed BFS from vertex 0 on the hand-built cases vs the
+    sequential oracle (edge direction taken as given)."""
+    src, dst, n = CASES[name]
+    eng = LabelCSR(_ds(src, dst), n, num_partitions=parts)
+    got = eng.bfs_distances([0], max_depth=32)
+    eng.shutdown()
+    np.testing.assert_array_equal(
+        got.labels, _bfs_oracle(src, dst, n, [0], 32))
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_csr_bfs_multi_seed_random(seed):
+    """Random directed graph, 3-seed frontier: oracle-exact and
+    shard-count invariant (labels AND per-round change history)."""
+    rng = np.random.default_rng(seed)
+    n, m = 400, 1200
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    seeds = [1, 2, 3]
+    exp = _bfs_oracle(src, dst, n, seeds, 16)
+    ds = _ds(src, dst)
+    res = {}
+    for a in (1, 4):
+        eng = LabelCSR(ds, n, num_partitions=8, num_actors=a)
+        res[a] = eng.bfs_distances(seeds, max_depth=16)
+        eng.shutdown()
+    np.testing.assert_array_equal(res[1].labels, exp)
+    np.testing.assert_array_equal(res[4].labels, exp)
+    assert res[1].changed_per_round == res[4].changed_per_round
+    assert (exp < n).sum() > len(seeds)  # the frontier actually spread
+
+
+def test_csr_bfs_depth_bound_path_graph():
+    """Path graph 0->1->...->63 with max_depth=5: vertices 0..5 get
+    their true distance, everything past the bound stays sentinel, and
+    the engine runs exactly max_depth supersteps (no fixpoint below the
+    bound)."""
+    n = 64
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    eng = LabelCSR(_ds(src, dst), n, num_partitions=4, num_actors=2)
+    got = eng.bfs_distances([0], max_depth=5)
+    eng.shutdown()
+    exp = np.full(n, n, dtype=np.int64)
+    exp[:6] = np.arange(6)
+    np.testing.assert_array_equal(got.labels, exp)
+    assert got.rounds == 5
+
+
+def test_csr_bfs_checkpoint_resume(tmp_path):
+    """Interrupt after 2 rounds, rebuild at a different shard count,
+    resume — identical distances and round history."""
+    rng = np.random.default_rng(13)
+    n, m = 300, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    ds = _ds(src, dst)
+    eng = LabelCSR(ds, n, num_partitions=8, num_actors=2)
+    full = eng.bfs_distances([0, 5], max_depth=16)
+    eng.shutdown()
+    ck = str(tmp_path / "bfs")
+    eng = LabelCSR(ds, n, num_partitions=8, num_actors=2)
+    eng.bfs_distances([0, 5], max_depth=2, checkpoint_dir=ck,
+                      checkpoint_every=1)
+    eng.shutdown()
+    eng = LabelCSR(ds, n, num_partitions=8, num_actors=4)
+    resumed = eng.bfs_distances([0, 5], max_depth=16,
+                                checkpoint_dir=ck, resume=True)
+    eng.shutdown()
+    np.testing.assert_array_equal(resumed.labels, full.labels)
+    assert resumed.rounds == full.rounds
+
+
+def test_csr_bfs_seed_validation():
+    src, dst, n = CASES["star"]
+    eng = LabelCSR(_ds(src, dst), n, num_partitions=2)
+    try:
+        with pytest.raises(ValueError):
+            eng.bfs_distances([])
+        with pytest.raises(ValueError):
+            eng.bfs_distances([n])
+    finally:
+        eng.shutdown()
+
+
 def test_csr_kcore_checkpoint_resume(tmp_path):
     """Interrupt after 1 round, rebuild at a different shard count,
     resume — identical cores and total round count."""
