@@ -779,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_sizes": tg.q_cc_sizes,
         "cc_sizes_star": tg.q_cc_sizes_star,
         "bfs_depths": tg.q_bfs_depths,
+        "cocitation_top20": tg.q_cocitation_top20,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
         "degree_distribution": tg.q_degree_distribution,
@@ -1116,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_sizes": _CC_SIZES_SQL,
         "cc_sizes_star": _CC_SIZES_SQL,
         "bfs_depths": tg.SQL["bfs_depths"],
+        "cocitation_top20": tg.SQL["cocitation_top20"],
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
         "minhash_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),

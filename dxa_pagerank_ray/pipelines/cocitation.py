@@ -1,0 +1,126 @@
+"""Co-citation "related pages" over the link graph.
+
+Two pages are co-cited when one source links to both; their co-citation
+count (number of common in-neighbors) is the classic relatedness signal
+for web graphs (Dean & Henzinger 1999, "Finding Related Pages in the
+World Wide Web" — public-literature algorithm; no reference counterpart,
+dxa-pageRank implements only PageRank, `MainPR.java`).
+
+Scale shape (same discipline as the LSH pair sweeps in
+``stages/dedup.py``):
+
+1. ONE coarse hash-partition shuffle on ``src`` — all out-edges of a
+   source land in one partition;
+2. per partition: one vectorized lexsort + boundary sweep over every
+   source, per-source pair enumeration in bounded ``_tile_pairs`` tiles
+   (never an O(outdeg²) allocation);
+3. hub sources above ``max_outdeg`` are DROPPED + logged — the cap is
+   part of the operator contract, not a silent truncation: a
+   navigation/boilerplate page linking to m pages alone implies
+   m(m-1)/2 spurious "related" pairs, so every production co-citation
+   system bounds the source fan-out (the SQL oracle applies the same
+   ``HAVING count(*) <= max_outdeg`` filter — semantics match by
+   construction);
+4. pair counting via ``coarse_agg`` (map-side Arrow hash combine, one
+   coarse shuffle on ``a``);
+5. top-k with a per-partition cut under the final total order
+   (count desc, a, b), so the global sort ranks <= blocks*k rows.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import numpy as np
+import pyarrow as pa
+
+from ..context import derive_num_groups
+from ..stages.agg import coarse_agg
+from ..stages.dedup import _tile_pairs
+
+_log = logging.getLogger(__name__)
+
+# One source's pairs are enumerated inside one task: at the cap that is
+# ~8.4M pairs (~134 MB of int64 ids) per hub source, the same per-task
+# bound as the LSH bucket cap (`dedup._DEFAULT_MAX_BUCKET`).
+DEFAULT_MAX_OUTDEG = 4096
+
+
+def _cocite_sweep(t: pa.Table, max_outdeg: int) -> pa.Table:
+    """One coarse partition of (src, dst) rows -> co-cited pairs
+    (a, b), a < b, one row per (source, pair) incidence.  Expects
+    DEDUPLICATED edges (distinct dst per src -> strict a < b).  Pure
+    function (module-level so tests can assert the hub bound
+    directly)."""
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    ends = np.r_[starts[1:], len(src)]
+    sizes = ends - starts
+    cand = np.flatnonzero(sizes >= 2)
+    hubs = cand[sizes[cand] > max_outdeg]
+    if len(hubs):
+        _log.warning(
+            "cocitation: dropped %d hub source(s) totalling %d out-edges "
+            "(> max_outdeg=%d); pairs co-cited only by boilerplate-degree "
+            "sources are not counted — raise max_outdeg to include them",
+            len(hubs), int(sizes[hubs].sum()), max_outdeg,
+        )
+    a_out, b_out = [], []
+    for g in cand[sizes[cand] <= max_outdeg]:
+        for ii, jj in _tile_pairs(int(starts[g]), int(ends[g])):
+            a_out.append(dst[ii])  # dst sorted per src -> a < b
+            b_out.append(dst[jj])
+    if not a_out:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                     "b": pa.array(np.concatenate(b_out), pa.int64())})
+
+
+def cocitation_counts(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
+                      num_groups: int | None = None):
+    """(a, b, n) co-citation counts over a DEDUPLICATED directed edge
+    Dataset — n = number of distinct sources linking to both a and b,
+    counting only sources with out-degree <= ``max_outdeg``."""
+    if num_groups is None:
+        num_groups = derive_num_groups(edges_ds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (s % np.int64(num_groups) + np.int64(num_groups)) \
+            % np.int64(num_groups)
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "part": pa.array(part, pa.int64())})
+
+    pairs = (
+        edges_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(functools.partial(_cocite_sweep, max_outdeg=max_outdeg),
+                    batch_format="pyarrow")
+    )
+    return coarse_agg(pairs, ["a", "b"], [("a", "count", "n")])
+
+
+def cocitation_topk(edges_ds, k: int = 20,
+                    max_outdeg: int = DEFAULT_MAX_OUTDEG,
+                    num_groups: int | None = None):
+    """Top-k co-cited pairs, total order (n desc, a, b) — deterministic
+    under ties.  Per-partition cut first, so the final sort ranks
+    <= blocks*k candidate rows, never the full pair table."""
+    counts = cocitation_counts(edges_ds, max_outdeg=max_outdeg,
+                               num_groups=num_groups)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((b, a, -n))[:k]
+        return t.take(pa.array(sel, pa.int64()))
+
+    pruned = counts.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.sort(["n", "a", "b"],
+                       descending=[True, False, False]).limit(k)

@@ -64,8 +64,13 @@ def customer_edges(sf_dir: str):
 
 
 def _num_vertices(edges_ds) -> int:
-    hi = max(int(edges_ds.max("src")), int(edges_ds.max("dst")))
-    return hi + 1
+    """max(src, dst) + 1 in ONE Ray execution (a two-column aggregate),
+    not two — this runs once per graph query, so the per-execution
+    fixed cost is paid once."""
+    from ray.data.aggregate import Max
+
+    res = edges_ds.aggregate(Max("src"), Max("dst"))
+    return max(int(res["max(src)"]), int(res["max(dst)"])) + 1
 
 
 # ---- queries() callables ----------------------------------------------------
@@ -302,6 +307,19 @@ def q_degree_distribution(sf_dir: str):
 
 BFS_SEEDS = (1, 2, 3)
 BFS_MAX_DEPTH = 16
+COCITE_MAX_OUTDEG = 4096
+
+
+def q_cocitation_top20(sf_dir: str):
+    """Top-20 co-cited page pairs (count of common in-neighbors) over
+    the customer graph — Dean & Henzinger related-pages.  The hub cap
+    (sources with out-degree > COCITE_MAX_OUTDEG dropped) is part of
+    the operator contract and mirrored in the SQL oracle's HAVING, so
+    engine and oracle agree by construction."""
+    from .cocitation import cocitation_topk
+
+    edges = customer_edges(sf_dir).materialize()
+    return cocitation_topk(edges, k=20, max_outdeg=COCITE_MAX_OUTDEG)
 
 
 def q_bfs_depths(sf_dir: str):
@@ -381,6 +399,20 @@ SQL = {
         "SELECT raw.dst, b.d + 1 FROM b JOIN raw ON raw.src = b.v "
         f"WHERE b.d < {BFS_MAX_DEPTH}) "
         "SELECT v, CAST(min(d) AS BIGINT) AS dist FROM b GROUP BY v"
+    ),
+    # co-citation: pairs sharing an in-neighbor, hub sources excluded by
+    # the same out-degree cap the engine applies (operator contract).
+    "cocitation_top20": (
+        "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "ok AS (SELECT src FROM raw GROUP BY src "
+        f"HAVING count(*) <= {COCITE_MAX_OUTDEG}), "
+        "p AS (SELECT e1.dst AS a, e2.dst AS b FROM raw e1 "
+        "JOIN raw e2 ON e2.src = e1.src AND e1.dst < e2.dst "
+        "JOIN ok ON ok.src = e1.src) "
+        "SELECT a, b, count(*) AS n FROM p GROUP BY a, b "
+        "ORDER BY n DESC, a, b LIMIT 20"
     ),
     "triangle_count": (
         "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
