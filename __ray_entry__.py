@@ -780,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_sizes_star": tg.q_cc_sizes_star,
         "bfs_depths": tg.q_bfs_depths,
         "cocitation_top20": tg.q_cocitation_top20,
+        "coupling_top20": tg.q_coupling_top20,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
         "degree_distribution": tg.q_degree_distribution,
@@ -1118,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_sizes_star": _CC_SIZES_SQL,
         "bfs_depths": tg.SQL["bfs_depths"],
         "cocitation_top20": tg.SQL["cocitation_top20"],
+        "coupling_top20": tg.SQL["coupling_top20"],
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
         "minhash_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),

@@ -105,12 +105,31 @@ def cocitation_counts(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
     return coarse_agg(pairs, ["a", "b"], [("a", "count", "n")])
 
 
+def coupling_topk(edges_ds, k: int = 20,
+                  max_outdeg: int = DEFAULT_MAX_OUTDEG,
+                  num_groups: int | None = None):
+    """Bibliographic coupling (Kessler 1963): top-k page pairs by
+    common OUT-neighbor count — exactly co-citation over the REVERSED
+    edge set, so the same hub-bounded sweep runs with the cap applied
+    to target fan-in (a page cited by everyone creates spurious
+    couplings, the mirror of the navigation-hub case)."""
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["dst"], "dst": batch["src"]})
+
+    return cocitation_topk(edges_ds.map_batches(rev, batch_format="pyarrow"),
+                           k=k, max_outdeg=max_outdeg, num_groups=num_groups)
+
+
 def cocitation_topk(edges_ds, k: int = 20,
                     max_outdeg: int = DEFAULT_MAX_OUTDEG,
                     num_groups: int | None = None):
     """Top-k co-cited pairs, total order (n desc, a, b) — deterministic
     under ties.  Per-partition cut first, so the final sort ranks
-    <= blocks*k candidate rows, never the full pair table."""
+    <= blocks*k candidate rows, never the full pair table.  Returns a
+    schema-pinned Arrow table (<= k rows is driver-sized by
+    construction; Ray's sort emits column-less empty blocks, so an
+    empty Dataset would lose the (a, b, n) schema)."""
     counts = cocitation_counts(edges_ds, max_outdeg=max_outdeg,
                                num_groups=num_groups)
 
@@ -122,5 +141,10 @@ def cocitation_topk(edges_ds, k: int = 20,
         return t.take(pa.array(sel, pa.int64()))
 
     pruned = counts.map_batches(local_topk, batch_format="pyarrow")
-    return pruned.sort(["n", "a", "b"],
-                       descending=[True, False, False]).limit(k)
+    rows = pruned.sort(["n", "a", "b"],
+                       descending=[True, False, False]).limit(k).take_all()
+    return pa.table({
+        "a": pa.array([r["a"] for r in rows], pa.int64()),
+        "b": pa.array([r["b"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })

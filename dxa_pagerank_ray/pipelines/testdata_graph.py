@@ -322,6 +322,16 @@ def q_cocitation_top20(sf_dir: str):
     return cocitation_topk(edges, k=20, max_outdeg=COCITE_MAX_OUTDEG)
 
 
+def q_coupling_top20(sf_dir: str):
+    """Top-20 bibliographically COUPLED pairs (count of common
+    out-neighbors, Kessler 1963) — co-citation over the reversed edge
+    set; cap applies to target fan-in, mirrored in the oracle."""
+    from .cocitation import coupling_topk
+
+    edges = customer_edges(sf_dir).materialize()
+    return coupling_topk(edges, k=20, max_outdeg=COCITE_MAX_OUTDEG)
+
+
 def q_bfs_depths(sf_dir: str):
     """(v, dist) — shortest hop distance from the seed set
     ``BFS_SEEDS`` over the DIRECTED customer graph, bounded at
@@ -411,6 +421,20 @@ SQL = {
         "p AS (SELECT e1.dst AS a, e2.dst AS b FROM raw e1 "
         "JOIN raw e2 ON e2.src = e1.src AND e1.dst < e2.dst "
         "JOIN ok ON ok.src = e1.src) "
+        "SELECT a, b, count(*) AS n FROM p GROUP BY a, b "
+        "ORDER BY n DESC, a, b LIMIT 20"
+    ),
+    # bibliographic coupling: pairs sharing an OUT-neighbor; fan-in cap
+    # mirrors the engine's reversed-edge hub bound.
+    "coupling_top20": (
+        "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "ok AS (SELECT dst FROM raw GROUP BY dst "
+        f"HAVING count(*) <= {COCITE_MAX_OUTDEG}), "
+        "p AS (SELECT e1.src AS a, e2.src AS b FROM raw e1 "
+        "JOIN raw e2 ON e2.dst = e1.dst AND e1.src < e2.src "
+        "JOIN ok ON ok.dst = e1.dst) "
         "SELECT a, b, count(*) AS n FROM p GROUP BY a, b "
         "ORDER BY n DESC, a, b LIMIT 20"
     ),

@@ -83,6 +83,21 @@ def test_cocitation_hub_cap():
     assert sw.num_rows == 2  # (100,101) from src 1 and src 2 only
 
 
+def test_coupling_is_cocitation_of_reverse():
+    """Bibliographic coupling == co-citation on the reversed edges."""
+    from dxa_pagerank_ray.pipelines.cocitation import coupling_topk
+
+    rng = np.random.default_rng(3)
+    m = 400
+    src = rng.integers(0, 30, m)
+    dst = rng.integers(30, 70, m)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    got = coupling_topk(_ds(src, dst), k=10, num_groups=2).to_pandas()
+    exp = cocitation_topk(_ds(dst, src), k=10, num_groups=2).to_pandas()
+    assert got.values.tolist() == exp.values.tolist() and len(got) == 10
+
+
 def test_cocitation_topk_total_order():
     """Top-k applies the (n desc, a, b) total order, deterministic
     under count ties."""
