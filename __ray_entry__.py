@@ -781,6 +781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths": tg.q_bfs_depths,
         "cocitation_top20": tg.q_cocitation_top20,
         "coupling_top20": tg.q_coupling_top20,
+        "degree_assortativity": tg.q_degree_assortativity,
+        "edge_reciprocity": tg.q_edge_reciprocity,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
         "degree_distribution": tg.q_degree_distribution,
@@ -1120,6 +1122,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_depths": tg.SQL["bfs_depths"],
         "cocitation_top20": tg.SQL["cocitation_top20"],
         "coupling_top20": tg.SQL["coupling_top20"],
+        "degree_assortativity": tg.SQL["degree_assortativity"],
+        "edge_reciprocity": tg.SQL["edge_reciprocity"],
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
         "minhash_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),

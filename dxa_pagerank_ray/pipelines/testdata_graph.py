@@ -351,6 +351,27 @@ def q_bfs_depths(sf_dir: str):
                      "dist": pa.array(res.labels[vs], pa.int64())})
 
 
+def q_degree_assortativity(sf_dir: str):
+    """ONE integer row of the six (outdeg(src), indeg(dst)) moment sums
+    over customer-graph edges — the exact inputs of Newman's directed
+    degree-assortativity coefficient (kept integer so the oracle
+    hash-compares; the float r is a closed form in
+    ``graph_stats.assortativity_from_moments``)."""
+    from .graph_stats import degree_moment_sums
+
+    edges = customer_edges(sf_dir).materialize()
+    return degree_moment_sums(edges)
+
+
+def q_edge_reciprocity(sf_dir: str):
+    """ONE row (n_edges, n_reciprocal) over the customer graph —
+    mutual-link density, the standard link-farm signal."""
+    from .graph_stats import reciprocity_counts
+
+    edges = customer_edges(sf_dir).materialize()
+    return reciprocity_counts(edges)
+
+
 def q_labelprop_sizes(sf_dir: str):
     """(label, size) after 5 synchronous LP rounds, customer graph, CSR
     label engine; rows-only driver check + exact numpy-oracle check in
@@ -423,6 +444,32 @@ SQL = {
         "JOIN ok ON ok.src = e1.src) "
         "SELECT a, b, count(*) AS n FROM p GROUP BY a, b "
         "ORDER BY n DESC, a, b LIMIT 20"
+    ),
+    # directed degree-assortativity moment sums (integer-exact; DuckDB
+    # sum(BIGINT) yields HUGEINT, hence the casts)
+    "degree_assortativity": (
+        "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "od AS (SELECT src, count(*) AS deg FROM raw GROUP BY src), "
+        "ind AS (SELECT dst, count(*) AS deg FROM raw GROUP BY dst) "
+        "SELECT count(*) AS n_edges, "
+        "CAST(sum(od.deg) AS BIGINT) AS sum_sd, "
+        "CAST(sum(ind.deg) AS BIGINT) AS sum_dd, "
+        "CAST(sum(od.deg * od.deg) AS BIGINT) AS sum_sd2, "
+        "CAST(sum(ind.deg * ind.deg) AS BIGINT) AS sum_dd2, "
+        "CAST(sum(od.deg * ind.deg) AS BIGINT) AS sum_cross "
+        "FROM raw JOIN od ON od.src = raw.src "
+        "JOIN ind ON ind.dst = raw.dst"
+    ),
+    # reciprocity: edges whose reverse edge exists
+    "edge_reciprocity": (
+        "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}) "
+        "SELECT (SELECT count(*) FROM raw) AS n_edges, "
+        "(SELECT count(*) FROM raw e JOIN raw r "
+        "ON r.src = e.dst AND r.dst = e.src) AS n_reciprocal"
     ),
     # bibliographic coupling: pairs sharing an OUT-neighbor; fan-in cap
     # mirrors the engine's reversed-edge hub bound.
