@@ -187,6 +187,44 @@ def cmd_bfs(args) -> None:
     print(json.dumps({"out": args.out, "rounds": res.rounds}))
 
 
+def cmd_stats(args) -> None:
+    """Whole-graph crawl diagnostics in one pass over the edge set:
+    vertex/edge counts, out-degree histogram (Parquet), degree
+    assortativity (integer moments + the float coefficient) and edge
+    reciprocity — the numbers you look at before running anything
+    iterative on a new crawl."""
+    from .pipelines.graph_build import out_degree_table
+    from .pipelines.graph_stats import (
+        assortativity_from_moments,
+        degree_moment_sums,
+        reciprocity_counts,
+    )
+
+    edges, n, _, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    od = out_degree_table(edges)
+    od.write_parquet(os.path.join(args.out, "out_degrees"))
+    moments = degree_moment_sums(edges)
+    recip = reciprocity_counts(edges)
+    exec_time = time.perf_counter() - t0
+    n_edges = int(recip["n_edges"][0].as_py())
+    _statistics(args.out, {
+        "ALGORITHM": "graph_stats", "NUM_VERTICES": n,
+        "NUM_EDGES": n_edges,
+        "ASSORTATIVITY_MOMENTS": {
+            c: int(moments[c][0].as_py()) for c in moments.column_names},
+        "DEGREE_ASSORTATIVITY": assortativity_from_moments(moments),
+        "N_RECIPROCAL_EDGES": int(recip["n_reciprocal"][0].as_py()),
+        "RECIPROCITY": (int(recip["n_reciprocal"][0].as_py()) / n_edges
+                        if n_edges else 0.0),
+        "INPUT_TIME_S": round(input_time, 3),
+        "EXECUTION_TIME_S": round(exec_time, 3),
+    })
+    print(json.dumps({"out": args.out, "num_edges": n_edges,
+                      "assortativity": assortativity_from_moments(moments)}))
+
+
 def cmd_walks(args) -> None:
     """Deterministic random-walk corpus (DeepWalk-style) — walks of
     --length from every --stride'th vertex, per-shard Parquet logs."""
@@ -486,6 +524,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated seed vertex ids")
     p.add_argument("--max-depth", type=int, default=32)
     p.set_defaults(fn=cmd_bfs)
+
+    p = sub.add_parser("stats", help="whole-graph crawl diagnostics: "
+                       "degree histogram, assortativity, reciprocity")
+    add_common(p)
+    p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("walks", help="deterministic random-walk corpus "
                        "(DeepWalk-style node sentences)")

@@ -85,6 +85,14 @@ def test_cli_components_and_triangles_on_edges(tmp_path):
     depths = _read_vertex_col(out4, "depths", "label")
     np.testing.assert_array_equal(depths, [0, 1, 2, 5, 5])
 
+    # whole-graph diagnostics: 4 directed edges, none reciprocal
+    out5 = str(tmp_path / "stats_out")
+    main(["stats", "--edges", edges_dir, "--out", out5])
+    stats = json.load(open(os.path.join(out5, "statistics.json")))
+    assert stats["NUM_EDGES"] == 4 and stats["N_RECIPROCAL_EDGES"] == 0
+    assert stats["ASSORTATIVITY_MOMENTS"]["n_edges"] == 4
+    assert os.path.isdir(os.path.join(out5, "out_degrees"))
+
 
 def test_cli_pagerank_text_format(pages_dir, tmp_path):
     """--format text: '<v> <pr>' plain-decimal lines (no scientific
