@@ -38,36 +38,83 @@ from ..stages.dedup import cogroup_attach
 _EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
 
-def degree_moment_sums(edges_ds, num_groups: int | None = None) -> pa.Table:
+def _moment_row(sd: np.ndarray, dd: np.ndarray) -> pa.Table:
+    return pa.table({
+        "n_edges": pa.array([len(sd)], pa.int64()),
+        "sum_sd": pa.array([int(sd.sum())], pa.int64()),
+        "sum_dd": pa.array([int(dd.sum())], pa.int64()),
+        "sum_sd2": pa.array([int((sd * sd).sum())], pa.int64()),
+        "sum_dd2": pa.array([int((dd * dd).sum())], pa.int64()),
+        "sum_cross": pa.array([int((sd * dd).sum())], pa.int64()),
+    })
+
+
+def _collect_degrees(deg_ds, key: str):
+    """(sorted keys, degrees) numpy pair of a small degree table."""
+    t = pa.concat_tables(list(deg_ds.iter_batches(batch_size=1 << 20,
+                                                  batch_format="pyarrow")))
+    k = t[key].to_numpy(zero_copy_only=False)
+    d = t["deg"].to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    return k[order], d[order]
+
+
+def degree_moment_sums(edges_ds, num_groups: int | None = None,
+                       broadcast_limit: int | None = None) -> pa.Table:
     """ONE row ``(n_edges, sum_sd, sum_dd, sum_sd2, sum_dd2, sum_cross)``
     where per edge (u, v): sd = outdeg(u), dd = indeg(v) — the exact
-    integer moments of the directed degree-assortativity coefficient."""
+    integer moments of the directed degree-assortativity coefficient.
+
+    Degree tables are |V|-sized: below ``broadcast_limit`` rows they
+    ship once via ``ray.put`` and moments come out of a SINGLE edge
+    pass (searchsorted lookups, no joins); above it, the two
+    ``cogroup_attach`` joins run fully distributed — the same
+    size-guard discipline as ``top_customers_by_revenue``.  Callers
+    pass a materialized (or otherwise execution-deterministic)
+    ``edges_ds`` so the degree tables and the edge pass see identical
+    rows."""
+    import ray
+
+    from .relational import BROADCAST_ROW_LIMIT
+
+    limit = BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
     if num_groups is None:
         num_groups = derive_num_groups(edges_ds)
     od = coarse_agg(edges_ds, ["src"], [("src", "count", "deg")],
-                    num_groups=num_groups)
+                    num_groups=num_groups).materialize()
     ind = coarse_agg(edges_ds, ["dst"], [("dst", "count", "deg")],
-                     num_groups=num_groups)
-    e1 = cogroup_attach(edges_ds, "src", od, "src", "deg", "sd",
-                        _EDGE_SCHEMA, pa.int64(), num_groups=num_groups)
-    s2 = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
-                    ("sd", pa.int64())])
-    e2 = cogroup_attach(e1, "dst", ind, "dst", "deg", "dd",
-                        s2, pa.int64(), num_groups=num_groups)
+                     num_groups=num_groups).materialize()
 
-    def partial(b: pa.Table) -> pa.Table:
-        sd = b["sd"].to_numpy(zero_copy_only=False)
-        dd = b["dd"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "n_edges": pa.array([len(sd)], pa.int64()),
-            "sum_sd": pa.array([int(sd.sum())], pa.int64()),
-            "sum_dd": pa.array([int(dd.sum())], pa.int64()),
-            "sum_sd2": pa.array([int((sd * sd).sum())], pa.int64()),
-            "sum_dd2": pa.array([int((dd * dd).sum())], pa.int64()),
-            "sum_cross": pa.array([int((sd * dd).sum())], pa.int64()),
-        })
+    if od.count() <= limit and ind.count() <= limit:
+        lookup_ref = ray.put((_collect_degrees(od, "src"),
+                              _collect_degrees(ind, "dst")))
 
-    rows = e2.map_batches(partial, batch_format="pyarrow").take_all()
+        def partial(b: pa.Table) -> pa.Table:
+            (ok, odeg), (ik, ideg) = ray.get(lookup_ref)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            # coverage is structural: the degree tables were built from
+            # this same edge set, so searchsorted always hits
+            sd = odeg[np.searchsorted(ok, s)]
+            dd = ideg[np.searchsorted(ik, d)]
+            return _moment_row(sd, dd)
+
+        rows = edges_ds.map_batches(partial,
+                                    batch_format="pyarrow").take_all()
+    else:
+        e1 = cogroup_attach(edges_ds, "src", od, "src", "deg", "sd",
+                            _EDGE_SCHEMA, pa.int64(), num_groups=num_groups)
+        s2 = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                        ("sd", pa.int64())])
+        e2 = cogroup_attach(e1, "dst", ind, "dst", "deg", "dd",
+                            s2, pa.int64(), num_groups=num_groups)
+
+        def partial(b: pa.Table) -> pa.Table:
+            return _moment_row(b["sd"].to_numpy(zero_copy_only=False),
+                               b["dd"].to_numpy(zero_copy_only=False))
+
+        rows = e2.map_batches(partial, batch_format="pyarrow").take_all()
+
     cols = ["n_edges", "sum_sd", "sum_dd", "sum_sd2", "sum_dd2",
             "sum_cross"]
     return pa.table({c: pa.array([sum(int(r[c]) for r in rows)], pa.int64())

@@ -54,6 +54,17 @@ def test_degree_moments_exact(seed, num_groups):
     np.testing.assert_allclose(r, np.corrcoef(sd, dd)[0, 1], atol=1e-12)
 
 
+def test_degree_moments_paths_agree():
+    """Broadcast (small degree tables) and distributed (cogroup joins,
+    forced with broadcast_limit=0) paths return identical moments."""
+    rng = np.random.default_rng(4)
+    src, dst = _dedup(rng.integers(0, 40, 500), rng.integers(0, 40, 500))
+    ds = _ds(src, dst)
+    bc = degree_moment_sums(ds, num_groups=2)
+    dist = degree_moment_sums(ds, num_groups=2, broadcast_limit=0)
+    assert bc.to_pydict() == dist.to_pydict()
+
+
 def test_assortativity_known_sign():
     """Edges from low-out-degree sources to a shared high-in-degree
     hub plus one high-out-degree source to fresh targets — construct a
