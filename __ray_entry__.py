@@ -122,6 +122,52 @@ def _sample_hash_sql(id_expr: str, seed: int) -> str:
     return xs(mm(xs(mm(xs(h0, 30), C1), 27), C2), 31)
 
 
+def _hyperball_oracle_sql() -> str:
+    """The HyperBall register oracle: depth-bounded ALL-PAIRS
+    reachability (recursive CTE over the customer graph; (v, u, d)
+    triples are finite under the depth bound, so UNION terminates on
+    cycles), then every reached u hashes with the SAME splitmix64 the
+    engine uses (``_sample_hash_sql``), bucket = hash % R and rho =
+    trailing zeros of (hash // R) + 1 — trailing zeros are SQL-exact
+    because gcd(x, 2^58) extracts the 2-adic part as an exact power of
+    two whose log2 is exact in doubles.  max(rho) per (v, bucket) is
+    exactly the engine's register table."""
+    from dxa_pagerank_ray.pipelines.testdata_graph import (
+        CUSTOMER_MOD,
+        HB_DEPTH,
+        HB_REGISTERS,
+        HB_SEED,
+    )
+
+    assert HB_REGISTERS == 64  # the 2^58 gcd literal below pins R = 64
+    h = _sample_hash_sql("u", HB_SEED)
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % {CUSTOMER_MOD} AS dst
+  FROM orders WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}
+),
+verts AS (
+  SELECT unnest(range(0, (SELECT max(greatest(src, dst)) + 1 FROM raw))) AS v
+),
+r AS (
+  SELECT v, v AS u, 0 AS d FROM verts
+  UNION
+  SELECT r.v, raw.dst AS u, r.d + 1 FROM r JOIN raw ON raw.src = r.u
+  WHERE r.d < {HB_DEPTH}
+),
+reach AS (SELECT DISTINCT v, u FROM r),
+h AS (SELECT v, {h} AS hh FROM reach),
+b AS (SELECT v, CAST(hh % {HB_REGISTERS} AS BIGINT) AS bucket,
+             CAST(hh // {HB_REGISTERS} AS BIGINT) AS x FROM h)
+SELECT v, bucket,
+       max(CASE WHEN x = 0 THEN 59
+           ELSE CAST(floor(log2(CAST(gcd(x, 288230376151711744)
+                                     AS DOUBLE))) AS BIGINT) + 1
+           END) AS rho
+FROM b GROUP BY v, bucket
+"""
+
+
 def _docs_sample_oracle_sql() -> str:
     cut = min(int(0.25 * (1 << 64)), (1 << 64) - 1)
     return (f"SELECT doc_id, n_chars FROM documents "
@@ -783,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coupling_top20": tg.q_coupling_top20,
         "degree_assortativity": tg.q_degree_assortativity,
         "edge_reciprocity": tg.q_edge_reciprocity,
+        "hyperball_registers": tg.q_hyperball_registers,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
         "degree_distribution": tg.q_degree_distribution,
@@ -1124,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "coupling_top20": tg.SQL["coupling_top20"],
         "degree_assortativity": tg.SQL["degree_assortativity"],
         "edge_reciprocity": tg.SQL["edge_reciprocity"],
+        "hyperball_registers": _hyperball_oracle_sql(),
         "ngram_jaccard_dup_pairs": _JACCARD_ORACLE_SQL,
         "minhash_dup_pairs": _minhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),

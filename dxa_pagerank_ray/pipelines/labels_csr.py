@@ -39,6 +39,31 @@ from .pagerank_csr import (
 )
 
 
+def hll_estimates(regs_table: pa.Table, num_vertices: int,
+                  num_registers: int = 64) -> np.ndarray:
+    """Per-vertex ball-size estimates from ``hyperball()``'s long-form
+    (v, bucket, rho) table — the standard HyperLogLog estimator
+    (Flajolet et al. 2007) with the small-range linear-counting
+    correction.  Floats live HERE, outside the hash-compared register
+    surface."""
+    m = num_registers
+    v = regs_table["v"].to_numpy(zero_copy_only=False)
+    r = regs_table["rho"].to_numpy(zero_copy_only=False)
+    # harmonic sum starts from all-zero registers (2^-0 each) ...
+    s = np.full(num_vertices, float(m))
+    np.add.at(s, v, np.exp2(-r.astype(np.float64)) - 1.0)
+    # ... and the zero-register count decrements per nonzero row
+    zeros = np.full(num_vertices, m, dtype=np.int64)
+    np.add.at(zeros, v, -1)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / s
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        est[small] = m * np.log(m / zeros[small])
+    return est
+
+
 def _make_label_actor_cls():
     import ray
 
@@ -237,6 +262,108 @@ def _make_label_actor_cls():
             changed = int(np.sum(new != self.labels))
             self.labels = new
             return changed
+
+        # ---- HyperBall neighborhood sketches (Boldi & Vigna 2011) ----
+        def hll_seed(self, R: int, seed: int) -> None:
+            """Per-vertex HyperLogLog registers [size, R] seeded with
+            the vertex's OWN insert: bucket = hash % R, rho = trailing
+            zeros of (hash // R) + 1 (trailing zeros give the same
+            geometric distribution as the classical leading-zero rho
+            for a uniform hash, and are SQL-exact via gcd with 2^w +
+            log2 of an exact power of two — the oracle contract)."""
+            from ..stages.sampling import sample_hash
+
+            ids = np.arange(self.lo, self.hi, dtype=np.int64)
+            h = sample_hash(ids, seed)
+            bucket = (h % np.uint64(R)).astype(np.int64)
+            x = h // np.uint64(R)
+            low = x & (~x + np.uint64(1))
+            maxrho = 64 - int(np.log2(R)) + 1
+            rho = np.where(
+                x == 0, maxrho,
+                np.log2(np.maximum(low, 1).astype(np.float64)).astype(
+                    np.int64) + 1).astype(np.uint8)
+            self.regs = np.zeros((self.size, R), dtype=np.uint8)
+            if self.size:
+                self.regs[np.arange(self.size), bucket] = rho
+
+        def hll_compute(self):
+            """Packed (counts, idx, mats): per-dst max-merged register
+            rows, one buffer for all target shards (the label-engine
+            wire shape with a [groups, R] uint8 matrix payload)."""
+            R = self.regs.shape[1]
+            idx_out, mat_out = [], []
+            counts = np.zeros(self.A, dtype=np.int64)
+            for b in range(self.A):
+                src_l, dst_l = self.blocks[b]
+                if len(dst_l) == 0:
+                    continue
+                bd = np.flatnonzero(np.r_[True, dst_l[1:] != dst_l[:-1]])
+                counts[b] = len(bd)
+                idx_out.append(dst_l[bd])
+                mat_out.append(
+                    np.maximum.reduceat(self.regs[src_l], bd, axis=0))
+            return (counts,
+                    np.concatenate(idx_out) if idx_out
+                    else np.array([], dtype=np.int32),
+                    np.concatenate(mat_out, axis=0) if mat_out
+                    else np.zeros((0, R), dtype=np.uint8))
+
+        def hll_apply(self, *packed) -> int:
+            """Register max-merge; returns the number of vertices whose
+            register vector changed (0 = ball fixed point)."""
+            partials = self._my_slices(packed)
+            idx = np.concatenate([p[0] for p in partials]) if partials \
+                else np.array([], dtype=np.int64)
+            if len(idx) == 0:
+                return 0
+            mats = np.concatenate([p[1] for p in partials], axis=0)
+            order = np.argsort(idx, kind="stable")
+            idx, mats = idx[order], mats[order]
+            b = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+            merged = np.maximum.reduceat(mats, b, axis=0)
+            tgt = idx[b]
+            new = self.regs.copy()
+            new[tgt] = np.maximum(new[tgt], merged)
+            changed = int(np.count_nonzero(np.any(new != self.regs,
+                                                  axis=1)))
+            self.regs = new
+            return changed
+
+        def hll_emit(self):
+            """Long-form (v, bucket, rho) rows of this shard's nonzero
+            registers — exactly the buckets some ball member hashed to,
+            the driver-gate comparison surface."""
+            vi, bi = np.nonzero(self.regs)
+            return vi + self.lo, bi, self.regs[vi, bi]
+
+        def hll_write(self, out_dir: str) -> list[dict]:
+            """Scale-path register sink: one Parquet file of long-form
+            (v, bucket, rho) rows per owned logical partition (the
+            driver never sees the V x R register mass)."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            os.makedirs(out_dir, exist_ok=True)
+            lineage = []
+            for p in range(self.p_lo, self.p_hi):
+                lo, hi = int(self.bounds[p]), int(self.bounds[p + 1])
+                sl = self.regs[lo - self.lo : hi - self.lo]
+                vi, bi = np.nonzero(sl)
+                name = f"part={p:03d}.parquet"
+                pq.write_table(
+                    pa.table({
+                        "v": pa.array(vi + lo, pa.int64()),
+                        "bucket": pa.array(bi.astype(np.int64), pa.int64()),
+                        "rho": pa.array(sl[vi, bi].astype(np.int64),
+                                        pa.int64()),
+                    }),
+                    os.path.join(out_dir, name),
+                )
+                lineage.append({"part": p, "file": name,
+                                "rows": int(len(vi))})
+            return lineage
 
         # ---- k-core decomposition (distributed h-index iteration) ----
         def deg_compute(self):
@@ -595,6 +722,60 @@ class LabelCSR:
             labels=self._collect() if collect_state else None,
             rounds=rounds, changed_per_round=hist)
 
+    def hyperball(self, depth: int = 8, num_registers: int = 64,
+                  seed: int = 13):
+        """HyperBall (Boldi & Vigna 2011, "HyperANF/HyperBall:
+        approximating the neighbourhood function of very large graphs"
+        — public-literature algorithm): per-vertex HyperLogLog sketches
+        of the depth-bounded OUT-ball |{u : dist(v, u) <= depth}|.
+        Each superstep max-merges every vertex's registers with its
+        neighbors' along the STORED edge direction, so for out-balls
+        construct the engine on the REVERSED edge Dataset (v's ball is
+        the union of its out-neighbors' balls plus itself).
+
+        The sketch internals are deterministic — hash
+        ``stages.sampling.sample_hash(v, seed)``, bucket = hash % R,
+        rho = trailing zeros of (hash // R) + 1 — so the emitted
+        long-form (v, bucket, rho) register table is EXACTLY
+        reproducible and hash-checkable against a SQL oracle that
+        recomputes the same registers from depth-bounded all-pairs
+        reachability; ball-size ESTIMATES (floats) are a closed form
+        over the registers (``hll_estimates``).  Register memory is
+        V x R bytes per run (64 B/vertex at R=64); message volume per
+        superstep is one [groups, R] uint8 matrix per (source shard,
+        target shard) block, max-merged map-side.  Stops early at the
+        ball fixed point (changed == 0).
+
+        Returns (long-form pa.Table (v, bucket, rho), rounds,
+        changed_per_round).  The collected table is sized for the
+        driver-gate queries (<= V x R rows); at web scale call
+        ``write_hyperball(out_dir)`` afterwards instead — every shard
+        sinks its owned partitions' registers to Parquet and nothing
+        lands on the driver."""
+        import ray
+
+        if num_registers < 2 or num_registers > 256 or \
+                (num_registers & (num_registers - 1)):
+            raise ValueError("num_registers must be a power of two in "
+                             "[2, 256]")
+        ray.get([a.hll_seed.remote(num_registers, seed)
+                 for a in self.actors])
+        rounds, hist = 0, []
+        while rounds < depth:
+            rounds += 1
+            changed = self._superstep("hll_compute", "hll_apply")
+            hist.append(changed)
+            if changed == 0:
+                break
+        parts = ray.get([a.hll_emit.remote() for a in self.actors])
+        v = np.concatenate([p[0] for p in parts])
+        bkt = np.concatenate([p[1] for p in parts])
+        rho = np.concatenate([p[2] for p in parts])
+        t = pa.table({"v": pa.array(v.astype(np.int64), pa.int64()),
+                      "bucket": pa.array(bkt.astype(np.int64), pa.int64()),
+                      "rho": pa.array(rho.astype(np.int64), pa.int64())})
+        return t, rounds, hist
+
     def core_decomposition(self, max_rounds: int = 10_000,
                            checkpoint_dir: str | None = None,
                            checkpoint_every: int = 0, resume: bool = False,
@@ -637,6 +818,15 @@ class LabelCSR:
         return ComponentsResult(
             labels=self._collect() if collect_state else None,
             rounds=rounds, changed_per_round=hist)
+
+    def write_hyperball(self, out_dir: str) -> list[dict]:
+        """Distributed register sink after ``hyperball()``: every shard
+        writes its owned partitions' (v, bucket, rho) Parquet files."""
+        import ray
+
+        parts = ray.get([a.hll_write.remote(out_dir) for a in self.actors])
+        return sorted((x for part in parts for x in part),
+                      key=lambda x: x["part"])
 
     def _collect(self) -> np.ndarray:
         import ray

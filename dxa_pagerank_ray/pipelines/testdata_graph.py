@@ -308,6 +308,36 @@ def q_degree_distribution(sf_dir: str):
 BFS_SEEDS = (1, 2, 3)
 BFS_MAX_DEPTH = 16
 COCITE_MAX_OUTDEG = 4096
+HB_DEPTH = 3
+HB_SEED = 13
+HB_REGISTERS = 64
+
+
+def q_hyperball_registers(sf_dir: str):
+    """Long-form (v, bucket, rho) HyperLogLog registers of every
+    vertex's depth-HB_DEPTH OUT-ball on the customer graph — the
+    DETERMINISTIC internals of the HyperBall neighborhood-function
+    sketch, hash-checkable against a SQL oracle that recomputes the
+    same registers from depth-bounded all-pairs reachability (the
+    float ball-size estimates are a closed form over these,
+    ``labels_csr.hll_estimates``).  The engine gathers along stored
+    edges, so out-balls ride the REVERSED edge set."""
+    from .labels_csr import LabelCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    # materialize BEFORE the engine exists: the 1-CPU shard actors can
+    # hold every cluster CPU, and a lazy upstream map would deadlock
+    rev_ds = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    eng = LabelCSR(rev_ds, n, num_partitions=8)
+    t, _, _ = eng.hyperball(depth=HB_DEPTH, num_registers=HB_REGISTERS,
+                            seed=HB_SEED)
+    eng.shutdown()
+    return t
 
 
 def q_cocitation_top20(sf_dir: str):

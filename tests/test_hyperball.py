@@ -1,0 +1,146 @@
+"""HyperBall neighborhood sketches: register-exact vs a sequential
+recompute over exact balls, estimator accuracy vs exact ball sizes,
+shard invariance, early stop, distributed sink."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dxa_pagerank_ray.pipelines.labels_csr import LabelCSR, hll_estimates
+from dxa_pagerank_ray.stages.sampling import sample_hash
+
+R = 64
+
+
+def _rev_ds(src, dst):
+    """Engine input for OUT-balls: the reversed edge Dataset."""
+    return rd.from_arrow(
+        pa.table({"src": pa.array(dst, pa.int64()),
+                  "dst": pa.array(src, pa.int64())})
+    ).materialize()
+
+
+def _balls(src, dst, n, depth):
+    """Exact depth-bounded out-balls by frontier BFS."""
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    balls = []
+    for v in range(n):
+        seen = {v}
+        frontier = [v]
+        for _ in range(depth):
+            nxt = [w for u in frontier for w in adj.get(u, ())
+                   if w not in seen]
+            seen.update(nxt)
+            frontier = nxt
+            if not frontier:
+                break
+        balls.append(seen)
+    return balls
+
+
+def _expected_registers(balls, seed):
+    """(v, bucket, rho) rows from exact balls with the engine's hash
+    contract: bucket = h % R, rho = trailing zeros of (h // R) + 1."""
+    rows = set()
+    for v, ball in enumerate(balls):
+        regs = {}
+        for u in sorted(ball):
+            h = sample_hash(np.array([u], dtype=np.int64), seed)[0]
+            bucket = int(h % np.uint64(R))
+            x = int(h // np.uint64(R))
+            rho = 59 if x == 0 else (x & -x).bit_length()
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        rows.update((v, b, r) for b, r in regs.items())
+    return rows
+
+
+def _rows(t: pa.Table):
+    return set(zip(t["v"].to_pylist(), t["bucket"].to_pylist(),
+                   t["rho"].to_pylist()))
+
+
+@pytest.mark.parametrize("depth", [1, 3])
+def test_hyperball_registers_exact(depth):
+    rng = np.random.default_rng(8)
+    m = 500
+    src = rng.integers(0, 80, m)
+    dst = rng.integers(0, 80, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    n = 80
+    eng = LabelCSR(_rev_ds(src, dst), n, num_partitions=4)
+    t, rounds, hist = eng.hyperball(depth=depth, num_registers=R, seed=13)
+    eng.shutdown()
+    assert rounds <= depth
+    exp = _expected_registers(_balls(src, dst, n, depth), seed=13)
+    assert _rows(t) == exp
+
+
+def test_hyperball_shard_invariance_and_early_stop():
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(0, 60, 300)
+    res = {}
+    for a in (1, 4):
+        eng = LabelCSR(_rev_ds(src, dst), 60, num_partitions=8,
+                       num_actors=a)
+        res[a] = eng.hyperball(depth=100, num_registers=R, seed=13)
+        eng.shutdown()
+    t1, rounds1, hist1 = res[1]
+    t4, rounds4, hist4 = res[4]
+    assert _rows(t1) == _rows(t4)
+    assert (rounds1, hist1) == (rounds4, hist4)
+    # early stop: the ball fixed point is far below the depth budget
+    assert rounds1 < 100 and hist1[-1] == 0
+
+
+def test_hyperball_estimates_accuracy():
+    """R=64 HLL has ~13% standard error; mean relative error over all
+    vertices of a random graph must stay well inside that."""
+    rng = np.random.default_rng(5)
+    n = 400
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n, 3000)
+    depth = 3
+    eng = LabelCSR(_rev_ds(src, dst), n, num_partitions=8)
+    t, _, _ = eng.hyperball(depth=depth, num_registers=R, seed=13)
+    eng.shutdown()
+    est = hll_estimates(t, n, R)
+    exact = np.array([len(b) for b in _balls(src, dst, n, depth)])
+    rel = np.abs(est - exact) / exact
+    assert rel.mean() < 0.15 and np.median(rel) < 0.15
+    assert exact.max() > 100  # balls actually grew
+
+
+def test_hyperball_write_matches_emit(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 40, 200)
+    dst = rng.integers(0, 40, 200)
+    eng = LabelCSR(_rev_ds(src, dst), 40, num_partitions=4, num_actors=2)
+    t, _, _ = eng.hyperball(depth=2, num_registers=R, seed=13)
+    out = str(tmp_path / "hll")
+    lineage = eng.write_hyperball(out)
+    eng.shutdown()
+    disk = pa.concat_tables(
+        [pq.read_table(os.path.join(out, f["file"])) for f in lineage])
+    assert _rows(disk) == _rows(t)
+    assert sum(f["rows"] for f in lineage) == t.num_rows
+
+
+def test_hyperball_validates_registers():
+    src, dst = np.array([0, 1]), np.array([1, 2])
+    eng = LabelCSR(_rev_ds(src, dst), 3, num_partitions=2)
+    try:
+        with pytest.raises(ValueError):
+            eng.hyperball(num_registers=48)  # not a power of two
+    finally:
+        eng.shutdown()
