@@ -225,6 +225,47 @@ def cmd_stats(args) -> None:
                       "assortativity": assortativity_from_moments(moments)}))
 
 
+def cmd_hyperball(args) -> None:
+    """HyperBall out-ball sketches: per-shard Parquet registers plus
+    per-vertex ball-size estimates; engine runs on the reversed edge
+    set (out-balls merge out-neighbors' balls)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .pipelines.labels_csr import LabelCSR, hll_estimates
+
+    edges, n, _, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    rev_ds = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    eng = LabelCSR(rev_ds, n, num_partitions=args.partitions)
+    t, rounds, hist = eng.hyperball(depth=args.depth,
+                                    num_registers=args.registers,
+                                    seed=args.hll_seed)
+    eng.write_hyperball(os.path.join(args.out, "registers"))
+    eng.shutdown()
+    est = hll_estimates(t, n, args.registers)
+    pq.write_table(
+        pa.table({"v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                  "ball_est": pa.array(est, pa.float64())}),
+        os.path.join(args.out, "ball_estimates.parquet"))
+    exec_time = time.perf_counter() - t0
+    _statistics(args.out, {
+        "ALGORITHM": "hyperball", "NUM_VERTICES": n,
+        "DEPTH": args.depth, "NUM_REGISTERS": args.registers,
+        "NUM_ROUNDS": rounds, "CHANGED_PER_ROUND": hist,
+        "NEIGHBORHOOD_FUNCTION_EST": float(est.sum()),
+        "INPUT_TIME_S": round(input_time, 3),
+        "EXECUTION_TIME_S": round(exec_time, 3),
+    })
+    print(json.dumps({"out": args.out, "rounds": rounds,
+                      "mean_ball_est": round(float(est.mean()), 2)}))
+
+
 def cmd_walks(args) -> None:
     """Deterministic random-walk corpus (DeepWalk-style) — walks of
     --length from every --stride'th vertex, per-shard Parquet logs."""
@@ -524,6 +565,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated seed vertex ids")
     p.add_argument("--max-depth", type=int, default=32)
     p.set_defaults(fn=cmd_bfs)
+
+    p = sub.add_parser("hyperball", help="HyperBall out-ball sketches "
+                       "(per-vertex HLL registers + size estimates)")
+    add_common(p)
+    p.add_argument("--depth", type=int, default=8)
+    p.add_argument("--registers", type=int, default=64)
+    p.add_argument("--hll-seed", type=int, default=13)
+    p.set_defaults(fn=cmd_hyperball)
 
     p = sub.add_parser("stats", help="whole-graph crawl diagnostics: "
                        "degree histogram, assortativity, reciprocity")

@@ -136,6 +136,33 @@ def test_hyperball_write_matches_emit(tmp_path):
     assert sum(f["rows"] for f in lineage) == t.num_rows
 
 
+def test_hyperball_cli(tmp_path):
+    """CLI surface: registers + ball_estimates.parquet + statistics;
+    estimates on a tiny triangle+pendant graph are near-exact (balls
+    far below the linear-counting regime)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dxa_pagerank_ray.cli import main
+
+    edges_dir = str(tmp_path / "edges")
+    t = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 4], pa.int64())})
+    rd.from_arrow(t).write_parquet(edges_dir)
+    out = str(tmp_path / "hb_out")
+    main(["hyperball", "--edges", edges_dir, "--out", out, "--depth", "8"])
+    stats = json.load(open(os.path.join(out, "statistics.json")))
+    assert stats["ALGORITHM"] == "hyperball" and stats["NUM_VERTICES"] == 5
+    est = pq.read_table(os.path.join(out, "ball_estimates.parquet"))
+    e = est["ball_est"].to_numpy()
+    # exact out-balls: {0,1,2}x3 (cycle), {3,4,...cycle? 3->4 only}, {4}
+    exact = np.array([3, 3, 3, 2, 1])
+    np.testing.assert_allclose(e, exact, rtol=0.15)
+    assert os.path.isdir(os.path.join(out, "registers"))
+
+
 def test_hyperball_validates_registers():
     src, dst = np.array([0, 1]), np.array([1, 2])
     eng = LabelCSR(_rev_ds(src, dst), 3, num_partitions=2)
