@@ -247,6 +247,15 @@ def cmd_hyperball(args) -> None:
                                     num_registers=args.registers,
                                     seed=args.hll_seed)
     eng.write_hyperball(os.path.join(args.out, "registers"))
+    if args.harmonic:
+        hc, _, _ = eng.harmonic_centrality(depth=args.depth,
+                                           num_registers=args.registers,
+                                           seed=args.hll_seed)
+        pq.write_table(
+            pa.table({"v": pa.array(np.arange(n, dtype=np.int64),
+                                    pa.int64()),
+                      "harmonic_est": pa.array(hc, pa.float64())}),
+            os.path.join(args.out, "harmonic_estimates.parquet"))
     eng.shutdown()
     est = hll_estimates(t, n, args.registers)
     pq.write_table(
@@ -572,6 +581,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--registers", type=int, default=64)
     p.add_argument("--hll-seed", type=int, default=13)
+    p.add_argument("--harmonic", action="store_true",
+                   help="also estimate harmonic centrality "
+                   "(per-depth ball deltas)")
     p.set_defaults(fn=cmd_hyperball)
 
     p = sub.add_parser("stats", help="whole-graph crawl diagnostics: "

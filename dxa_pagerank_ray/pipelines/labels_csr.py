@@ -39,6 +39,25 @@ from .pagerank_csr import (
 )
 
 
+def _hll_alpha(m: int) -> float:
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+
+
+def _ball_est_dense(regs: np.ndarray) -> np.ndarray:
+    """Per-row HLL estimate of a dense uint8 register matrix [n, R]
+    (Flajolet et al. 2007 with linear-counting small-range
+    correction) — the shard-local form used by harmonic-centrality
+    accumulation."""
+    m = regs.shape[1]
+    s = np.exp2(-regs.astype(np.float64)).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    est = _hll_alpha(m) * m * m / s
+    small = (est <= 2.5 * m) & (zeros > 0)
+    est[small] = m * np.log(m / zeros[small])
+    return est
+
+
 def hll_estimates(regs_table: pa.Table, num_vertices: int,
                   num_registers: int = 64) -> np.ndarray:
     """Per-vertex ball-size estimates from ``hyperball()``'s long-form
@@ -55,9 +74,7 @@ def hll_estimates(regs_table: pa.Table, num_vertices: int,
     # ... and the zero-register count decrements per nonzero row
     zeros = np.full(num_vertices, m, dtype=np.int64)
     np.add.at(zeros, v, -1)
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
-        m, 0.7213 / (1 + 1.079 / m))
-    est = alpha * m * m / s
+    est = _hll_alpha(m) * m * m / s
     small = (est <= 2.5 * m) & (zeros > 0)
     with np.errstate(divide="ignore"):
         est[small] = m * np.log(m / zeros[small])
@@ -336,6 +353,24 @@ def _make_label_actor_cls():
             the driver-gate comparison surface."""
             vi, bi = np.nonzero(self.regs)
             return vi + self.lo, bi, self.regs[vi, bi]
+
+        def hc_reset(self) -> None:
+            """Start harmonic-centrality accumulation from the current
+            (seeded, depth-0) registers."""
+            self.hc = np.zeros(self.size, dtype=np.float64)
+            self._prev_est = _ball_est_dense(self.regs)
+
+        def hc_accumulate(self, d: int) -> None:
+            """After the superstep for depth d: hc += (|B(v,d)| -
+            |B(v,d-1)|) / d, both sizes HLL-estimated from the local
+            registers — no extra message volume, pure shard-local
+            math."""
+            cur = _ball_est_dense(self.regs)
+            self.hc += (cur - self._prev_est) / float(d)
+            self._prev_est = cur
+
+        def hc_emit(self):
+            return self.lo, self.hc
 
         def hll_write(self, out_dir: str) -> list[dict]:
             """Scale-path register sink: one Parquet file of long-form
@@ -775,6 +810,43 @@ class LabelCSR:
                       "bucket": pa.array(bkt.astype(np.int64), pa.int64()),
                       "rho": pa.array(rho.astype(np.int64), pa.int64())})
         return t, rounds, hist
+
+    def harmonic_centrality(self, depth: int = 8, num_registers: int = 64,
+                            seed: int = 13):
+        """Harmonic-centrality ESTIMATES via HyperBall per-depth ball
+        deltas — hc(v) ~= sum_d (|B(v,d)| - |B(v,d-1)|) / d (Boldi &
+        Vigna 2013/2014, "In-core computation of geometric
+        centralities with HyperBall" — the algorithm's headline
+        application).  Same engine contract as ``hyperball`` (REVERSED
+        edges for the out-ball / outgoing-distance variant); the delta
+        accumulation is shard-local per round, so message volume equals
+        plain HyperBall's.  Approximate (HLL error compounds through
+        the deltas) but DETERMINISTIC given (seed, R) — accuracy is
+        pytest-pinned against exact BFS harmonic centrality.
+
+        Returns (np.ndarray hc estimates [n], rounds,
+        changed_per_round)."""
+        import ray
+
+        if num_registers < 2 or num_registers > 256 or \
+                (num_registers & (num_registers - 1)):
+            raise ValueError("num_registers must be a power of two in "
+                             "[2, 256]")
+        ray.get([a.hll_seed.remote(num_registers, seed)
+                 for a in self.actors])
+        ray.get([a.hc_reset.remote() for a in self.actors])
+        rounds, hist = 0, []
+        while rounds < depth:
+            rounds += 1
+            changed = self._superstep("hll_compute", "hll_apply")
+            ray.get([a.hc_accumulate.remote(rounds) for a in self.actors])
+            hist.append(changed)
+            if changed == 0:
+                break
+        out = np.zeros(self.n, dtype=np.float64)
+        for lo, sl in ray.get([a.hc_emit.remote() for a in self.actors]):
+            out[lo : lo + len(sl)] = sl
+        return out, rounds, hist
 
     def core_decomposition(self, max_rounds: int = 10_000,
                            checkpoint_dir: str | None = None,

@@ -136,6 +136,47 @@ def test_hyperball_write_matches_emit(tmp_path):
     assert sum(f["rows"] for f in lineage) == t.num_rows
 
 
+def test_harmonic_centrality_accuracy_and_invariance():
+    """HyperBall harmonic-centrality estimates vs exact BFS harmonic
+    centrality — deterministic given (seed, R), so the bounds are
+    pinned (measured: mean rel 0.020, max 0.058, top-20 overlap 17);
+    also shard-count invariant."""
+    rng = np.random.default_rng(5)
+    n = 400
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n, 3000)
+    res = {}
+    for a in (1, 4):
+        eng = LabelCSR(_rev_ds(src, dst), n, num_partitions=8,
+                       num_actors=a)
+        res[a] = eng.harmonic_centrality(depth=10, num_registers=R,
+                                         seed=13)
+        eng.shutdown()
+    hc, rounds, hist = res[4]
+    np.testing.assert_array_equal(res[1][0], hc)
+    assert (res[1][1], res[1][2]) == (rounds, hist)
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    exact = np.zeros(n)
+    for v in range(n):
+        dist = {v: 0}
+        frontier, dd = [v], 0
+        while frontier:
+            dd += 1
+            nxt = [w for u in frontier for w in adj.get(u, ())
+                   if w not in dist]
+            for w in nxt:
+                dist[w] = dd
+            frontier = nxt
+        exact[v] = sum(1.0 / d for d in dist.values() if d > 0)
+    rel = np.abs(hc - exact) / np.maximum(exact, 1e-9)
+    assert rel.mean() < 0.05 and rel.max() < 0.10
+    top_true = set(np.argsort(-exact)[:20])
+    top_est = set(np.argsort(-hc)[:20])
+    assert len(top_true & top_est) >= 15
+
+
 def test_hyperball_cli(tmp_path):
     """CLI surface: registers + ball_estimates.parquet + statistics;
     estimates on a tiny triangle+pendant graph are near-exact (balls
