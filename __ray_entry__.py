@@ -822,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed4": tg.q_pagerank_fixed4,
         "ppr_fixed4": tg.q_ppr_fixed4,
         "hits_fixed4": tg.q_hits_fixed4,
+        "salsa_fixed4": tg.q_salsa_fixed4,
         "cc_sizes": tg.q_cc_sizes,
         "cc_sizes_star": tg.q_cc_sizes_star,
         "bfs_depths": tg.q_bfs_depths,
@@ -1163,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed4": tg.SQL["pagerank_fixed4"],
         "ppr_fixed4": tg.SQL["ppr_fixed4"],
         "hits_fixed4": tg.SQL["hits_fixed4"],
+        "salsa_fixed4": tg.SQL["salsa_fixed4"],
         "labelprop_sizes": tg.SQL["labelprop_sizes"],
         "cc_sizes": _CC_SIZES_SQL,
         "cc_sizes_star": _CC_SIZES_SQL,

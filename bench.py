@@ -145,7 +145,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "cc_sizes_star", "random_walks", "bfs_depths",
                  "cocitation_top20", "coupling_top20",
                  "degree_assortativity", "edge_reciprocity",
-                 "hyperball_registers",
+                 "hyperball_registers", "salsa_fixed4",
                  "minhash_dup_pairs", "top_terms", "docs_sample",
                  "training_corpus"]:
         t0 = time.perf_counter()

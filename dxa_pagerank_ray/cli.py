@@ -309,13 +309,14 @@ def cmd_hits(args) -> None:
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
     eng = HitsCSR(edges, n, num_partitions=args.partitions)
-    res = eng.run(threshold=args.threshold, max_rounds=args.max_rounds,
-                  collect_state=False)
+    run = eng.run_salsa if args.salsa else eng.run
+    res = run(threshold=args.threshold, max_rounds=args.max_rounds,
+              collect_state=False)
     eng.write_scores(os.path.join(args.out, "scores"))
     eng.shutdown()
     exec_time = time.perf_counter() - t0
     _statistics(args.out, {
-        "ALGORITHM": "hits", "NUM_VERTICES": n,
+        "ALGORITHM": "salsa" if args.salsa else "hits", "NUM_VERTICES": n,
         "NUM_ROUNDS": res.rounds, "CONVERGED": res.converged,
         "INPUT_TIME_S": round(input_time, 3),
         "EXECUTION_TIME_S": round(exec_time, 3),
@@ -565,6 +566,9 @@ def build_parser() -> argparse.ArgumentParser:
                        "(bidirectional CSR engine)")
     add_common(p)
     p.add_argument("--threshold", type=float, default=1e-9)
+    p.add_argument("--salsa", action="store_true",
+                   help="SALSA: degree-normalized sends, L1 norms "
+                   "(stationary distribution of the bipartite walk)")
     p.set_defaults(fn=cmd_hits)
 
     p = sub.add_parser("bfs", help="multi-source depth-bounded BFS "

@@ -140,6 +140,37 @@ def hits(src: np.ndarray, dst: np.ndarray, n: int,
     return auth, hub, rounds, errs
 
 
+def salsa(src: np.ndarray, dst: np.ndarray, n: int,
+          threshold: float = 1e-9, max_rounds: int = 100):
+    """SALSA (Lempel & Moran 2000): HITS with degree-normalized sends
+    and L1 normalization — the alternating random walk on the
+    bipartite hub/authority graph.  hub init = 1/N.  Returns
+    ``(auth, hub, rounds, errs)``, err = L1 delta per round."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    od = np.bincount(src, minlength=n).astype(np.float64)
+    ind = np.bincount(dst, minlength=n).astype(np.float64)
+    hub = np.full(n, 1.0 / n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    errs: list[float] = []
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        send = np.divide(hub, od, out=np.zeros(n), where=od > 0)
+        raw_a = np.bincount(dst, weights=send[src], minlength=n)
+        na = float(np.sum(raw_a))
+        new_auth = raw_a / na if na > 0 else raw_a
+        send = np.divide(new_auth, ind, out=np.zeros(n), where=ind > 0)
+        raw_h = np.bincount(src, weights=send[dst], minlength=n)
+        nh = float(np.sum(raw_h))
+        new_hub = raw_h / nh if nh > 0 else raw_h
+        errs.append(float(np.sum(np.abs(new_auth - auth)))
+                    + float(np.sum(np.abs(new_hub - hub))))
+        auth, hub = new_auth, new_hub
+        if errs[-1] <= threshold:
+            break
+    return auth, hub, rounds, errs
+
+
 def connected_components(src: np.ndarray, dst: np.ndarray, n: int,
                          max_rounds: int = 10_000) -> np.ndarray:
     """Hash-min label exchange on the *undirected* edge set; labels

@@ -169,10 +169,41 @@ def _make_hits_actor_cls():
         def hub_compute(self):
             return self._compute(self.rev, self.auth)
 
-        def apply(self, *shard_msgs):
+        # ---- SALSA (Lempel & Moran 2000) ----
+        def salsa_prepare(self, n: int) -> None:
+            """Degree vectors for the stochastic half-steps, computed
+            locally from the sealed blocks (forward src multiplicity =
+            out-degree; reverse src multiplicity = in-degree), and the
+            uniform 1/N hub start of the SALSA random walk."""
+            od = np.zeros(self.size, dtype=np.float64)
+            for (_, _), (src_l, _) in self.fwd.items():
+                od += np.bincount(src_l, minlength=self.size)
+            ind = np.zeros(self.size, dtype=np.float64)
+            for (_, _), (src_l, _) in self.rev.items():
+                ind += np.bincount(src_l, minlength=self.size)
+            self._od, self._ind = od, ind
+            self.hub = np.full(self.size, 1.0 / n, dtype=np.float64)
+            self.auth = np.zeros(self.size, dtype=np.float64)
+
+        def salsa_auth_compute(self):
+            """Authority gather of the DEGREE-NORMALIZED hub mass:
+            per-edge value hub(u) / outdeg(u) — same division the SQL
+            oracle performs (ulp-level association differences are
+            absorbed by the callers' nano rounding)."""
+            vals = np.divide(self.hub, self._od,
+                             out=np.zeros_like(self.hub),
+                             where=self._od > 0)
+            return self._compute(self.fwd, vals)
+
+        def salsa_hub_compute(self):
+            vals = np.divide(self.auth, self._ind,
+                             out=np.zeros_like(self.auth),
+                             where=self._ind > 0)
+            return self._compute(self.rev, vals)
+
+        def _accumulate(self, shard_msgs) -> np.ndarray:
             """Accumulate inbound partials p-ordered into the raw
-            (unnormalized) vector; return per-owned-partition sums of
-            squares (p, ss) for the driver's L2 reduce."""
+            (unnormalized) vector."""
             per_q: dict[int, list] = {}
             for meta, idx_all, vals_all in shard_msgs:
                 if not len(meta):
@@ -191,11 +222,29 @@ def _make_hits_actor_cls():
                 for _, idx, vals in sorted(entries, key=lambda e: e[0]):
                     raw[off + idx] += vals
             self._raw = raw
+            return raw
+
+        def apply(self, *shard_msgs):
+            """HITS accumulate; returns per-owned-partition sums of
+            squares (p, ss) for the driver's L2 reduce."""
+            raw = self._accumulate(shard_msgs)
             out = []
             for p in range(self.p_lo, self.p_hi):
                 s = int(self.bounds[p]) - self.lo
                 e = int(self.bounds[p + 1]) - self.lo
                 out.append((p, float(np.sum(raw[s:e] * raw[s:e]))))
+            return out
+
+        def apply_l1(self, *shard_msgs):
+            """SALSA accumulate; returns per-owned-partition plain sums
+            (p, s) for the driver's L1 reduce (the half-step vectors
+            are probability distributions)."""
+            raw = self._accumulate(shard_msgs)
+            out = []
+            for p in range(self.p_lo, self.p_hi):
+                s = int(self.bounds[p]) - self.lo
+                e = int(self.bounds[p + 1]) - self.lo
+                out.append((p, float(np.sum(raw[s:e]))))
             return out
 
         def scale(self, norm: float, which: str):
@@ -280,14 +329,16 @@ class HitsCSR:
         ])
         ray.get([a.drop_staged.remote() for a in self.actors])
 
-    def _half_step(self, compute_name: str, which: str) -> float:
+    def _half_step(self, compute_name: str, which: str,
+                   apply_name: str = "apply") -> float:
         import ray
 
         outs = [getattr(a, compute_name).remote() for a in self.actors]
-        ss = ray.get([self.actors[b].apply.remote(*outs)
+        ss = ray.get([getattr(self.actors[b], apply_name).remote(*outs)
                       for b in range(self.A)])
         flat = sorted((t for s in ss for t in s), key=lambda t: t[0])
-        norm = float(np.sqrt(np.sum([t[1] for t in flat])))
+        total = float(np.sum([t[1] for t in flat]))
+        norm = float(np.sqrt(total)) if apply_name == "apply" else total
         errs = ray.get([a.scale.remote(norm, which) for a in self.actors])
         flat = sorted((t for s in errs for t in s), key=lambda t: t[0])
         return float(np.sum([t[1] for t in flat]))
@@ -307,6 +358,49 @@ class HitsCSR:
         if collect_state:
             import ray
 
+            auth = np.empty(self.n, dtype=np.float64)
+            hub = np.empty(self.n, dtype=np.float64)
+            for lo, a_sl, h_sl in ray.get(
+                [a.get_state.remote() for a in self.actors]
+            ):
+                auth[lo:lo + len(a_sl)] = a_sl
+                hub[lo:lo + len(h_sl)] = h_sl
+        return HitsResult(auth=auth, hub=hub, rounds=rounds, errs=errs,
+                          converged=converged)
+
+    def run_salsa(self, threshold: float = 1e-9, max_rounds: int = 100,
+                  collect_state: bool = True) -> HitsResult:
+        """SALSA (Lempel & Moran 2000, "The stochastic approach for
+        link-structure analysis" — public literature; no reference
+        counterpart): HITS with DEGREE-NORMALIZED sends and L1
+        normalization — the half-step vectors are the distributions of
+        the alternating random walk on the bipartite hub/authority
+        graph:
+
+            auth'(v) = sum_{u->v} hub(u) / outdeg(u);  auth = auth'/|auth'|_1
+            hub'(u)  = sum_{u->v} auth(v) / indeg(v);  hub  = hub'/|hub'|_1
+
+        Init hub = 1/N.  Same engine, blocks and message shapes as
+        HITS; only the per-edge values and the norm kind change.  The
+        fixpoint authority score within a connected authority-graph
+        component is proportional to in-degree (the classic SALSA
+        closed form) — pytest checks that limit."""
+        import ray
+
+        ray.get([a.salsa_prepare.remote(self.n) for a in self.actors])
+        errs: list[float] = []
+        rounds = 0
+        converged = False
+        while rounds < max_rounds and not converged:
+            rounds += 1
+            e_auth = self._half_step("salsa_auth_compute", "auth",
+                                     apply_name="apply_l1")
+            e_hub = self._half_step("salsa_hub_compute", "hub",
+                                    apply_name="apply_l1")
+            errs.append(e_auth + e_hub)
+            converged = errs[-1] <= threshold
+        auth = hub = None
+        if collect_state:
             auth = np.empty(self.n, dtype=np.float64)
             hub = np.empty(self.n, dtype=np.float64)
             for lo, a_sl, h_sl in ray.get(

@@ -229,6 +229,26 @@ def q_hits_fixed4(sf_dir: str):
     })
 
 
+def q_salsa_fixed4(sf_dir: str):
+    """SALSA (4 L1-normalized degree-stochastic rounds, Lempel & Moran
+    2000) on the customer graph via the bidirectional CSR shard engine;
+    integer nano output, unrolled SQL oracle."""
+    from .hits_csr import HitsCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = HitsCSR(edges, n, num_partitions=8)
+    res = eng.run_salsa(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    return pa.table({
+        "v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "auth_nano": pa.array(
+            np.floor(res.auth * 1e9 + 0.5).astype(np.int64), pa.int64()),
+        "hub_nano": pa.array(
+            np.floor(res.hub * 1e9 + 0.5).astype(np.int64), pa.int64()),
+    })
+
+
 def q_cc_sizes(sf_dir: str):
     """(component label, size), customer graph, CSR label engine;
     rows-only driver check + exact numpy-oracle check in tests."""
@@ -682,6 +702,50 @@ FROM a{k} JOIN h{k} ON h{k}.v = a{k}.v"""
 
 
 SQL["hits_fixed4"] = hits_fixed_sql(4)
+
+
+def salsa_fixed_sql(rounds: int = 4) -> str:
+    """Unrolled SALSA oracle: HITS's chain with per-edge values divided
+    by the SENDER's degree in the step direction (hub/outdeg forward,
+    auth/indeg backward) and L1 norms; hub init = 1/N — term-for-term
+    the engine's ``run_salsa``.  MATERIALIZED for the same
+    exponential-re-inline reason as ``hits_fixed_sql``."""
+    head = f"""
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % {CUSTOMER_MOD} AS dst
+  FROM orders WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}
+),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS (SELECT unnest(range(0, (SELECT n FROM nv))) AS v),
+od AS (SELECT src AS v, count(*) AS d FROM raw GROUP BY src),
+ind AS (SELECT dst AS v, count(*) AS d FROM raw GROUP BY dst),
+h0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS h FROM verts)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+ra{k} AS MATERIALIZED (SELECT raw.dst AS v, sum(p.h / od.d) AS s
+        FROM raw JOIN h{k - 1} p ON p.v = raw.src
+        JOIN od ON od.v = raw.src GROUP BY raw.dst),
+na{k} AS MATERIALIZED (SELECT sum(s) AS nrm FROM ra{k}),
+a{k} AS MATERIALIZED (SELECT verts.v,
+               COALESCE(ra{k}.s, 0) / (SELECT nrm FROM na{k}) AS a
+       FROM verts LEFT JOIN ra{k} ON ra{k}.v = verts.v),
+rh{k} AS MATERIALIZED (SELECT raw.src AS v, sum(q.a / ind.d) AS s
+        FROM raw JOIN a{k} q ON q.v = raw.dst
+        JOIN ind ON ind.v = raw.dst GROUP BY raw.src),
+nh{k} AS MATERIALIZED (SELECT sum(s) AS nrm FROM rh{k}),
+h{k} AS MATERIALIZED (SELECT verts.v,
+               COALESCE(rh{k}.s, 0) / (SELECT nrm FROM nh{k}) AS h
+       FROM verts LEFT JOIN rh{k} ON rh{k}.v = verts.v)""")
+    k = rounds
+    tail = f"""
+SELECT a{k}.v, CAST(round(a{k}.a * 1e9) AS BIGINT) AS auth_nano,
+       CAST(round(h{k}.h * 1e9) AS BIGINT) AS hub_nano
+FROM a{k} JOIN h{k} ON h{k}.v = a{k}.v"""
+    return head + "".join(steps) + tail
+
+
+SQL["salsa_fixed4"] = salsa_fixed_sql(4)
 
 
 def labelprop_fixed_sql(rounds: int = 5) -> str:
