@@ -565,6 +565,28 @@ def _q_random_walks(sf_dir: str):
     return out
 
 
+def _q_random_walks_weighted(sf_dir: str):
+    """Weight-proportional walk corpus (P(edge) = w / W(v), integer
+    inverse-CDF draw) over the weighted customer graph; oracle: the
+    sequential replay with the SQL-derived identical weight table."""
+    import numpy as np
+
+    from dxa_pagerank_ray.pipelines.testdata_graph import (
+        _num_vertices,
+        customer_edges_weighted,
+    )
+    from dxa_pagerank_ray.pipelines.walks import WalkCSR
+
+    edges = customer_edges_weighted(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = WalkCSR(edges, n, num_partitions=8, seed=_WALK_SEED,
+                  weighted=True)
+    eng.run(np.arange(0, n, 50, dtype=np.int64), length=_WALK_LEN)
+    out = eng.collect()
+    eng.shutdown()
+    return out
+
+
 def _q_anchor_texts(sf_dir: str):
     """``(src_url, dst_url, anchor)`` over the pages fixture — anchor
     text is the classic target-relevance label for web training data.
@@ -688,7 +710,7 @@ def _media_expected_dir() -> str:
 # oracles below (same pattern as the media family) are materialized
 # from that directory's tables
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
-_SEQ_EXPECTED_V = 3  # bump to invalidate the cached expected dir
+_SEQ_EXPECTED_V = 4  # bump to invalidate the cached expected dir
 _WALK_LEN = 8
 _WALK_SEED = 42
 
@@ -748,6 +770,19 @@ def _seq_expected_dir() -> str:
             src, dst, n, np.arange(0, n, 50, dtype=np.int64),
             _WALK_LEN, seed=_WALK_SEED),
     }
+    # weighted variant: identical SQL-side weight derivation as
+    # customer_edges_weighted (sum of o_orderkey % 7 + 1 per pair)
+    wedges = duckdb.connect().execute(f"""
+        SELECT o_custkey AS src, o_orderkey % 1500 AS dst,
+               CAST(sum(o_orderkey % 7 + 1) AS BIGINT) AS w
+        FROM read_parquet('{_ORACLE_SF_DIR}/orders.parquet')
+        WHERE o_custkey <> o_orderkey % 1500 GROUP BY 1, 2
+    """).fetch_arrow_table()
+    tables["random_walks_weighted"] = walks_reference(
+        wedges["src"].to_numpy().astype(np.int64),
+        wedges["dst"].to_numpy().astype(np.int64),
+        n, np.arange(0, n, 50, dtype=np.int64), _WALK_LEN,
+        seed=_WALK_SEED, w=wedges["w"].to_numpy().astype(np.int64))
     tmp = f"{path}.tmp{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     for name, t in tables.items():
@@ -839,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_weighted": _q_host_pagerank_weighted,
         "anchor_texts": _q_anchor_texts,
         "random_walks": _q_random_walks,
+        "random_walks_weighted": _q_random_walks_weighted,
         # relational operator coverage
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_customers_revenue": rel.top_customers_by_revenue,
@@ -1255,6 +1291,10 @@ SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         "random_walks": (
             "SELECT * FROM "
             f"read_parquet('{_seq_expected_dir()}/random_walks.parquet')"
+        ),
+        "random_walks_weighted": (
+            "SELECT * FROM read_parquet("
+            f"'{_seq_expected_dir()}/random_walks_weighted.parquet')"
         ),
         "media_decode": (
             "SELECT * FROM "

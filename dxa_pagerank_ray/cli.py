@@ -286,7 +286,7 @@ def cmd_walks(args) -> None:
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
     eng = WalkCSR(edges, n, num_partitions=args.partitions,
-                  seed=args.walk_seed)
+                  seed=args.walk_seed, weighted=args.weighted)
     seeds = np.arange(0, n, args.stride, dtype=np.int64)
     eng.run(seeds, length=args.length)
     files = eng.write_logs(os.path.join(args.out, "walks"))
@@ -602,6 +602,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stride", type=int, default=1,
                    help="walk from every stride'th vertex")
     p.add_argument("--walk-seed", type=int, default=0)
+    p.add_argument("--weighted", action="store_true",
+                   help="with --edges: draw next hop proportional to "
+                   "the integer 'w' column (P(edge) = w / W(v))")
     p.set_defaults(fn=cmd_walks)
 
     p = sub.add_parser("triangles", help="triangle count")

@@ -63,6 +63,30 @@ def customer_edges(sf_dir: str):
     return dedup_edges(raw)
 
 
+def customer_edges_weighted(sf_dir: str):
+    """``(src, dst, w)`` customer edges with an integer "link count"
+    weight: w = SUM over the pair's raw order rows of
+    ``o_orderkey % 7 + 1`` — deterministic, positive, with real spread,
+    and exactly mirrored in SQL.  Integer weights are the weighted-walk
+    contract (exact cumulative sums keep the draw partition-
+    independent)."""
+    from ..stages.agg import coarse_agg
+
+    def mk(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        src = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        dst = okey % CUSTOMER_MOD
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64()),
+                         "w": pa.array((okey % 7 + 1)[keep], pa.int64())})
+
+    raw = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        mk, batch_format="pyarrow"
+    )
+    return coarse_agg(raw, ["src", "dst"], [("w", "sum", "w")])
+
+
 def _num_vertices(edges_ds) -> int:
     """max(src, dst) + 1 in ONE Ray execution (a two-column aggregate),
     not two — this runs once per graph query, so the per-execution

@@ -46,7 +46,10 @@ def _make_walk_actor_cls():
     @ray.remote
     class WalkShard:
         def __init__(self, shard_id: int, bounds: np.ndarray,
-                     shard_parts: np.ndarray, seed: int):
+                     shard_parts: np.ndarray, seed: int,
+                     weighted: bool = False):
+            self.weighted = weighted
+            self._edge_w: list[np.ndarray] = []
             self.s = shard_id
             self.bounds = bounds
             self.sp = shard_parts
@@ -72,17 +75,29 @@ def _make_walk_actor_cls():
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             self._edge_src.append(src)
             self._edge_dst.append(dst)
+            if self.weighted:
+                w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(w) and w.min() <= 0:
+                    raise ValueError("walk edge weights must be positive "
+                                     "integers (link counts)")
+                self._edge_w.append(w)
             return len(src)
 
         def seal(self) -> int:
             """Per-vertex CSR with neighbor lists SORTED by id — the
             arrival-order-independent layout the determinism contract
-            needs."""
+            needs.  Weighted: an INTEGER cumulative-weight array over
+            the sorted edges — integer arithmetic keeps the per-vertex
+            weight offsets exact, so the draw is bit-identical at any
+            shard layout (a float cumsum would round differently per
+            shard)."""
             src = (np.concatenate(self._edge_src)
                    if self._edge_src else np.array([], dtype=np.int64))
             dst = (np.concatenate(self._edge_dst)
                    if self._edge_dst else np.array([], dtype=np.int64))
-            self._edge_src = self._edge_dst = []
+            w = (np.concatenate(self._edge_w)
+                 if self._edge_w else np.array([], dtype=np.int64))
+            self._edge_src = self._edge_dst = self._edge_w = []
             self._seen_keys = set()
             src_local = src - self.lo
             order = np.lexsort((dst, src_local))
@@ -91,6 +106,8 @@ def _make_walk_actor_cls():
             self.indptr = np.concatenate(
                 [[0], np.cumsum(deg)]).astype(np.int64)
             self.nbrs = dst
+            if self.weighted:
+                self.cw = np.cumsum(w[order]).astype(np.int64)
             return int(len(dst))
 
         def start_walks(self, seeds: np.ndarray) -> int:
@@ -113,8 +130,18 @@ def _make_walk_actor_cls():
             wid, cur, deg = self.wid[alive], self.cur[alive], deg[alive]
             if len(wid):
                 h = sample_hash(wid, self.seed * _SEED_MIX + t)
-                pick = (h % deg.astype(np.uint64)).astype(np.int64)
-                nxt = self.nbrs[self.indptr[cur] + pick]
+                if self.weighted:
+                    # inverse-CDF draw over exact integer cumulative
+                    # weights: P(edge j) = w_j / W(v)
+                    s_ptr = self.indptr[cur]
+                    base = np.where(s_ptr > 0, self.cw[s_ptr - 1], 0)
+                    tot = self.cw[self.indptr[cur + 1] - 1] - base
+                    pick_val = (h % tot.astype(np.uint64)).astype(np.int64)
+                    nxt = self.nbrs[np.searchsorted(
+                        self.cw, base + pick_val, side="right")]
+                else:
+                    pick = (h % deg.astype(np.uint64)).astype(np.int64)
+                    nxt = self.nbrs[self.indptr[cur] + pick]
                 self._log.append(
                     (wid, np.full(len(wid), t, dtype=np.int64), nxt))
             else:
@@ -179,7 +206,7 @@ class WalkCSR:
 
     def __init__(self, edges_ds, num_vertices: int, num_partitions: int = 32,
                  num_actors: int | None = None, seed: int = 0,
-                 num_cpus_per_actor: float = 1.0):
+                 num_cpus_per_actor: float = 1.0, weighted: bool = False):
         import ray
 
         self.n = num_vertices
@@ -190,7 +217,7 @@ class WalkCSR:
         cls = _make_walk_actor_cls()
         self.actors = [
             cls.options(num_cpus=num_cpus_per_actor).remote(
-                a, self.bounds, self.sp, seed)
+                a, self.bounds, self.sp, seed, weighted)
             for a in range(self.A)
         ]
         distribute_edges(edges_ds, self.actors, shard_lo)
@@ -238,16 +265,19 @@ class WalkCSR:
 
 def walks_reference(src: np.ndarray, dst: np.ndarray, n: int,
                     seeds: np.ndarray, length: int,
-                    seed: int = 0) -> pa.Table:
+                    seed: int = 0, w: np.ndarray | None = None) -> pa.Table:
     """Sequential single-process replay of the identical walk
     arithmetic (sorted-neighbor CSR + the same per-(walk, step)
-    splitmix64 draw) — the materialized-parquet oracle pattern: a hash
-    match proves the distributed walker exchange is partition- and
+    splitmix64 draw; with ``w``: the same integer inverse-CDF draw over
+    cumulative weights) — the materialized-parquet oracle pattern: a
+    hash match proves the distributed walker exchange is partition- and
     order-independent."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
+    cw = (np.cumsum(np.asarray(w, dtype=np.int64)[order]).astype(np.int64)
+          if w is not None else None)
     deg = np.bincount(src, minlength=n)
     indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
     wid = np.unique(np.asarray(seeds, dtype=np.int64))
@@ -262,7 +292,15 @@ def walks_reference(src: np.ndarray, dst: np.ndarray, n: int,
         if not len(wid):
             break
         h = sample_hash(wid, seed * _SEED_MIX + t)
-        cur = dst[indptr[cur] + (h % d.astype(np.uint64)).astype(np.int64)]
+        if cw is not None:
+            s_ptr = indptr[cur]
+            base = np.where(s_ptr > 0, cw[s_ptr - 1], 0)
+            tot = cw[indptr[cur + 1] - 1] - base
+            pick_val = (h % tot.astype(np.uint64)).astype(np.int64)
+            cur = dst[np.searchsorted(cw, base + pick_val, side="right")]
+        else:
+            cur = dst[indptr[cur]
+                      + (h % d.astype(np.uint64)).astype(np.int64)]
         out_w.append(wid.copy())
         out_t.append(np.full(len(wid), t, dtype=np.int64))
         out_v.append(cur.copy())
