@@ -181,6 +181,13 @@ def _docs_split_oracle_sql() -> str:
             "count(*) AS n FROM documents GROUP BY 1")
 
 
+def _q_doc_repetition(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import repetition_scores
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_scores(docs)
+
+
 def _q_doc_quality(sf_dir: str):
     import ray.data as rd
 
@@ -886,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
+        "doc_repetition": _q_doc_repetition,
         "top_terms": _q_top_terms,
         "docs_sample": _q_docs_sample,
         "docs_split_counts": _q_docs_split_counts,
@@ -1230,6 +1238,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens "
             "FROM documents"
+        ),
+        "doc_repetition": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"regexp_extract_all(text, '\w+') AS t FROM documents), "
+            "bi AS (SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS bg "
+            "FROM toks, unnest(range(1, len(t))) AS u(i)), "
+            "per AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "count(*) - count(DISTINCT bg) AS n_dup_bigrams "
+            "FROM bi GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, "
+            "COALESCE(per.n_dup_bigrams, 0) AS n_dup_bigrams "
+            "FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"
         ),
         "doc_quality": (
             r"SELECT doc_id, length(text) AS n_chars, "

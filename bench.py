@@ -146,7 +146,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "cocitation_top20", "coupling_top20",
                  "degree_assortativity", "edge_reciprocity",
                  "hyperball_registers", "salsa_fixed4",
-                 "random_walks_weighted",
+                 "random_walks_weighted", "doc_repetition",
                  "minhash_dup_pairs", "top_terms", "docs_sample",
                  "training_corpus"]:
         t0 = time.perf_counter()

@@ -45,6 +45,40 @@ def token_counts(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_bigrams, n_dup_bigrams) — intra-document repetition:
+    how many word-bigram occurrences are repeats of an earlier bigram
+    in the same document (the Gopher-style repetition quality signal,
+    Rae et al. 2021 — boilerplate/templated text scores high).  Tokens
+    are ``\\w+`` (the repo-wide tokenizer contract shared with
+    ``doc_token_counts``); a bigram repeats iff its exact (a, b) token
+    pair occurred before — token strings contain no spaces, so this is
+    identical to DISTINCT over the ``'a b'`` joined strings the SQL
+    oracle counts.  Integer outputs -> hash-exact."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_bi = np.zeros(n, dtype=np.int64)
+    n_dup = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = _TOKEN_RE.findall(t or "")
+        m = len(toks) - 1
+        if m <= 0:
+            continue
+        n_bi[i] = m
+        n_dup[i] = m - len(set(zip(toks, toks[1:])))
+    return pa.table({id_col: batch[id_col],
+                     "n_bigrams": pa.array(n_bi, pa.int64()),
+                     "n_dup_bigrams": pa.array(n_dup, pa.int64())})
+
+
+def repetition_scores(docs_ds, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    return docs_ds.map_batches(
+        lambda b: repetition_batch(b, text_col, id_col),
+        batch_format="pyarrow")
+
+
 def quality_scores(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     """Heuristic quality features per doc: char count, token count, mean
     token length, punctuation ratio, uppercase ratio.  Pure integer /

@@ -37,3 +37,24 @@ def test_top_terms_ties_and_k_boundary(ray_session):
     got = top_terms(rd.from_arrow(t), k=3)
     assert got["term"].to_pylist() == ["a", "b", "c"]
     assert got["n"].to_pylist() == [1, 1, 1]
+
+
+def test_repetition_scores_known_and_edge_cases():
+    """Hand-checkable repetition counts: a templated doc scores high,
+    a no-repeat doc zero, sub-2-token docs emit (0, 0)."""
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import repetition_scores
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "buy now buy now buy now",   # bigrams: 5, distinct 2 -> dup 3
+            "all words here are unique", # 4 bigrams, 0 dup
+            "word",                      # < 2 tokens
+            "",                          # empty
+        ], pa.string()),
+    })).materialize()
+    t = repetition_scores(docs).to_pandas().sort_values("doc_id")
+    assert t["n_bigrams"].tolist() == [5, 4, 0, 0]
+    assert t["n_dup_bigrams"].tolist() == [3, 0, 0, 0]
