@@ -188,6 +188,26 @@ def _q_doc_repetition(sf_dir: str):
     return repetition_scores(docs)
 
 
+_CONTAM_K = 24  # 8 flags every doc on this synthetic corpus; 24 is
+_CONTAM_MOD = 97  # selective (17/500 at sf0.01, incl. eval self-flags)
+
+
+def _q_doc_contamination(sf_dir: str):
+    """Benchmark decontamination: distinct ``_CONTAM_K``-char shingles
+    each doc shares with the deterministic eval subset
+    (doc_id % 97 == 0)."""
+    from dxa_pagerank_ray.stages.textops import contamination_counts
+
+    def ev_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(ids % _CONTAM_MOD == 0)
+        return b.take(pa.array(keep, pa.int64()))
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ev = docs.map_batches(ev_only, batch_format="pyarrow")
+    return contamination_counts(docs, ev, k=_CONTAM_K)
+
+
 def _q_doc_quality(sf_dir: str):
     import ray.data as rd
 
@@ -894,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "doc_repetition": _q_doc_repetition,
+        "doc_contamination": _q_doc_contamination,
         "top_terms": _q_top_terms,
         "docs_sample": _q_docs_sample,
         "docs_split_counts": _q_docs_split_counts,
@@ -1238,6 +1259,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens "
             "FROM documents"
+        ),
+        "doc_contamination": (
+            f"WITH ev AS (SELECT DISTINCT substr(text, u.i, {_CONTAM_K}) "
+            "AS sh FROM documents, "
+            f"unnest(range(1, length(text) - {_CONTAM_K - 2})) u(i) "
+            f"WHERE doc_id % {_CONTAM_MOD} = 0 "
+            f"AND length(text) >= {_CONTAM_K}), "
+            f"tr AS (SELECT doc_id, substr(text, u.i, {_CONTAM_K}) AS sh "
+            "FROM documents, "
+            f"unnest(range(1, length(text) - {_CONTAM_K - 2})) u(i) "
+            f"WHERE length(text) >= {_CONTAM_K}), "
+            "hits AS (SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_overlap "
+            "FROM tr JOIN ev ON ev.sh = tr.sh GROUP BY tr.doc_id) "
+            "SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap "
+            "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"
         ),
         "doc_repetition": (
             r"WITH toks AS (SELECT doc_id, "

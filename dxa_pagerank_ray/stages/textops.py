@@ -79,6 +79,50 @@ def repetition_scores(docs_ds, text_col: str = "text",
         batch_format="pyarrow")
 
 
+def contamination_counts(docs_ds, eval_ds, k: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination (the n-gram-overlap check every LLM
+    training pipeline runs before training): per document, the number
+    of DISTINCT length-``k`` character shingles it shares with the
+    EVAL corpus.  Exact string shingles (no hashing), so the SQL
+    oracle is substr-for-substr identical.
+
+    Scale shape: the eval corpus is the small side by definition
+    (benchmarks are fixed and tiny next to 100 TB of training data) —
+    its distinct shingle set is built with per-partition set partials,
+    unioned on the driver (O(eval shingles)), shipped ONCE via
+    ``ray.put``, and every training batch counts overlaps against the
+    broadcast set locally; the training side streams, nothing else
+    lands on the driver."""
+    import ray
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for t in batch[text_col].to_pylist():
+            t = t or ""
+            out.update(t[j:j + k] for j in range(len(t) - k + 1))
+        return pa.table({"sh": pa.array(sorted(out), pa.string())})
+
+    ev: set[str] = set()
+    for b in eval_ds.map_batches(eval_shingles, batch_format="pyarrow") \
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        ev.update(b["sh"].to_pylist())
+    ev_ref = ray.put(ev)
+
+    def count(batch: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        texts = batch[text_col].to_pylist()
+        n = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            sh = {t[j:j + k] for j in range(len(t) - k + 1)}
+            n[i] = len(sh & evs)
+        return pa.table({id_col: batch[id_col],
+                         "n_overlap": pa.array(n, pa.int64())})
+
+    return docs_ds.map_batches(count, batch_format="pyarrow")
+
+
 def quality_scores(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     """Heuristic quality features per doc: char count, token count, mean
     token length, punctuation ratio, uppercase ratio.  Pure integer /

@@ -58,3 +58,36 @@ def test_repetition_scores_known_and_edge_cases():
     t = repetition_scores(docs).to_pandas().sort_values("doc_id")
     assert t["n_bigrams"].tolist() == [5, 4, 0, 0]
     assert t["n_dup_bigrams"].tolist() == [3, 0, 0, 0]
+
+
+def test_contamination_counts_exact():
+    """Exact distinct-shingle overlap vs a hand oracle; eval docs
+    self-flag fully; disjoint docs flag zero."""
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import contamination_counts
+
+    texts = [
+        "the quick brown fox jumps",       # eval doc (id 0)
+        "a quick brown fox appears here",  # shares shingles with eval
+        "zzzzzzzzzzzz completely unrelated text qq",
+        "the quick brown fox jumps",       # exact copy of the eval doc
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).materialize()
+    ev = docs.map_batches(
+        lambda b: b.take(pa.array([0], pa.int64())),
+        batch_format="pyarrow")
+    t = contamination_counts(docs, ev, k=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def sh(s):
+        return {s[j:j + 8] for j in range(len(s) - 7)}
+
+    evs = sh(texts[0])
+    exp = [len(sh(x) & evs) for x in texts]
+    assert t["n_overlap"].tolist() == exp
+    assert exp[0] == len(evs) and exp[3] == len(evs)  # self/copy flag
+    assert exp[1] > 0 and exp[2] == 0
