@@ -39,6 +39,12 @@ from .pagerank_csr import (
 )
 
 
+# weighted-SSSP "unreached" sentinel: larger than any real path cost
+# (sum of int64 weights along <= V-1 hops stays far below), stable
+# under + w in the relaxation (min(old, sentinel + w) = old)
+SSSP_SENTINEL = 1 << 62
+
+
 def _hll_alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1 + 1.079 / m))
@@ -87,7 +93,9 @@ def _make_label_actor_cls():
     @ray.remote
     class LabelShard:
         def __init__(self, shard_id: int, bounds: np.ndarray,
-                     shard_parts: np.ndarray):
+                     shard_parts: np.ndarray, weighted: bool = False):
+            self.weighted = weighted
+            self._edge_w: list[np.ndarray] = []
             self.s = shard_id
             self.bounds = bounds
             self.sp = shard_parts
@@ -113,6 +121,12 @@ def _make_label_actor_cls():
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             self._edge_src.append(src)
             self._edge_dst.append(dst)
+            if self.weighted:
+                w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(w) and w.min() <= 0:
+                    raise ValueError("edge weights must be positive "
+                                     "integers")
+                self._edge_w.append(w)
             return len(src)
 
         def seal(self) -> int:
@@ -125,7 +139,9 @@ def _make_label_actor_cls():
                    if self._edge_src else np.array([], dtype=np.int64))
             dst = (np.concatenate(self._edge_dst)
                    if self._edge_dst else np.array([], dtype=np.int64))
-            self._edge_src = self._edge_dst = []
+            w = (np.concatenate(self._edge_w)
+                 if self._edge_w else np.array([], dtype=np.int64))
+            self._edge_src = self._edge_dst = self._edge_w = []
             self._seen_keys = set()
             src_local = src - self.lo
             ts = np.searchsorted(self.shard_lo, dst, side="right") - 1
@@ -139,6 +155,10 @@ def _make_label_actor_cls():
                  (dst[starts[b]:ends[b]] - int(self.shard_lo[b])).astype(np.int32))
                 for b in range(self.A)
             ]
+            if self.weighted:
+                w = w[order]
+                self.wblocks = [w[starts[b]:ends[b]]
+                                for b in range(self.A)]
             return int(len(dst))
 
         def reset_labels(self) -> None:
@@ -203,6 +223,28 @@ def _make_label_actor_cls():
             changed = int(np.sum(new != self.labels))
             self.labels = new
             return changed
+
+        def sssp_compute(self):
+            """Min-plus gather for weighted shortest paths: per-dst min
+            over inbound edges of label(src) + w (Bellman-Ford
+            relaxation, map-side combined).  Same packed wire shape as
+            ``cc_compute``; apply is plain min-merge (``cc_apply``)."""
+            idx_out, val_out = [], []
+            counts = np.zeros(self.A, dtype=np.int64)
+            for b in range(self.A):
+                src_l, dst_l = self.blocks[b]
+                if len(dst_l) == 0:
+                    continue
+                vals = self.labels[src_l] + self.wblocks[b]
+                bd = np.flatnonzero(np.r_[True, dst_l[1:] != dst_l[:-1]])
+                counts[b] = len(bd)
+                idx_out.append(dst_l[bd])
+                val_out.append(np.minimum.reduceat(vals, bd))
+            return (counts,
+                    np.concatenate(idx_out) if idx_out
+                    else np.array([], dtype=np.int64),
+                    np.concatenate(val_out) if val_out
+                    else np.array([], dtype=np.int64))
 
         def bfs_apply(self, *packed) -> int:
             """Relax step for multi-source BFS: new(v) = min(old(v),
@@ -569,7 +611,7 @@ class LabelCSR:
 
     def __init__(self, und_edges_ds, num_vertices: int,
                  num_partitions: int = 32, num_actors: int | None = None,
-                 num_cpus_per_actor: float = 1.0):
+                 num_cpus_per_actor: float = 1.0, weighted: bool = False):
         import ray
 
         self.n = num_vertices
@@ -581,7 +623,7 @@ class LabelCSR:
         cls = _make_label_actor_cls()
         self.actors = [
             cls.options(num_cpus=num_cpus_per_actor).remote(
-                a, self.bounds, self.sp
+                a, self.bounds, self.sp, weighted
             )
             for a in range(self.A)
         ]
@@ -753,6 +795,37 @@ class LabelCSR:
                     self._checkpoint(checkpoint_dir, rounds, hist)
                 if changed == 0:
                     break
+        return ComponentsResult(
+            labels=self._collect() if collect_state else None,
+            rounds=rounds, changed_per_round=hist)
+
+    def sssp_distances(self, seeds, max_hops: int = 16,
+                       collect_state: bool = True):
+        """Multi-source WEIGHTED shortest-path cost, bounded at
+        ``max_hops`` relaxation rounds (distributed Bellman-Ford):
+        after k supersteps label(v) = min cost over paths of <= k edges
+        from any seed, else the sentinel ``SSSP_SENTINEL`` — the same
+        bounded-round contract as ``bfs_distances``, which makes the
+        recursive-CTE SQL oracle exact by construction (positive
+        INTEGER weights keep every cost exact).  Requires the engine
+        built with ``weighted=True`` on a ``(src, dst, w)`` Dataset.
+        Stops early at the fixed point (positive weights guarantee one
+        within V-1 rounds)."""
+        from .components import ComponentsResult
+
+        seeds = np.asarray(seeds, dtype=np.int64)
+        if len(seeds) == 0:
+            raise ValueError("sssp_distances needs at least one seed")
+        if seeds.min() < 0 or seeds.max() >= self.n:
+            raise ValueError("seed vertex id out of range")
+        rounds, hist = self._resume(None, False, "seed_distances",
+                                    (seeds, SSSP_SENTINEL))
+        while rounds < max_hops:
+            rounds += 1
+            changed = self._superstep("sssp_compute", "cc_apply")
+            hist.append(changed)
+            if changed == 0:
+                break
         return ComponentsResult(
             labels=self._collect() if collect_state else None,
             rounds=rounds, changed_per_round=hist)

@@ -446,6 +446,28 @@ def q_edge_reciprocity(sf_dir: str):
     return reciprocity_counts(edges)
 
 
+SSSP_MAX_HOPS = 4
+
+
+def q_sssp_costs(sf_dir: str):
+    """(v, cost) — cheapest weighted path cost from the seed set over
+    the weighted customer graph, bounded at SSSP_MAX_HOPS relaxation
+    rounds (distributed Bellman-Ford; the hop bound is the operator
+    contract so the path-enumerating recursive-CTE oracle terminates
+    AND matches exactly — integer weights keep every cost exact).
+    Unreached-within-bound vertices excluded."""
+    from .labels_csr import SSSP_SENTINEL, LabelCSR
+
+    edges = customer_edges_weighted(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = LabelCSR(edges, n, num_partitions=8, weighted=True)
+    res = eng.sssp_distances(list(BFS_SEEDS), max_hops=SSSP_MAX_HOPS)
+    eng.shutdown()
+    vs = np.flatnonzero(res.labels < SSSP_SENTINEL)
+    return pa.table({"v": pa.array(vs.astype(np.int64), pa.int64()),
+                     "cost": pa.array(res.labels[vs], pa.int64())})
+
+
 def q_labelprop_sizes(sf_dir: str):
     """(label, size) after 5 synchronous LP rounds, customer graph, CSR
     label engine; rows-only driver check + exact numpy-oracle check in
@@ -518,6 +540,23 @@ SQL = {
         "JOIN ok ON ok.src = e1.src) "
         "SELECT a, b, count(*) AS n FROM p GROUP BY a, b "
         "ORDER BY n DESC, a, b LIMIT 20"
+    ),
+    # hop-bounded weighted SSSP: the CTE enumerates (v, cost, hops)
+    # path prefixes only to SSSP_MAX_HOPS expansions (cycles/branching
+    # make unbounded enumeration explode); min(c) per vertex within the
+    # bound is exactly the engine's Bellman-Ford round contract.
+    "sssp_costs": (
+        "WITH RECURSIVE raw AS (SELECT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst, "
+        "CAST(sum(o_orderkey % 7 + 1) AS BIGINT) AS w FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD} GROUP BY 1, 2), "
+        "b(v, c, h) AS ("
+        "SELECT CAST(s.v AS BIGINT), CAST(0 AS BIGINT), 0 FROM (VALUES "
+        + ", ".join(f"({s})" for s in BFS_SEEDS) + ") s(v) "
+        "UNION "
+        "SELECT raw.dst, b.c + raw.w, b.h + 1 FROM b "
+        f"JOIN raw ON raw.src = b.v WHERE b.h < {SSSP_MAX_HOPS}) "
+        "SELECT v, min(c) AS cost FROM b GROUP BY v"
     ),
     # directed degree-assortativity moment sums (integer-exact; DuckDB
     # sum(BIGINT) yields HUGEINT, hence the casts)

@@ -313,6 +313,77 @@ def test_csr_bfs_checkpoint_resume(tmp_path):
     assert resumed.rounds == full.rounds
 
 
+# ---- weighted SSSP (hop-bounded Bellman-Ford) --------------------------------
+
+
+def _wds(src, dst, w):
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "w": pa.array(w, pa.int64())})
+    ).materialize()
+
+
+def _sssp_oracle(src, dst, w, n, seeds, max_hops, sentinel):
+    dist = np.full(n, sentinel, dtype=np.int64)
+    dist[np.asarray(seeds, dtype=np.int64)] = 0
+    for _ in range(max_hops):
+        new = dist.copy()
+        np.minimum.at(new, dst, dist[src] + w)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    return dist
+
+
+@pytest.mark.parametrize("seed", [6, 29])
+def test_csr_sssp_vs_bellman_ford(seed):
+    from dxa_pagerank_ray.pipelines.labels_csr import SSSP_SENTINEL
+
+    rng = np.random.default_rng(seed)
+    n, m = 300, 1500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    w = rng.integers(1, 50, len(src))
+    seeds = [0, 7]
+    exp = _sssp_oracle(src, dst, w, n, seeds, 12, SSSP_SENTINEL)
+    ds = _wds(src, dst, w)
+    res = {}
+    for a in (1, 4):
+        eng = LabelCSR(ds, n, num_partitions=8, num_actors=a,
+                       weighted=True)
+        res[a] = eng.sssp_distances(seeds, max_hops=12)
+        eng.shutdown()
+    np.testing.assert_array_equal(res[1].labels, exp)
+    np.testing.assert_array_equal(res[4].labels, exp)
+    assert res[1].changed_per_round == res[4].changed_per_round
+    reach = exp[exp < SSSP_SENTINEL]
+    assert len(reach) > 10 and reach.max() > 50  # multi-hop costs exist
+
+
+def test_csr_sssp_hop_bound_and_cheaper_long_path():
+    """Cost 10 direct edge vs a 3-edge path of cost 3: with
+    max_hops=1 the direct edge wins; with max_hops=3 the cheap path
+    wins — the hop bound is the contract, not an approximation."""
+    from dxa_pagerank_ray.pipelines.labels_csr import SSSP_SENTINEL
+
+    src = np.array([0, 0, 2, 3])
+    dst = np.array([1, 2, 3, 1])
+    w = np.array([10, 1, 1, 1])
+    ds = _wds(src, dst, w)
+    eng = LabelCSR(ds, 4, num_partitions=2, weighted=True)
+    one = eng.sssp_distances([0], max_hops=1)
+    eng.shutdown()
+    eng = LabelCSR(ds, 4, num_partitions=2, weighted=True)
+    three = eng.sssp_distances([0], max_hops=3)
+    eng.shutdown()
+    assert one.labels[1] == 10 and three.labels[1] == 3
+    assert one.labels[3] == SSSP_SENTINEL and three.labels[3] == 2
+
+
 def test_csr_bfs_seed_validation():
     src, dst, n = CASES["star"]
     eng = LabelCSR(_ds(src, dst), n, num_partitions=2)
