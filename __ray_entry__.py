@@ -889,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_sizes_star": tg.q_cc_sizes_star,
         "bfs_depths": tg.q_bfs_depths,
         "sssp_costs": tg.q_sssp_costs,
+        "bowtie_regions": tg.q_bowtie_regions,
         "cocitation_top20": tg.q_cocitation_top20,
         "coupling_top20": tg.q_coupling_top20,
         "degree_assortativity": tg.q_degree_assortativity,
@@ -1236,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_sizes_star": _CC_SIZES_SQL,
         "bfs_depths": tg.SQL["bfs_depths"],
         "sssp_costs": tg.SQL["sssp_costs"],
+        "bowtie_regions": tg.SQL["bowtie_regions"],
         "cocitation_top20": tg.SQL["cocitation_top20"],
         "coupling_top20": tg.SQL["coupling_top20"],
         "degree_assortativity": tg.SQL["degree_assortativity"],

@@ -449,6 +449,64 @@ def q_edge_reciprocity(sf_dir: str):
 SSSP_MAX_HOPS = 4
 
 
+def _max_degree_pivot(edges) -> int:
+    """Vertex with the largest total (in+out) degree, min-id tie-break
+    — computed with coarse aggregates and a per-partition top-1 cut,
+    so only O(partitions) rows reach the driver."""
+    import ray.data as rd
+
+    from ..stages.agg import coarse_agg
+
+    both = edges.select_columns(["src"]).rename_columns({"src": "v"}).union(
+        edges.select_columns(["dst"]).rename_columns({"dst": "v"}))
+    deg = coarse_agg(both, ["v"], [("v", "count", "d")])
+
+    def top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        d = t["d"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((v, -d))[:1]
+        return t.take(pa.array(sel, pa.int64()))
+
+    rows = deg.map_batches(top1, batch_format="pyarrow").take_all()
+    best = min(rows, key=lambda r: (-int(r["d"]), int(r["v"])))
+    return int(best["v"])
+
+
+def q_bowtie_regions(sf_dir: str):
+    """The classic web bow-tie decomposition (Broder et al. 2000) of
+    the customer graph around its max-total-degree pivot (min-id
+    tie-break): SCC = forward ∩ backward reachable from the pivot,
+    IN = reaches the pivot but not reached, OUT = reached but not
+    reaching, OTHER = the rest (tendrils + disconnected).  Forward and
+    backward reachability are two `bfs_distances` fixpoint runs (rounds
+    ~ diameter, early-stopped); returns (region, size)."""
+    from .labels_csr import LabelCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    pivot = _max_degree_pivot(edges)
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    rev_ds = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    eng = LabelCSR(edges, n, num_partitions=8)
+    fwd = eng.bfs_distances([pivot], max_depth=n + 1)
+    eng.shutdown()
+    eng = LabelCSR(rev_ds, n, num_partitions=8)
+    bwd = eng.bfs_distances([pivot], max_depth=n + 1)
+    eng.shutdown()
+    f = fwd.labels < n
+    b = bwd.labels < n
+    region = np.where(f & b, "scc",
+                      np.where(b, "in", np.where(f, "out", "other")))
+    labs, counts = np.unique(region, return_counts=True)
+    return pa.table({"region": pa.array(labs.tolist(), pa.string()),
+                     "size": pa.array(counts.astype(np.int64), pa.int64())})
+
+
 def q_sssp_costs(sf_dir: str):
     """(v, cost) — cheapest weighted path cost from the seed set over
     the weighted customer graph, bounded at SSSP_MAX_HOPS relaxation
@@ -540,6 +598,31 @@ SQL = {
         "JOIN ok ON ok.src = e1.src) "
         "SELECT a, b, count(*) AS n FROM p GROUP BY a, b "
         "ORDER BY n DESC, a, b LIMIT 20"
+    ),
+    # bow-tie decomposition: single-pivot forward/backward reachability
+    # closures (finite (v) sets, so the unbounded recursion terminates)
+    "bowtie_regions": (
+        "WITH RECURSIVE raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "deg AS (SELECT v, sum(d) AS total FROM ("
+        "SELECT src AS v, count(*) AS d FROM raw GROUP BY src "
+        "UNION ALL SELECT dst, count(*) FROM raw GROUP BY dst) "
+        "GROUP BY v), "
+        "pv AS (SELECT v FROM deg ORDER BY total DESC, v LIMIT 1), "
+        "verts AS (SELECT unnest(range(0, "
+        "(SELECT max(greatest(src, dst)) + 1 FROM raw))) AS v), "
+        "f(v) AS (SELECT v FROM pv UNION "
+        "SELECT raw.dst FROM f JOIN raw ON raw.src = f.v), "
+        "b(v) AS (SELECT v FROM pv UNION "
+        "SELECT raw.src FROM b JOIN raw ON raw.dst = b.v), "
+        "cls AS (SELECT verts.v, CASE "
+        "WHEN verts.v IN (SELECT v FROM f) "
+        "AND verts.v IN (SELECT v FROM b) THEN 'scc' "
+        "WHEN verts.v IN (SELECT v FROM b) THEN 'in' "
+        "WHEN verts.v IN (SELECT v FROM f) THEN 'out' "
+        "ELSE 'other' END AS region FROM verts) "
+        "SELECT region, count(*) AS size FROM cls GROUP BY region"
     ),
     # hop-bounded weighted SSSP: the CTE enumerates (v, cost, hops)
     # path prefixes only to SSSP_MAX_HOPS expansions (cycles/branching

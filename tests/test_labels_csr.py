@@ -416,3 +416,28 @@ def test_csr_kcore_checkpoint_resume(tmp_path):
     eng.shutdown()
     np.testing.assert_array_equal(resumed.labels, full.labels)
     assert resumed.rounds == full.rounds
+
+
+def test_bowtie_regions_hand_case():
+    """Broder bow-tie on a hand graph: cycle {0,1,2} = SCC, 3 -> 0 is
+    IN, 2 -> 4 is OUT, 5 isolated is OTHER.  Pivot = max-total-degree
+    min-id vertex (0, inside the SCC by construction)."""
+    from dxa_pagerank_ray.pipelines.testdata_graph import _max_degree_pivot
+
+    src = np.array([0, 1, 2, 3, 2])
+    dst = np.array([1, 2, 0, 0, 4])
+    n = 6
+    ds = _ds(src, dst)
+    pivot = _max_degree_pivot(ds)
+    assert pivot == 0
+    rev = _ds(dst, src)
+    eng = LabelCSR(ds, n, num_partitions=3)
+    f = eng.bfs_distances([pivot], max_depth=n + 1)
+    eng.shutdown()
+    eng = LabelCSR(rev, n, num_partitions=3)
+    b = eng.bfs_distances([pivot], max_depth=n + 1)
+    eng.shutdown()
+    fm, bm = f.labels < n, b.labels < n
+    region = np.where(fm & bm, "scc",
+                      np.where(bm, "in", np.where(fm, "out", "other")))
+    assert region.tolist() == ["scc", "scc", "scc", "in", "out", "other"]
