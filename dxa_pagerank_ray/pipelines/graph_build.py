@@ -117,11 +117,18 @@ def dedup_edges(edges_ds, num_partitions: int | None = None):
     2-key global sort-aggregate over ~|E| near-singleton groups
     degenerates into a single long reduce (measured: one core pegged
     >25 min at E=256M), while a small-cardinality int key shuffles once
-    and each partition dedups in one numpy pass."""
+    and each partition dedups in one numpy pass.  Inputs whose
+    metadata-estimated size fits one coarse group skip the
+    sort-shuffle entirely (repartition(1) + one distinct pass — the
+    same fast path as ``stages/agg.py``; Ray's sort has seconds of
+    fixed sampling/exchange cost that dominated every small-sf graph
+    query)."""
     from ..context import derive_num_groups
+    from ..stages.agg import _fits_one_group
 
     pre = edges_ds.map_batches(local_distinct, batch_format="pyarrow")
-    G = num_partitions or derive_num_groups(edges_ds)
+    small = num_partitions is None and _fits_one_group(edges_ds)
+    G = 1 if small else (num_partitions or derive_num_groups(edges_ds))
 
     def add_part(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False)
@@ -139,6 +146,9 @@ def dedup_edges(edges_ds, num_partitions: int | None = None):
         return pa.table({"src": pa.array(s[keep], pa.int64()),
                          "dst": pa.array(d[keep], pa.int64())})
 
+    if small:
+        return pre.repartition(1).map_batches(
+            distinct, batch_format="pyarrow", batch_size=None)
     return pre.map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(distinct, batch_format="pyarrow")
 
