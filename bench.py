@@ -148,6 +148,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "hyperball_registers", "salsa_fixed4",
                  "random_walks_weighted", "doc_repetition",
                  "doc_contamination", "sssp_costs", "bowtie_regions",
+                 "jaccard_related_top20",
                  "minhash_dup_pairs", "top_terms", "docs_sample",
                  "training_corpus"]:
         t0 = time.perf_counter()

@@ -105,6 +105,97 @@ def cocitation_counts(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
     return coarse_agg(pairs, ["a", "b"], [("a", "count", "n")])
 
 
+def jaccard_related_topk(edges_ds, k: int = 20,
+                         max_outdeg: int = DEFAULT_MAX_OUTDEG,
+                         num_groups: int | None = None,
+                         broadcast_limit: int | None = None) -> pa.Table:
+    """Related pages by JACCARD similarity of in-neighborhoods:
+    jac(a, b) = |In(a) ∩ In(b)| / |In(a) ∪ In(b)| — degree-normalized
+    co-citation (raw counts over-rank popular pages).  The intersection
+    is the hub-bounded co-citation count; the union is
+    indeg(a) + indeg(b) - inter.  Scores ship as INTEGER nano-units
+    (inter * 1e9 // union — floor division is identical in numpy and
+    SQL, so the (jac_nano desc, a, b) total order is hash-exact).
+
+    The |V|-sized in-degree table attaches under the same broadcast
+    guard as ``graph_stats.degree_moment_sums``: collected + ray.put
+    below ``broadcast_limit`` rows, co-grouped joins above it.
+
+    NOTE: the hub cap applies to the co-citation SOURCES (common
+    in-neighbor enumeration), while indeg(a)/indeg(b) count ALL
+    in-edges — the oracle applies the same asymmetry."""
+    import ray
+
+    from ..stages.dedup import cogroup_attach
+    from .relational import BROADCAST_ROW_LIMIT
+
+    limit = BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
+    counts = cocitation_counts(edges_ds, max_outdeg=max_outdeg,
+                               num_groups=num_groups).materialize()
+    ind = coarse_agg(edges_ds.map_batches(
+        lambda b: pa.table({"v": b["dst"]}), batch_format="pyarrow"),
+        ["v"], [("v", "count", "d")]).materialize()
+
+    if ind.count() <= limit:
+        t = pa.concat_tables(list(ind.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        key = t["v"].to_numpy(zero_copy_only=False)
+        deg = t["d"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        lookup_ref = ray.put((key[order], deg[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            kk, dd = ray.get(lookup_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            da = dd[np.searchsorted(kk, a)]   # coverage structural:
+            db = dd[np.searchsorted(kk, bb)]  # pair members are dsts
+            return pa.table({"a": b["a"], "b": b["b"], "inter": b["n"],
+                             "da": pa.array(da, pa.int64()),
+                             "db": pa.array(db, pa.int64())})
+
+        scored = counts.map_batches(attach, batch_format="pyarrow")
+    else:
+        s1 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("n", pa.int64())])
+        e1 = cogroup_attach(counts, "a", ind, "v", "d", "da",
+                            s1, pa.int64(),
+                            num_groups=derive_num_groups(counts))
+        s2 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("n", pa.int64()), ("da", pa.int64())])
+        e2 = cogroup_attach(e1, "b", ind, "v", "d", "db",
+                            s2, pa.int64(),
+                            num_groups=derive_num_groups(counts))
+        scored = e2.map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"],
+                                "inter": t["n"], "da": t["da"],
+                                "db": t["db"]}),
+            batch_format="pyarrow")
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False)
+        uni = (t["da"].to_numpy(zero_copy_only=False)
+               + t["db"].to_numpy(zero_copy_only=False) - inter)
+        jac = inter * np.int64(1_000_000_000) // uni
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((b, a, -jac))[:k]
+        return pa.table({
+            "a": pa.array(a[sel], pa.int64()),
+            "b": pa.array(b[sel], pa.int64()),
+            "inter": pa.array(inter[sel], pa.int64()),
+            "uni": pa.array(uni[sel], pa.int64()),
+            "jac_nano": pa.array(jac[sel], pa.int64()),
+        })
+
+    rows = scored.map_batches(score_topk, batch_format="pyarrow") \
+        .sort(["jac_nano", "a", "b"],
+              descending=[True, False, False]).limit(k).take_all()
+    cols = ["a", "b", "inter", "uni", "jac_nano"]
+    return pa.table({c: pa.array([r[c] for r in rows], pa.int64())
+                     for c in cols})
+
+
 def coupling_topk(edges_ds, k: int = 20,
                   max_outdeg: int = DEFAULT_MAX_OUTDEG,
                   num_groups: int | None = None):

@@ -396,6 +396,16 @@ def q_cocitation_top20(sf_dir: str):
     return cocitation_topk(edges, k=20, max_outdeg=COCITE_MAX_OUTDEG)
 
 
+def q_jaccard_related_top20(sf_dir: str):
+    """Top-20 related pairs by in-neighborhood JACCARD similarity
+    (degree-normalized co-citation) over the customer graph; integer
+    nano scores, same hub-cap contract as `cocitation_top20`."""
+    from .cocitation import jaccard_related_topk
+
+    edges = customer_edges(sf_dir).materialize()
+    return jaccard_related_topk(edges, k=20, max_outdeg=COCITE_MAX_OUTDEG)
+
+
 def q_coupling_top20(sf_dir: str):
     """Top-20 bibliographically COUPLED pairs (count of common
     out-neighbors, Kessler 1963) — co-citation over the reversed edge
@@ -666,6 +676,25 @@ SQL = {
         "SELECT (SELECT count(*) FROM raw) AS n_edges, "
         "(SELECT count(*) FROM raw e JOIN raw r "
         "ON r.src = e.dst AND r.dst = e.src) AS n_reciprocal"
+    ),
+    # Jaccard related pages: co-citation intersection over
+    # in-neighborhood union, integer nano score (floor division)
+    "jaccard_related_top20": (
+        "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "ok AS (SELECT src FROM raw GROUP BY src "
+        f"HAVING count(*) <= {COCITE_MAX_OUTDEG}), "
+        "p AS (SELECT e1.dst AS a, e2.dst AS b FROM raw e1 "
+        "JOIN raw e2 ON e2.src = e1.src AND e1.dst < e2.dst "
+        "JOIN ok ON ok.src = e1.src), "
+        "cnt AS (SELECT a, b, count(*) AS inter FROM p GROUP BY a, b), "
+        "ind AS (SELECT dst AS v, count(*) AS d FROM raw GROUP BY dst) "
+        "SELECT cnt.a, cnt.b, inter, ia.d + ib.d - inter AS uni, "
+        "(inter * 1000000000) // (ia.d + ib.d - inter) AS jac_nano "
+        "FROM cnt JOIN ind ia ON ia.v = cnt.a "
+        "JOIN ind ib ON ib.v = cnt.b "
+        "ORDER BY jac_nano DESC, cnt.a, cnt.b LIMIT 20"
     ),
     # bibliographic coupling: pairs sharing an OUT-neighbor; fan-in cap
     # mirrors the engine's reversed-edge hub bound.

@@ -114,3 +114,40 @@ def test_cocitation_topk_total_order():
     assert rows[0] == (10, 11, 5)
     # remaining counts all tie at 2 -> (a, b) ascending decides
     assert rows[1:] == [(10, 12, 2), (10, 13, 2)]
+
+
+def test_jaccard_related_vs_bruteforce():
+    """jac_nano ranking vs brute force over exact in-neighborhoods,
+    both paths (broadcast and forced-distributed) identical."""
+    from dxa_pagerank_ray.pipelines.cocitation import jaccard_related_topk
+
+    rng = np.random.default_rng(12)
+    m = 500
+    src = rng.integers(0, 30, m)
+    dst = rng.integers(30, 70, m)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    got = jaccard_related_topk(_ds(src, dst), k=10, num_groups=2)
+    # brute force
+    from collections import defaultdict
+
+    ins = defaultdict(set)
+    for s, d in zip(src.tolist(), dst.tolist()):
+        ins[d].add(s)
+    rows = []
+    keys = sorted(ins)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            inter = len(ins[a] & ins[b])
+            if inter:
+                uni = len(ins[a] | ins[b])
+                rows.append((inter * 10**9 // uni, a, b, inter, uni))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    exp = [(a, b, i_, u, j) for j, a, b, i_, u in rows[:10]]
+    got_rows = list(zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                        got["inter"].to_pylist(), got["uni"].to_pylist(),
+                        got["jac_nano"].to_pylist()))
+    assert got_rows == exp
+    dist = jaccard_related_topk(_ds(src, dst), k=10, num_groups=2,
+                                broadcast_limit=0)
+    assert dist.to_pydict() == got.to_pydict()
