@@ -104,6 +104,12 @@ def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
 
     import ray
 
+    # captured at call time (driver) so the routing closure carries the
+    # values into the workers — module globals would re-resolve to the
+    # defaults in each worker process
+    ack_timeout_s = _ROUTE_ACK_TIMEOUT_S
+    ack_tries = _ROUTE_ACK_TRIES
+
     # barrier: actors fully constructed/registered before routing starts
     ray.get([a.__ray_ready__.remote() for a in actors])
     handles_ref = ray.put(actors)
@@ -130,17 +136,17 @@ def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
         while pending:
             ready, not_ready = ray.wait(list(pending),
                                         num_returns=len(pending),
-                                        timeout=_ROUTE_ACK_TIMEOUT_S)
+                                        timeout=ack_timeout_s)
             ray.get(ready)  # surface actor-side errors loudly
             for r in ready:
                 pending.pop(r)
             if not not_ready:
                 break
             tries += 1
-            if tries >= _ROUTE_ACK_TRIES:
+            if tries >= ack_tries:
                 raise RuntimeError(
                     f"edge routing: {len(not_ready)} add_edges chunks "
-                    f"unacked after {tries * _ROUTE_ACK_TIMEOUT_S:.0f}s"
+                    f"unacked after {tries * ack_timeout_s:.0f}s"
                 )
             for r in not_ready:
                 a, key, sl = pending.pop(r)

@@ -190,6 +190,28 @@ def test_csr_kcore_random_vs_peeling(seed):
     assert exp.max() >= 3  # dense enough to exercise multi-level peeling
 
 
+def test_route_ack_resubmission_is_idempotent(monkeypatch):
+    """Force the lost-ack recovery branch: with a near-zero ack
+    timeout, ray.wait rounds expire before acks arrive and every chunk
+    is resubmitted (same key) — the engine must still load every edge
+    exactly once."""
+    from dxa_pagerank_ray.pipelines import pagerank_csr as pcsr
+
+    monkeypatch.setattr(pcsr, "_ROUTE_ACK_TIMEOUT_S", 0.001)
+    monkeypatch.setattr(pcsr, "_ROUTE_ACK_TRIES", 1000)
+    rng = np.random.default_rng(44)
+    n, m = 200, 1200
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    ds = _ds(pairs[:, 0], pairs[:, 1])
+    eng = LabelCSR(ds, n, num_partitions=4, num_actors=2)
+    try:
+        assert eng.num_edges == len(pairs)  # no double-append
+    finally:
+        eng.shutdown()
+
+
 def test_add_edges_key_idempotent():
     """The routing ack barrier may RESUBMIT a chunk whose submission was
     lost; the actor must apply a given key exactly once (lost-ack
