@@ -491,7 +491,14 @@ def q_bowtie_regions(sf_dir: str):
     IN = reaches the pivot but not reached, OUT = reached but not
     reaching, OTHER = the rest (tendrils + disconnected).  Forward and
     backward reachability are two `bfs_distances` fixpoint runs (rounds
-    ~ diameter, early-stopped); returns (region, size)."""
+    ~ diameter, early-stopped); returns (region, size).
+
+    Driver footprint: two O(V) int64 label vectors (the engine-wide
+    ``collect_state`` query contract).  At web scale (V in the
+    billions) run both engines with ``collect_state=False`` +
+    ``write_labels``, then classify/count with a Ray Data zip-join of
+    the two per-partition Parquet label sets — partition files align
+    one-to-one because both engines share the P logical bounds."""
     from .labels_csr import LabelCSR
 
     edges = customer_edges(sf_dir).materialize()
