@@ -44,8 +44,15 @@ def _load_graph(args):
     from .pipelines.graph_build import build_link_graph
 
     t0 = time.perf_counter()
-    if args.pages:
-        pages = rd.read_parquet(args.pages)
+    if args.pages or getattr(args, "warc", None):
+        if args.pages:
+            pages = rd.read_parquet(args.pages)
+        else:
+            from .sources.warc import read_warc_pages
+
+            # materialize BEFORE any engine exists (1-CPU shard pools
+            # can hold every cluster CPU; a lazy upstream deadlocks)
+            pages = read_warc_pages(args.warc).materialize()
         g = build_link_graph(pages, num_partitions=args.partitions)
         edges, n = g.edges, g.num_vertices
         url_ids = g.url_ids
@@ -521,6 +528,8 @@ def build_parser() -> argparse.ArgumentParser:
             src = p.add_mutually_exclusive_group(required=True)
             src.add_argument("--pages", help="pages Parquet dir "
                              "(url, warc_ts, html, text, lang)")
+            src.add_argument("--warc", help="WARC file/dir "
+                             "(Common-Crawl response records)")
             src.add_argument("--edges", help="prebuilt edges Parquet dir "
                              "(src, dst int64)")
             p.add_argument("--num-vertices", type=int, default=None,
