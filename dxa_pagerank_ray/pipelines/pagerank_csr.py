@@ -67,7 +67,9 @@ def default_num_actors(num_partitions: int) -> int:
 
 
 _ROUTE_ACK_TIMEOUT_S = 60.0  # per ray.wait round on the ack barrier
-_ROUTE_ACK_TRIES = 10        # loud failure after ~10 min of no ack
+_ROUTE_ACK_TRIES = 30        # loud failure after ~30 min of no ack
+# (this host has shown multi-minute whole-machine stalls; the loud
+# failure should only fire when resubmission is truly hopeless)
 
 
 def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
