@@ -146,6 +146,8 @@ def connected_components_star(edges_ds, num_vertices: int,
     number of large+small rounds taken.  Input: a directed edge
     Dataset; self-loops and duplicates are tolerated (the first
     large-star sweep drops/collapses them)."""
+    from ..stages.agg import coarse_distinct
+
     G = _coarse_groups(num_vertices)
     edges = edges_ds
     rounds = 0
@@ -158,7 +160,16 @@ def connected_components_star(edges_ds, num_vertices: int,
     else:
         raise RuntimeError(
             f"star contraction did not converge in {max_rounds} rounds")
-    return edges, rounds
+    # The per-phase dedup is only within a coarse partition keyed by the
+    # GROUP id k, but the same output edge (nb, m) can be emitted from
+    # two groups living in different partitions (e.g. small-star groups
+    # 5 and 6 over {5-0, 5-1, 6-0, 6-1} both emit (1, 0)).  Duplicates
+    # are harmless mid-loop (sweeps collapse them) and invisible to
+    # _is_star_forest, but they would break the "one edge per member"
+    # contract consumers rely on (cc_sizes_star counts rows per dst), so
+    # dedup the converged forest globally — partitioned by src, NOT by
+    # group id, so identical rows co-locate.  One O(E_star) pass.
+    return coarse_distinct(edges, ["src", "dst"]), rounds
 
 
 def cc_sizes_star(edges_ds, num_vertices: int, max_rounds: int = 64):

@@ -52,6 +52,39 @@ def test_cc_star_path_graph_log_rounds():
     assert rounds <= 12  # ~log2(512) + small constant
 
 
+def test_cc_star_multi_group_no_duplicate_star_edges(monkeypatch):
+    """Regression (round-4 advice): with G > 1 coarse partitions the
+    same star edge (nb, m) can be emitted by two groups in DIFFERENT
+    partitions (small-star groups 5 and 6 over {5-0,5-1,6-0,6-1} both
+    emit (1,0)); the per-partition dedup misses it, inflating
+    cc_sizes_star.  The converged forest must be globally distinct and
+    the sizes exact at any G."""
+    from dxa_pagerank_ray.pipelines import cc_star as mod
+
+    monkeypatch.setattr(mod, "_coarse_groups", lambda n: 4)
+    # the advice's minimal repro plus a random graph, both at G=4
+    src = np.array([5, 5, 6, 6], dtype=np.int64)
+    dst = np.array([0, 1, 0, 1], dtype=np.int64)
+    stars, _ = mod.connected_components_star(_ds(src, dst, parts=3), 7)
+    t = stars.to_pandas()
+    assert not t.duplicated(["src", "dst"]).any()
+    got = mod.cc_sizes_star(_ds(src, dst, parts=3), 7).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    np.testing.assert_array_equal(got["label"].to_numpy(), [0, 2, 3, 4])
+    np.testing.assert_array_equal(got["size"].to_numpy(), [4, 1, 1, 1])
+
+    rng = np.random.default_rng(41)
+    n, m = 300, 500
+    rsrc = rng.integers(0, n, m)
+    rdst = rng.integers(0, n, m)
+    exp = connected_components(rsrc, rdst, n)
+    lab, sz = np.unique(exp, return_counts=True)
+    got2 = mod.cc_sizes_star(_ds(rsrc, rdst), n).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    np.testing.assert_array_equal(got2["label"].to_numpy(), lab)
+    np.testing.assert_array_equal(got2["size"].to_numpy(), sz)
+
+
 def test_cc_star_tolerates_duplicates_and_self_loops():
     src = np.array([0, 0, 1, 2, 2, 4])
     dst = np.array([1, 1, 0, 2, 3, 4])  # dup (0,1), both dirs, loops
