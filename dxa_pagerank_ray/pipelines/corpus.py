@@ -8,11 +8,12 @@ streaming Ray Data transform already verified on its own
 and pins the cross-stage contract.
 
 Scale notes: the filters run BEFORE the (shuffling) dedup stages so
-the minhash/LSH exchange only moves surviving documents; the final
-cluster-keeper table is O(total docs) on the driver here (same bound
-as ``stages.dedup.near_dup_clusters`` — at true web scale the
-``LabelCSR`` tier writes labels as partitioned parquet instead and the
-keep step becomes a co-grouped join on that output).
+the minhash/LSH exchange only moves surviving documents; the keep
+step dispatches on ``stages.dedup.near_dup_clusters``'s guard —
+below ``BROADCAST_VERTEX_LIMIT`` docs the keeper vector broadcasts as
+one dense int64 array, above it the ``LabelCSR`` tier writes labels
+as partitioned parquet and the keep step becomes a distributed
+co-grouped join on that output (nothing O(num_docs) on the driver).
 """
 
 from __future__ import annotations
@@ -59,13 +60,22 @@ def select_training_corpus(docs_ds, num_docs: int,
                            num_perm: int = 64, bands: int = 16,
                            threshold: float = 0.7,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> pa.Table:
+                           id_col: str = "doc_id",
+                           keeper_limit: int | None = None) -> pa.Table:
     """-> (doc_id, lang_pred) of the KEPT documents: survivors of the
     language/quality filters whose doc id is the minimum of their
     near-dup cluster (MinHash-LSH pairs unioned by hash-min connected
     components — exact duplicates collide in every band, so a separate
     exact-dedup pass is subsumed).  ``num_docs`` bounds the id space
-    ([0, num_docs), dense), not the survivor count."""
+    ([0, num_docs), dense), not the survivor count.
+
+    The keep step dispatches on what ``near_dup_clusters`` returned
+    (``keeper_limit`` -> its guard): a broadcast int64 array below the
+    limit, else the partitioned keeper *Dataset* joined to the
+    survivors with the distributed ``cogroup_attach`` equi-join —
+    nothing O(num_docs) ever lands on the driver at the big tier.
+    Both tiers produce identical rows (pinned by a test forcing
+    ``keeper_limit=0``)."""
     import ray
 
     from ..stages.dedup import (
@@ -86,18 +96,41 @@ def select_training_corpus(docs_ds, num_docs: int,
     pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
     verified = verify_pairs_by_signature(pairs, sigs, threshold=threshold,
                                          num_perm=num_perm)
-    keeper = near_dup_clusters(verified, num_docs)["keeper"].to_numpy()
-    keeper_ref = ray.put(keeper)
+    keeper = near_dup_clusters(verified, num_docs, keeper_limit=keeper_limit)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        k = ray.get(keeper_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(k[ids] == ids)).select(
-            [id_col, "lang_pred"])
+    if isinstance(keeper, pa.Table):  # small tier: broadcast the array
+        keeper_ref = ray.put(keeper["keeper"].to_numpy())
+
+        def keep(batch: pa.Table) -> pa.Table:
+            k = ray.get(keeper_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(k[ids] == ids)).select(
+                [id_col, "lang_pred"])
+
+        kept = survivors.map_batches(keep, batch_format="pyarrow")
+    else:  # big tier: co-grouped keep-join against the keeper Dataset
+        from ..context import derive_num_groups
+        from ..stages.dedup import cogroup_attach
+
+        schema = pa.schema([(id_col, pa.int64()),
+                            ("lang_pred", pa.string())])
+        attached = cogroup_attach(
+            survivors.select_columns([id_col, "lang_pred"]), id_col,
+            keeper, "doc_id", "keeper", "__keeper", schema, pa.int64(),
+            num_groups=derive_num_groups(survivors),
+        )
+
+        def keep_joined(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            k = batch["__keeper"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(k == ids)).select(
+                [id_col, "lang_pred"])
+
+        kept = attached.map_batches(keep_joined, batch_format="pyarrow")
 
     out = [
-        b for b in survivors.map_batches(keep, batch_format="pyarrow")
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        b for b in kept.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow")
         if b.num_rows
     ]
     if not out:

@@ -927,7 +927,9 @@ def embedding_near_dups_lsh(emb_ds, threshold: float = 0.95,
 
 def near_dup_clusters(pairs_ds, num_docs: int,
                       a_col: str = "a", b_col: str = "b",
-                      num_partitions: int | None = None) -> pa.Table:
+                      num_partitions: int | None = None,
+                      keeper_limit: int | None = None,
+                      labels_dir: str | None = None):
     """Near-dup PAIRS -> per-doc cluster keeper: ``(doc_id, keeper)``
     where ``keeper`` is the minimum doc id in the doc's connected
     component of the pair graph (docs in no pair keep themselves).
@@ -939,34 +941,61 @@ def near_dup_clusters(pairs_ds, num_docs: int,
     reference-free one) is to union pairs into clusters and keep one
     representative per cluster.
 
-    Runs the hash-min CC superstep engine over the pair graph:
-    broadcast tier below ``BROADCAST_VERTEX_LIMIT`` docs, pinned CSR
-    shard actors above it (same size dispatch as the graph queries).
+    Size dispatch on ``num_docs`` vs ``keeper_limit`` (default
+    ``BROADCAST_VERTEX_LIMIT`` — the guard discipline of
+    ``relational.BROADCAST_ROW_LIMIT`` / ``graph_stats``):
+
+    - small tier -> in-memory ``pa.Table``, labels from the broadcast
+      CC superstep (a dense int64 vector is fine below the limit);
+    - above it -> the dense keeper array would be O(num_docs) on the
+      driver (~8 TB at 1e12 docs), so the pinned ``LabelCSR`` shard
+      pool runs hash-min CC with ``collect_state=False`` and each
+      shard writes its owned partitions as Parquet
+      (``labels_dir``, a fresh tmp dir by default); returns the
+      ``(doc_id, keeper)`` **Dataset** read back from that partitioned
+      output — nothing dense ever lands on the driver.  Downstream
+      keep-steps join against it (``corpus.select_training_corpus``).
+
     Requires dense integer doc ids in ``[0, num_docs)`` — sparse or
     hashed id spaces go through ``stages.ids.assign_dense_ids`` first.
     """
     from ..context import BROADCAST_VERTEX_LIMIT
     from ..pipelines.superstep import undirect
 
+    limit = BROADCAST_VERTEX_LIMIT if keeper_limit is None else keeper_limit
+
     def as_edges(b: pa.Table) -> pa.Table:
         return pa.table({"src": b[a_col], "dst": b[b_col]})
 
     edges = pairs_ds.select_columns([a_col, b_col]) \
         .map_batches(as_edges, batch_format="pyarrow")
-    if num_docs <= BROADCAST_VERTEX_LIMIT:
+    if num_docs <= limit:
         from ..pipelines.components import connected_components
 
         labels = connected_components(edges, num_docs).labels
-    else:  # pragma: no cover - exercised at bench scale
-        from ..pipelines.labels_csr import LabelCSR
+        return pa.table({
+            "doc_id": pa.array(np.arange(num_docs, dtype=np.int64),
+                               pa.int64()),
+            "keeper": pa.array(labels, pa.int64()),
+        })
 
-        eng = LabelCSR(undirect(edges), num_docs,
-                       num_partitions=num_partitions)
-        try:
-            labels = eng.connected_components().labels
-        finally:
-            eng.shutdown()
-    return pa.table({
-        "doc_id": pa.array(np.arange(num_docs, dtype=np.int64), pa.int64()),
-        "keeper": pa.array(labels, pa.int64()),
-    })
+    import tempfile
+
+    import ray.data as rd
+
+    from ..pipelines.labels_csr import LabelCSR
+
+    # lazy input into a pinned actor pool can deadlock at small CPU
+    # counts (the pool holds every CPU; the upstream map needs one)
+    eng = LabelCSR(undirect(edges).materialize(), num_docs,
+                   num_partitions=num_partitions or 32)
+    try:
+        eng.connected_components(collect_state=False)
+        out_dir = labels_dir or tempfile.mkdtemp(prefix="near_dup_keepers_")
+        eng.write_labels(out_dir)
+    finally:
+        eng.shutdown()
+    return rd.read_parquet(out_dir).map_batches(
+        lambda b: pa.table({"doc_id": b["v"], "keeper": b["label"]}),
+        batch_format="pyarrow",
+    )

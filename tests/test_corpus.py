@@ -29,3 +29,13 @@ def test_select_training_corpus_planted(ray_session):
     )
     assert got["doc_id"].to_pylist() == [0, 5]
     assert got["lang_pred"].to_pylist() == ["en", "en"]
+
+    # keeper_limit=0 forces the distributed tier (LabelCSR labels ->
+    # partitioned parquet -> cogroup_attach keep-join); identical rows
+    got_big = select_training_corpus(
+        rd.from_arrow(t).repartition(3), num_docs=len(docs),
+        langs=("en",), min_tokens=10, max_punct_ratio=0.15,
+        keeper_limit=0,
+    )
+    assert got_big["doc_id"].to_pylist() == got["doc_id"].to_pylist()
+    assert got_big["lang_pred"].to_pylist() == got["lang_pred"].to_pylist()
