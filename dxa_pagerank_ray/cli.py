@@ -46,7 +46,10 @@ def _load_graph(args):
     t0 = time.perf_counter()
     if args.pages or getattr(args, "warc", None):
         if args.pages:
-            pages = rd.read_parquet(args.pages)
+            # prune at the read: the link-graph build consumes only
+            # (url, html) — pulling text/lang/warc_ts too would roughly
+            # double the scan I/O at corpus scale
+            pages = rd.read_parquet(args.pages, columns=["url", "html"])
         else:
             from .sources.warc import read_warc_pages
 
@@ -250,19 +253,25 @@ def cmd_hyperball(args) -> None:
 
     rev_ds = edges.map_batches(rev, batch_format="pyarrow").materialize()
     eng = LabelCSR(rev_ds, n, num_partitions=args.partitions)
-    t, rounds, hist = eng.hyperball(depth=args.depth,
-                                    num_registers=args.registers,
-                                    seed=args.hll_seed)
-    eng.write_hyperball(os.path.join(args.out, "registers"))
+    # ONE register run serves both sinks: harmonic_centrality converges
+    # the same register state hyperball() would (it accumulates the
+    # per-depth deltas in-loop), so --harmonic no longer re-runs the
+    # whole depth-bounded superstep loop a second time
     if args.harmonic:
-        hc, _, _ = eng.harmonic_centrality(depth=args.depth,
-                                           num_registers=args.registers,
-                                           seed=args.hll_seed)
+        hc, rounds, hist = eng.harmonic_centrality(
+            depth=args.depth, num_registers=args.registers,
+            seed=args.hll_seed)
+        t = eng.emit_registers()
         pq.write_table(
             pa.table({"v": pa.array(np.arange(n, dtype=np.int64),
                                     pa.int64()),
                       "harmonic_est": pa.array(hc, pa.float64())}),
             os.path.join(args.out, "harmonic_estimates.parquet"))
+    else:
+        t, rounds, hist = eng.hyperball(depth=args.depth,
+                                        num_registers=args.registers,
+                                        seed=args.hll_seed)
+    eng.write_hyperball(os.path.join(args.out, "registers"))
     eng.shutdown()
     est = hll_estimates(t, n, args.registers)
     pq.write_table(

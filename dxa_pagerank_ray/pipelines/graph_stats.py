@@ -141,8 +141,11 @@ def _recip_sweep(t: pa.Table) -> pa.Table:
     order = np.lexsort((dr, hi, lo))
     lo, hi, dr = lo[order], hi[order], dr[order]
     b = np.flatnonzero(np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
-    both = (np.minimum.reduceat(dr, b) == 0) & \
-        (np.maximum.reduceat(dr, b) == 1)
+    # a self-loop (lo == hi) is its own reverse edge: reciprocal by
+    # definition (and by the SQL oracle's self-join) even though its
+    # only stored direction flag is 0
+    both = ((np.minimum.reduceat(dr, b) == 0)
+            & (np.maximum.reduceat(dr, b) == 1)) | (lo[b] == hi[b])
     sizes = np.diff(np.r_[b, len(lo)])
     return pa.table({
         "n_edges": pa.array([len(lo)], pa.int64()),
@@ -152,8 +155,10 @@ def _recip_sweep(t: pa.Table) -> pa.Table:
 
 def reciprocity_counts(edges_ds, num_groups: int | None = None) -> pa.Table:
     """ONE row ``(n_edges, n_reciprocal)`` over a DEDUPLICATED directed
-    edge Dataset (self-loops, if any, count as reciprocal of
-    themselves only if stored — upstream dedup drops them here)."""
+    edge Dataset.  A stored self-loop counts as reciprocal (it is its
+    own reverse edge — matching the SQL oracle's self-join), so the
+    result does not silently diverge if the deduplicated-input contract
+    is ever violated upstream."""
     if num_groups is None:
         num_groups = derive_num_groups(edges_ds)
 

@@ -875,14 +875,22 @@ class LabelCSR:
             hist.append(changed)
             if changed == 0:
                 break
+        return self.emit_registers(), rounds, hist
+
+    def emit_registers(self) -> pa.Table:
+        """Collect the CURRENT long-form (v, bucket, rho) register
+        table — valid after ``hyperball()`` or ``harmonic_centrality()``
+        (both converge the same register state, so one run serves both
+        sinks)."""
+        import ray
+
         parts = ray.get([a.hll_emit.remote() for a in self.actors])
         v = np.concatenate([p[0] for p in parts])
         bkt = np.concatenate([p[1] for p in parts])
         rho = np.concatenate([p[2] for p in parts])
-        t = pa.table({"v": pa.array(v.astype(np.int64), pa.int64()),
-                      "bucket": pa.array(bkt.astype(np.int64), pa.int64()),
-                      "rho": pa.array(rho.astype(np.int64), pa.int64())})
-        return t, rounds, hist
+        return pa.table({"v": pa.array(v.astype(np.int64), pa.int64()),
+                         "bucket": pa.array(bkt.astype(np.int64), pa.int64()),
+                         "rho": pa.array(rho.astype(np.int64), pa.int64())})
 
     def harmonic_centrality(self, depth: int = 8, num_registers: int = 64,
                             seed: int = 13):

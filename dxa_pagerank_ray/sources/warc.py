@@ -29,6 +29,10 @@ import numpy as np
 import pyarrow as pa
 
 _WARC_DATE = "%Y-%m-%dT%H:%M:%SZ"
+# WARC 1.1 permits fractional seconds; the pages schema is
+# timestamp[us], so emit microseconds whenever they are nonzero and
+# accept them on read — a roundtrip is then lossless at any warc_ts
+_WARC_DATE_FRAC = "%Y-%m-%dT%H:%M:%S.%fZ"
 
 
 def _parse_warc(buf: bytes) -> list[tuple[str, str, bytes]]:
@@ -80,7 +84,10 @@ def parse_warc_batch(batch: pa.Table) -> pa.Table:
             b = _gunzip_all(b)
         for uri, date, payload in _parse_warc(b):
             urls.append(uri)
-            ts = _dt.datetime.strptime(date, _WARC_DATE)
+            try:
+                ts = _dt.datetime.strptime(date, _WARC_DATE)
+            except ValueError:
+                ts = _dt.datetime.strptime(date, _WARC_DATE_FRAC)
             tss.append(int(ts.replace(tzinfo=_dt.timezone.utc)
                            .timestamp() * 1_000_000))
             htmls.append(payload)
@@ -116,7 +123,8 @@ def write_warc(path: str, table: pa.Table) -> int:
                 "WARC/1.0\r\n"
                 "WARC-Type: response\r\n"
                 f"WARC-Target-URI: {url}\r\n"
-                f"WARC-Date: {ts.strftime(_WARC_DATE)}\r\n"
+                f"WARC-Date: "
+                f"{ts.strftime(_WARC_DATE_FRAC if ts.microsecond else _WARC_DATE)}\r\n"
                 "Content-Type: application/http;msgtype=response\r\n"
                 f"Content-Length: {len(http)}\r\n\r\n"
             ).encode()

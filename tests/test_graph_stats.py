@@ -93,3 +93,14 @@ def test_reciprocity_hand_case():
     got = reciprocity_counts(_ds([0, 1, 2], [1, 0, 3]), num_groups=2)
     assert int(got["n_edges"][0].as_py()) == 3
     assert int(got["n_reciprocal"][0].as_py()) == 2
+
+
+def test_reciprocity_self_loop_counts_reciprocal():
+    """A stored self-loop is its own reverse edge — reciprocal, exactly
+    as the SQL oracle's self-join counts it (round-4 advice: the engine
+    must not silently diverge from the oracle if the dedup contract is
+    violated upstream)."""
+    # 4->4 self-loop, 0<->1 mutual, 2->3 one-way
+    got = reciprocity_counts(_ds([0, 1, 2, 4], [1, 0, 3, 4]), num_groups=2)
+    assert int(got["n_edges"][0].as_py()) == 4
+    assert int(got["n_reciprocal"][0].as_py()) == 3

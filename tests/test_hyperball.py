@@ -204,6 +204,46 @@ def test_hyperball_cli(tmp_path):
     assert os.path.isdir(os.path.join(out, "registers"))
 
 
+def test_hyperball_cli_harmonic_single_run(tmp_path):
+    """--harmonic now folds register convergence and delta accumulation
+    into ONE superstep loop: the registers it writes must be identical
+    to a plain hyperball run's (same seed/R/depth), and
+    harmonic_estimates.parquet must exist."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dxa_pagerank_ray.cli import main
+
+    edges_dir = str(tmp_path / "edges")
+    t = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 4], pa.int64())})
+    rd.from_arrow(t).write_parquet(edges_dir)
+    out_p = str(tmp_path / "plain")
+    out_h = str(tmp_path / "harm")
+    main(["hyperball", "--edges", edges_dir, "--out", out_p,
+          "--depth", "8"])
+    main(["hyperball", "--edges", edges_dir, "--out", out_h,
+          "--depth", "8", "--harmonic"])
+    for o in (out_p, out_h):
+        assert os.path.isdir(os.path.join(o, "registers"))
+
+    def regs(o):
+        d = os.path.join(o, "registers")
+        tt = pa.concat_tables(
+            [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))]
+        )
+        return tt.sort_by([("v", "ascending"), ("bucket", "ascending")])
+    assert regs(out_p).equals(regs(out_h))
+    hc = pq.read_table(os.path.join(out_h, "harmonic_estimates.parquet"))
+    assert hc.num_rows == 5
+    sp = json.load(open(os.path.join(out_p, "statistics.json")))
+    sh = json.load(open(os.path.join(out_h, "statistics.json")))
+    assert sp["NUM_ROUNDS"] == sh["NUM_ROUNDS"]
+    assert sp["CHANGED_PER_ROUND"] == sh["CHANGED_PER_ROUND"]
+
+
 def test_hyperball_validates_registers():
     src, dst = np.array([0, 1]), np.array([1, 2])
     eng = LabelCSR(_rev_ds(src, dst), 3, num_partitions=2)

@@ -31,6 +31,30 @@ def test_warc_roundtrip_byte_exact(tmp_path, suffix):
         [bytes(x) for x in exp["html"]]
 
 
+def test_warc_roundtrip_subsecond_timestamps(tmp_path):
+    """timestamp[us] values with nonzero microseconds must survive the
+    WARC roundtrip losslessly (WARC 1.1 fractional-second dates), and
+    second-aligned values must keep the plain format."""
+    ts = [1_700_000_000_000_000 + 123_456,   # fractional
+          1_700_000_000_000_000]             # second-aligned
+    t = pa.table({
+        "url": pa.array(["http://a.test/x", "http://b.test/y"]),
+        "warc_ts": pa.array(np.array(ts, dtype=np.int64),
+                            pa.timestamp("us")),
+        "html": pa.array([b"<html>a</html>", b"<html>b</html>"],
+                         pa.binary()),
+    })
+    path = str(tmp_path / "frac.warc")
+    assert write_warc(path, t) == 2
+    raw = open(path, "rb").read()
+    assert b"WARC-Date: 2023-11-14T22:13:20.123456Z" in raw
+    assert b"WARC-Date: 2023-11-14T22:13:20Z" in raw
+    got = read_warc_pages(path).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert [v.value // 1000 for v in got["warc_ts"]] == \
+        sorted(ts, reverse=True)
+
+
 def test_warc_graph_matches_parquet_path(tmp_path):
     """build_link_graph over WARC-read pages produces the identical
     edge set as over the Parquet pages source."""
