@@ -102,7 +102,14 @@ def cocitation_counts(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
         .map_groups(functools.partial(_cocite_sweep, max_outdeg=max_outdeg),
                     batch_format="pyarrow")
     )
-    return coarse_agg(pairs, ["a", "b"], [("a", "count", "n")])
+    # pass num_groups EXPLICITLY: the sweep expands every degree-d
+    # group into d(d-1)/2 pair rows, which coarse_agg's metadata-only
+    # size estimate cannot see — left to its own dispatch it would take
+    # the one-group fast path off the small edge footprint and run the
+    # whole pair combine on a single core (measured: 2.3s single-task
+    # combine over 7.1M coupling pairs at sf0.1)
+    return coarse_agg(pairs, ["a", "b"], [("a", "count", "n")],
+                      num_groups=num_groups)
 
 
 def jaccard_related_topk(edges_ds, k: int = 20,

@@ -147,8 +147,19 @@ def dedup_edges(edges_ds, num_partitions: int | None = None):
                          "dst": pa.array(d[keep], pa.int64())})
 
     if small:
-        return pre.repartition(1).map_batches(
+        import ray
+
+        out = pre.repartition(1).map_batches(
             distinct, batch_format="pyarrow", batch_size=None)
+        # split back out to cluster width (plain block split, no sort):
+        # Ray's sort/groupby shuffles emit as many partitions as input
+        # BLOCKS, so leaving the fast path's single block would
+        # serialize every downstream pair sweep / coarse combine onto
+        # one core (measured: coupling_top20's whole 7M-pair sweep ran
+        # as one 2.4s single-CPU task off the 1-block edge table)
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        return out.repartition(2 * cpus)
     return pre.map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(distinct, batch_format="pyarrow")
 
