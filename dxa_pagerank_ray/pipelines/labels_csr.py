@@ -172,8 +172,61 @@ def _make_label_actor_cls():
             mine = seeds[(seeds >= self.lo) & (seeds < self.hi)]
             self.labels[mine - self.lo] = 0
 
+        # ---- reverse-direction blocks (staged exchange, the
+        # ``hits_csr.HitsShard`` seal_forward/rev_slice/seal_reverse
+        # pattern) — built ON DEMAND so one routed engine serves both
+        # gather directions (bow-tie runs forward AND backward BFS on
+        # one pool instead of constructing/routing two engines) ----
+        def stage_reverse(self) -> None:
+            """Reconstruct this shard's raw edges from the sealed
+            blocks (src = local + lo, dst = local + target shard lo),
+            reverse them, and group by the shard owning the new src
+            (the original dst) for the pull exchange."""
+            srcs, dsts = [], []
+            for b in range(self.A):
+                src_l, dst_l = self.blocks[b]
+                srcs.append(src_l.astype(np.int64) + self.lo)
+                dsts.append(dst_l.astype(np.int64) + int(self.shard_lo[b]))
+            src = (np.concatenate(srcs)
+                   if srcs else np.array([], dtype=np.int64))
+            dst = (np.concatenate(dsts)
+                   if dsts else np.array([], dtype=np.int64))
+            owner = np.searchsorted(self.shard_lo, dst, side="right") - 1
+            order = np.argsort(owner, kind="stable")
+            self._rev_src = dst[order]  # reversed: dst -> src
+            self._rev_dst = src[order]
+            self._rev_owner = owner[order]
+
+        def rev_slice(self, a: int):
+            """The reversed edges owned by shard ``a``."""
+            lo = int(np.searchsorted(self._rev_owner, a))
+            hi = int(np.searchsorted(self._rev_owner, a, side="right"))
+            return self._rev_src[lo:hi], self._rev_dst[lo:hi]
+
+        def seal_reverse(self, *slices) -> int:
+            src = (np.concatenate([s for s, _ in slices])
+                   if slices else np.array([], dtype=np.int64))
+            dst = (np.concatenate([d for _, d in slices])
+                   if slices else np.array([], dtype=np.int64))
+            src_local = src - self.lo
+            ts = np.searchsorted(self.shard_lo, dst, side="right") - 1
+            order = np.lexsort((dst, ts))
+            src_local, dst, ts = src_local[order], dst[order], ts[order]
+            starts = np.searchsorted(ts, np.arange(self.A))
+            ends = np.searchsorted(ts, np.arange(self.A), side="right")
+            self.rev_blocks = [
+                (src_local[starts[b]:ends[b]].astype(np.int32),
+                 (dst[starts[b]:ends[b]]
+                  - int(self.shard_lo[b])).astype(np.int32))
+                for b in range(self.A)
+            ]
+            return int(len(dst))
+
+        def drop_staged(self) -> None:
+            del self._rev_src, self._rev_dst, self._rev_owner
+
         # ---- connected components (hash-min) ----
-        def cc_compute(self):
+        def _gather_min(self, blocks):
             """ONE packed (counts, idx, vals) buffer for all target
             shards — counts[b] rows belong to target b, concatenated in
             target order.  A object-store puts per round instead of A²
@@ -181,7 +234,7 @@ def _make_label_actor_cls():
             idx_out, val_out = [], []
             counts = np.zeros(self.A, dtype=np.int64)
             for b in range(self.A):
-                src_l, dst_l = self.blocks[b]
+                src_l, dst_l = blocks[b]
                 if len(dst_l) == 0:
                     continue
                 vals = self.labels[src_l]
@@ -194,6 +247,14 @@ def _make_label_actor_cls():
                     else np.array([], dtype=np.int64),
                     np.concatenate(val_out) if val_out
                     else np.array([], dtype=np.int64))
+
+        def cc_compute(self):
+            return self._gather_min(self.blocks)
+
+        def cc_compute_rev(self):
+            """Min-gather along the REVERSED edges (requires
+            ``seal_reverse``) — backward BFS on the same pool."""
+            return self._gather_min(self.rev_blocks)
 
         def _my_slices(self, packed_list, col0: int = 1):
             """Slice this shard's segment out of each packed buffer."""
@@ -629,6 +690,26 @@ class LabelCSR:
         ]
         distribute_edges(und_edges_ds, self.actors, shard_lo)
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
+        self._has_reverse = False
+
+    def build_reverse(self) -> None:
+        """Build REVERSED-edge blocks on the same shard pool via a
+        staged pull exchange (each shard reconstructs + regroups its
+        sealed edges once, every shard pulls its slice) — one routed
+        engine then serves both gather directions, so callers needing
+        forward AND backward traversal (bow-tie) skip a second
+        construction + edge routing entirely.  Idempotent."""
+        import ray
+
+        if self._has_reverse:
+            return
+        ray.get([a.stage_reverse.remote() for a in self.actors])
+        slices = [[a.rev_slice.remote(b) for a in self.actors]
+                  for b in range(self.A)]
+        ray.get([self.actors[b].seal_reverse.remote(*slices[b])
+                 for b in range(self.A)])
+        ray.get([a.drop_staged.remote() for a in self.actors])
+        self._has_reverse = True
 
     def _superstep(self, compute_name: str, apply_name: str) -> int:
         """2A object-store ops per round: each compute publishes one
@@ -760,7 +841,7 @@ class LabelCSR:
     def bfs_distances(self, seeds, max_depth: int = 32,
                       checkpoint_dir: str | None = None,
                       checkpoint_every: int = 0, resume: bool = False,
-                      collect_state: bool = True):
+                      collect_state: bool = True, reverse: bool = False):
         """Multi-source shortest HOP distance (crawl depth) from
         ``seeds``, bounded at ``max_depth`` — the bound is part of the
         operator contract (crawl-frontier semantics: "everything within
@@ -783,12 +864,17 @@ class LabelCSR:
             raise ValueError("bfs_distances needs at least one seed")
         if seeds.min() < 0 or seeds.max() >= self.n:
             raise ValueError("seed vertex id out of range")
+        if reverse and not self._has_reverse:
+            # ``reverse=True`` walks the stored edges BACKWARD on the
+            # same pool (see build_reverse) — bow-tie's backward pass
+            self.build_reverse()
+        compute = "cc_compute_rev" if reverse else "cc_compute"
         rounds, hist = self._resume(checkpoint_dir, resume,
                                     "seed_distances", (seeds, self.n))
         if not (hist and hist[-1] == 0):
             while rounds < max_depth:
                 rounds += 1
-                changed = self._superstep("cc_compute", "bfs_apply")
+                changed = self._superstep(compute, "bfs_apply")
                 hist.append(changed)
                 if (checkpoint_dir is not None and checkpoint_every > 0
                         and rounds % checkpoint_every == 0):

@@ -484,44 +484,99 @@ def _max_degree_pivot(edges) -> int:
     return int(best["v"])
 
 
-def q_bowtie_regions(sf_dir: str):
+def _bowtie_table(sizes: np.ndarray) -> pa.Table:
+    """(region, size) rows from [scc, in, out, other] counts — regions
+    with zero members excluded, alphabetical order (the ``np.unique``
+    contract of the dense path, mirrored in the SQL oracle)."""
+    names = np.array(["in", "other", "out", "scc"])
+    counts = np.array([sizes[1], sizes[3], sizes[2], sizes[0]],
+                      dtype=np.int64)
+    keep = counts > 0
+    return pa.table({"region": pa.array(names[keep].tolist(), pa.string()),
+                     "size": pa.array(counts[keep], pa.int64())})
+
+
+def _bowtie_classify_parts(fwd_dir: str, bwd_dir: str, n: int) -> np.ndarray:
+    """Distributed bow-tie classification: zip-join the two
+    per-partition Parquet label sets (files align one-to-one because
+    both BFS runs share the engine's P logical bounds) with one remote
+    task per partition, returning only 4 counts each — nothing O(V)
+    ever lands on the driver."""
+    import os
+
+    import ray
+
+    @ray.remote
+    def classify(fp: str, bp: str, n: int) -> np.ndarray:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        ft = pq.read_table(fp)
+        bt = pq.read_table(bp)
+        if not np.array_equal(ft["v"].to_numpy(zero_copy_only=False),
+                              bt["v"].to_numpy(zero_copy_only=False)):
+            raise ValueError("bow-tie label partitions misaligned")
+        f = ft["label"].to_numpy(zero_copy_only=False) < n
+        b = bt["label"].to_numpy(zero_copy_only=False) < n
+        return np.array([int((f & b).sum()), int((b & ~f).sum()),
+                         int((f & ~b).sum()), int((~f & ~b).sum())],
+                        dtype=np.int64)
+
+    files = sorted(os.listdir(fwd_dir))
+    parts = ray.get([classify.remote(os.path.join(fwd_dir, x),
+                                     os.path.join(bwd_dir, x), n)
+                     for x in files])
+    return np.sum(parts, axis=0)
+
+
+def q_bowtie_regions(sf_dir: str, collect_limit: int | None = None):
     """The classic web bow-tie decomposition (Broder et al. 2000) of
     the customer graph around its max-total-degree pivot (min-id
     tie-break): SCC = forward ∩ backward reachable from the pivot,
     IN = reaches the pivot but not reached, OUT = reached but not
     reaching, OTHER = the rest (tendrils + disconnected).  Forward and
-    backward reachability are two `bfs_distances` fixpoint runs (rounds
-    ~ diameter, early-stopped); returns (region, size).
+    backward reachability are two `bfs_distances` fixpoint runs on ONE
+    shard pool (``LabelCSR.build_reverse`` stages reversed blocks on
+    the already-routed engine — no second construction); returns
+    (region, size).
 
-    Driver footprint: two O(V) int64 label vectors (the engine-wide
-    ``collect_state`` query contract).  At web scale (V in the
-    billions) run both engines with ``collect_state=False`` +
-    ``write_labels``, then classify/count with a Ray Data zip-join of
-    the two per-partition Parquet label sets — partition files align
-    one-to-one because both engines share the P logical bounds."""
+    Size dispatch on ``collect_limit`` (default
+    ``BROADCAST_VERTEX_LIMIT``): below it the two O(V) label vectors
+    collect on the driver; above it both runs use
+    ``collect_state=False`` + ``write_labels`` and the classification
+    is a per-partition Parquet zip-join returning 4 counts per
+    partition (``_bowtie_classify_parts``)."""
+    from ..context import BROADCAST_VERTEX_LIMIT
     from .labels_csr import LabelCSR
 
+    limit = BROADCAST_VERTEX_LIMIT if collect_limit is None else collect_limit
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
     pivot = _max_degree_pivot(edges)
 
-    def rev(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b["dst"], "dst": b["src"]})
-
-    rev_ds = edges.map_batches(rev, batch_format="pyarrow").materialize()
     eng = LabelCSR(edges, n, num_partitions=8)
-    fwd = eng.bfs_distances([pivot], max_depth=n + 1)
-    eng.shutdown()
-    eng = LabelCSR(rev_ds, n, num_partitions=8)
-    bwd = eng.bfs_distances([pivot], max_depth=n + 1)
-    eng.shutdown()
-    f = fwd.labels < n
-    b = bwd.labels < n
-    region = np.where(f & b, "scc",
-                      np.where(b, "in", np.where(f, "out", "other")))
-    labs, counts = np.unique(region, return_counts=True)
-    return pa.table({"region": pa.array(labs.tolist(), pa.string()),
-                     "size": pa.array(counts.astype(np.int64), pa.int64())})
+    if n <= limit:
+        fwd = eng.bfs_distances([pivot], max_depth=n + 1)
+        bwd = eng.bfs_distances([pivot], max_depth=n + 1, reverse=True)
+        eng.shutdown()
+        f = fwd.labels < n
+        b = bwd.labels < n
+        sizes = np.array([int((f & b).sum()), int((b & ~f).sum()),
+                          int((f & ~b).sum()), int((~f & ~b).sum())],
+                         dtype=np.int64)
+    else:
+        import tempfile
+
+        fwd_dir = tempfile.mkdtemp(prefix="bowtie_fwd_")
+        bwd_dir = tempfile.mkdtemp(prefix="bowtie_bwd_")
+        eng.bfs_distances([pivot], max_depth=n + 1, collect_state=False)
+        eng.write_labels(fwd_dir)
+        eng.bfs_distances([pivot], max_depth=n + 1, reverse=True,
+                          collect_state=False)
+        eng.write_labels(bwd_dir)
+        eng.shutdown()  # free the pool BEFORE the classify tasks
+        sizes = _bowtie_classify_parts(fwd_dir, bwd_dir, n)
+    return _bowtie_table(sizes)
 
 
 def q_sssp_costs(sf_dir: str):
