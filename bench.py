@@ -91,8 +91,9 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
     # the reference's fixed slave count; only the CPU grant varies.
     parts = int(os.environ.get("GRAFT_BENCH_PARTS", 32))
     msg_dtype = os.environ.get("GRAFT_BENCH_MSG_DTYPE", "float64")
+    idx_dtype = os.environ.get("GRAFT_BENCH_IDX_DTYPE", "auto")
     eng = PageRankCSR(edges, BENCH_N, num_partitions=parts, damping=0.85,
-                      message_dtype=msg_dtype)
+                      message_dtype=msg_dtype, index_dtype=idx_dtype)
     input_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()

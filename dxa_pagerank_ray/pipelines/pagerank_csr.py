@@ -173,7 +173,8 @@ def _make_actor_cls():
     class CSRShard:
         def __init__(self, shard_id: int, bounds: np.ndarray,
                      shard_parts: np.ndarray, n: int, damping: float,
-                     msg_dtype: str = "float64", weighted: bool = False):
+                     msg_dtype: str = "float64", weighted: bool = False,
+                     idx_dtype: str = "auto"):
             # per-round message value dtype: "float32" halves the value
             # bytes of every (idx, sums) partial (12 -> 8 B/entry with
             # the int32 index) — the single-box DRAM/object-store
@@ -182,6 +183,23 @@ def _make_actor_cls():
             # shard counts; only the absolute accuracy vs the float64
             # engine changes (~1e-7 relative on gathered sums).
             self.msg_dtype = np.dtype(msg_dtype)
+            # per-round message INDEX dtype: indices are partition-local
+            # (dst - bounds[q]), so when every partition is narrower
+            # than 2^16 a uint16 index cuts the idx bytes in half
+            # (12 -> 10 B/entry with float64 values).  "auto" selects
+            # uint16 iff max partition width allows; explicit
+            # "int32"/"uint16" pins it (the A/B lever for the
+            # bandwidth-bound widest scaling pair).
+            widest = int(np.max(np.diff(bounds))) if len(bounds) > 1 else 0
+            if idx_dtype == "auto":
+                self.idx_dtype = np.uint16 if widest <= 0xFFFF else np.int32
+            else:
+                self.idx_dtype = np.dtype(idx_dtype)
+                if self.idx_dtype == np.uint16 and widest > 0xFFFF:
+                    raise ValueError(
+                        "idx_dtype=uint16 needs every partition narrower "
+                        f"than 65536 vertices (widest is {widest}); raise "
+                        "num_partitions")
             self.s = shard_id
             self.bounds = bounds                  # P+1 vertex bounds
             self.sp = shard_parts                 # A+1 partition bounds
@@ -264,7 +282,7 @@ def _make_actor_cls():
                 # and the per-round message index bytes
                 block = (
                     src_local[s:e].astype(np.int32),
-                    (dst[s:e] - int(self.bounds[q])).astype(np.int32),
+                    (dst[s:e] - int(self.bounds[q])).astype(self.idx_dtype),
                 )
                 if self.weighted:
                     block = block + (w[s:e],)
@@ -322,7 +340,7 @@ def _make_actor_cls():
                 val_out.append(sums)
             meta = np.array(metas, dtype=np.int64).reshape(-1, 4)
             idx = (np.concatenate(idx_out) if idx_out
-                   else np.array([], dtype=np.int32))
+                   else np.array([], dtype=self.idx_dtype))
             vals = (np.concatenate(val_out) if val_out
                     else np.array([], dtype=self.msg_dtype))
             return meta, idx, vals
@@ -351,7 +369,10 @@ def _make_actor_cls():
             for q, entries in per_q.items():
                 off = int(self.bounds[q]) - self.lo
                 for _, idx, vals in sorted(entries, key=lambda e: e[0]):
-                    gathered[off + idx] += vals
+                    # force int64 target indices: idx may be uint16
+                    # (compact wire dtype) and NEP-50 numpy would keep
+                    # python-int + uint16 at uint16 (silent overflow)
+                    gathered[np.add(idx, off, dtype=np.int64)] += vals
             if self.tv is not None:  # personalized: teleport to seeds
                 new_pr = (1.0 - self.d) * self.tv + self.d * gathered \
                     + self.d * dangling_pr * self.tv
@@ -517,7 +538,8 @@ class PageRankCSR:
     def __init__(self, edges_ds, num_vertices: int, num_partitions: int = 32,
                  damping: float = 0.85, num_actors: int | None = None,
                  num_cpus_per_actor: float = 1.0,
-                 message_dtype: str = "float64", weighted: bool = False):
+                 message_dtype: str = "float64", weighted: bool = False,
+                 index_dtype: str = "auto"):
         import ray
 
         self.n = num_vertices
@@ -532,6 +554,7 @@ class PageRankCSR:
             cls.options(num_cpus=num_cpus_per_actor).remote(
                 a, self.bounds, self.sp, num_vertices, damping,
                 msg_dtype=message_dtype, weighted=weighted,
+                idx_dtype=index_dtype,
             )
             for a in range(self.A)
         ]

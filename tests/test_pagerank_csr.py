@@ -172,6 +172,34 @@ def test_csr_float32_messages_bit_identical_and_accurate():
     assert abs(res[4].pr.sum() - 1.0) < 1e-5
 
 
+def test_csr_uint16_indices_bit_identical():
+    """index_dtype='uint16' (the message-INDEX-bytes scaling lever,
+    legal when every partition is narrower than 2^16): bit-identical
+    ranks/errs vs the int32 engine at two shard counts; 'auto' engages
+    uint16 on narrow partitions and an explicit uint16 request on wide
+    partitions raises."""
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = rd.from_arrow(pages_table(64, seed=42)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    res = {}
+    for idx_dt in ("int32", "uint16"):
+        for a in (1, 4):
+            eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=8,
+                              num_actors=a, index_dtype=idx_dt)
+            res[(idx_dt, a)] = eng.run(threshold=1e-8, max_rounds=100)
+            eng.shutdown()
+    base = res[("int32", 1)]
+    for k, r in res.items():
+        np.testing.assert_array_equal(r.pr, base.pr, err_msg=str(k))
+        assert r.errs == base.errs, k
+    # explicit uint16 on too-wide partitions must fail loudly (the
+    # shard ctor raises; it surfaces through the routing barrier)
+    with pytest.raises(Exception, match="uint16"):
+        PageRankCSR(g.edges, 200_000, num_partitions=2,
+                    index_dtype="uint16", num_actors=1)
+
+
 def _weighted_ds(seed: int, n: int, m: int):
     rng = np.random.default_rng(seed)
     src = rng.integers(0, n, m)
