@@ -146,10 +146,21 @@ def connected_components_star(edges_ds, num_vertices: int,
     number of large+small rounds taken.  Input: a directed edge
     Dataset; self-loops and duplicates are tolerated (the first
     large-star sweep drops/collapses them)."""
+    from ..context import derive_num_groups
     from ..stages.agg import coarse_distinct
 
-    G = _coarse_groups(num_vertices)
-    edges = edges_ds
+    # group count: vertex-based heuristic, raised by the edge FOOTPRINT
+    # (sweep cost is per-edge; a 1-group loop over a 50M-edge graph
+    # would serialize every round), floor 1 — small graphs should not
+    # pay per-task fixed costs on dozens of near-empty partitions
+    G = max(_coarse_groups(num_vertices),
+            derive_num_groups(edges_ds, minimum=1))
+    # align the loop's physical width with G once, up front: each
+    # phase's groupby emits as many partitions as input BLOCKS, so a
+    # 64-block tiny input would pay ~64 task launches per sweep per
+    # round (measured: cc_sizes_star 2.4 -> 8.5s at sf0.1), while a
+    # 1-block big input would serialize (the round-4 coupling lesson)
+    edges = edges_ds.repartition(G)
     rounds = 0
     while rounds < max_rounds:
         rounds += 1

@@ -96,20 +96,24 @@ def cocitation_counts(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
         return pa.table({"src": batch["src"], "dst": batch["dst"],
                          "part": pa.array(part, pa.int64())})
 
+    # MATERIALIZE the sweep output before the count aggregate: the
+    # sweep expands every degree-d group into d(d-1)/2 pair rows — the
+    # one transform in this engine whose output size the metadata-only
+    # estimate cannot predict from the source footprint.  Left lazy,
+    # coarse_agg would dispatch off the (small) edge-table estimate and
+    # run the whole pair combine on one core (measured: 2.3s
+    # single-task combine over 7.1M coupling pairs at sf0.1); forcing
+    # a wide combine instead penalizes the genuinely-small pair sets
+    # (jaccard's forward counts paid ~1.8s of sort fixed cost for 18 MB
+    # of pairs).  A materialized dataset exposes its TRUE bytes, so the
+    # dispatch is right on both sides — worth the pipeline barrier.
     pairs = (
         edges_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(functools.partial(_cocite_sweep, max_outdeg=max_outdeg),
                     batch_format="pyarrow")
-    )
-    # pass num_groups EXPLICITLY: the sweep expands every degree-d
-    # group into d(d-1)/2 pair rows, which coarse_agg's metadata-only
-    # size estimate cannot see — left to its own dispatch it would take
-    # the one-group fast path off the small edge footprint and run the
-    # whole pair combine on a single core (measured: 2.3s single-task
-    # combine over 7.1M coupling pairs at sf0.1)
-    return coarse_agg(pairs, ["a", "b"], [("a", "count", "n")],
-                      num_groups=num_groups)
+    ).materialize()
+    return coarse_agg(pairs, ["a", "b"], [("a", "count", "n")])
 
 
 def jaccard_related_topk(edges_ds, k: int = 20,
