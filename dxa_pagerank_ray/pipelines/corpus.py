@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..stages.textops import _PUNCT_RE, _TOKEN_RE
+from ..stages.textops import count_regex
 
 
 def filter_quality_lang(docs_ds, langs: tuple[str, ...],
@@ -35,18 +35,18 @@ def filter_quality_lang(docs_ds, langs: tuple[str, ...],
     lang_set = set(langs)
 
     def keep(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        preds = batch["lang_pred"].to_pylist()
-        mask = np.zeros(len(texts), dtype=bool)
-        for i, (t, lp) in enumerate(zip(texts, preds)):
-            if lp not in lang_set:
-                continue
-            t = t or ""
-            if len(_TOKEN_RE.findall(t)) < min_tokens:
-                continue
-            if len(_PUNCT_RE.findall(t)) > max_punct_ratio * max(len(t), 1):
-                continue
-            mask[i] = True
+        import pyarrow.compute as pc
+
+        lang_ok = pc.fill_null(
+            pc.is_in(batch["lang_pred"],
+                     value_set=pa.array(sorted(lang_set))), False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        n_tokens = count_regex(batch[text_col], r"\w+")
+        n_punct = count_regex(batch[text_col], r"[^\w\s]")
+        n_chars = pc.fill_null(pc.utf8_length(batch[text_col]), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = (lang_ok & (n_tokens >= min_tokens)
+                & (n_punct <= max_punct_ratio * np.maximum(n_chars, 1)))
         return batch.filter(pa.array(mask)).select(
             [id_col, text_col, "lang_pred"])
 

@@ -18,7 +18,24 @@ _TOKEN_RE = re.compile(r"\w+", re.ASCII)
 # Deliberately ASCII so the Python and DuckDB ('\\w+') tokenizations
 # agree byte-for-byte on the oracle check.
 
-_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
+# Punctuation contract is RE2's [^\w\s]: RE2 \s is [\t\n\f\r ] (NO
+# \x0b vertical tab, unlike Python re.ASCII \s) — pinned to RE2
+# because BOTH the Arrow count kernels and the DuckDB oracles run RE2,
+# so this is the one definition that keeps engine and oracle
+# hash-exact on every byte.  The Python-equivalent class:
+_PUNCT_RE = re.compile(r"[^\w\t\n\f\r ]", re.ASCII)
+
+
+def count_regex(arr, pattern: str) -> np.ndarray:
+    """Non-overlapping regex match counts per string via Arrow's RE2 C
+    kernel — no per-doc Python loop.  RE2's ``\\w`` is ASCII, matching
+    the repo-wide ``re.ASCII`` tokenizer contract, and RE2 ``\\s`` is
+    the oracle-side (DuckDB=RE2) whitespace contract (equality
+    property-checked in tests); nulls count 0 like ``t or ''``."""
+    import pyarrow.compute as pc
+
+    c = pc.count_substring_regex(arr, pattern)
+    return pc.fill_null(c, 0).to_numpy(zero_copy_only=False).astype(np.int64)
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "to", "and", "in", "is", "it", "you", "that"},
@@ -30,11 +47,7 @@ _STOPWORDS = {
 
 def token_count_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    counts = np.fromiter(
-        (len(_TOKEN_RE.findall(t or "")) for t in texts), dtype=np.int64,
-        count=len(texts),
-    )
+    counts = count_regex(batch[text_col], r"\w+")
     return pa.table({id_col: batch[id_col],
                      "n_tokens": pa.array(counts, pa.int64())})
 
@@ -129,16 +142,12 @@ def quality_scores(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     exact-ratio outputs so they are oracle-checkable."""
 
     def score(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        n = len(texts)
-        n_chars = np.empty(n, dtype=np.int64)
-        n_tokens = np.empty(n, dtype=np.int64)
-        n_punct = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            t = t or ""
-            n_chars[i] = len(t)
-            n_tokens[i] = len(_TOKEN_RE.findall(t))
-            n_punct[i] = len(_PUNCT_RE.findall(t))
+        import pyarrow.compute as pc
+
+        n_chars = pc.fill_null(pc.utf8_length(batch[text_col]), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tokens = count_regex(batch[text_col], r"\w+")
+        n_punct = count_regex(batch[text_col], r"[^\w\s]")
         denom = np.maximum(n_chars, 1)
         return pa.table(
             {

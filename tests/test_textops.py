@@ -91,3 +91,36 @@ def test_contamination_counts_exact():
     assert t["n_overlap"].tolist() == exp
     assert exp[0] == len(evs) and exp[3] == len(evs)  # self/copy flag
     assert exp[1] > 0 and exp[2] == 0
+
+
+def test_count_regex_matches_python_re():
+    """count_regex (Arrow RE2 C kernel) must agree with the repo-wide
+    re.ASCII tokenizer contract — the property the vectorized
+    token/punct counters rely on for oracle-exactness."""
+    import re
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dxa_pagerank_ray.stages.textops import count_regex
+
+    tok = re.compile(r"\w+", re.ASCII)
+    # RE2 \s is [\t\n\f\r ] (no \x0b) — the punct contract is RE2's,
+    # shared with the DuckDB oracles; this is its Python equivalent
+    pun = re.compile(r"[^\w\t\n\f\r ]", re.ASCII)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=8))
+    def check(texts):
+        arr = pa.array(texts, pa.string())
+        got_t = count_regex(arr, r"\w+")
+        got_p = count_regex(arr, r"[^\w\s]")
+        exp_t = np.array([len(tok.findall(t or "")) for t in texts],
+                         dtype=np.int64)
+        exp_p = np.array([len(pun.findall(t or "")) for t in texts],
+                         dtype=np.int64)
+        assert got_t.tolist() == exp_t.tolist()
+        assert got_p.tolist() == exp_p.tolist()
+
+    check()
