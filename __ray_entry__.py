@@ -410,6 +410,27 @@ def _q_embedding_near_dups_lsh(sf_dir: str):
         emb, threshold=_EMB_NEAR_DUP_THR).select_columns(["a", "b"])
 
 
+def _q_embedding_clusters(sf_dir: str):
+    from dxa_pagerank_ray.stages.ann import train_ivf_centroids
+    from dxa_pagerank_ray.stages.semdedup import assign_clusters
+
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    cents = train_ivf_centroids(emb)
+    return assign_clusters(emb, cents)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    from dxa_pagerank_ray.stages.semdedup import semantic_dedup_keepers
+
+    emb = _rpq(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    # 0.4 for the same reason as _EMB_NEAR_DUP_THR: the synthetic
+    # embeddings' loose clusters make the production 0.95 a zero-drop
+    # no-op; 0.4 exercises real in-cluster drops (~3% at sf0.01)
+    return semantic_dedup_keepers(emb, threshold=_EMB_NEAR_DUP_THR)
+
+
 _MEDIA_N = 256  # deterministic on-disk media fixture (seed 42);
 # sf_dir carries no media table, so the media queries read a parquet
 # fixture written once under /tmp (distributed generator, one file per
@@ -737,7 +758,7 @@ def _media_expected_dir() -> str:
 # oracles below (same pattern as the media family) are materialized
 # from that directory's tables
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
-_SEQ_EXPECTED_V = 4  # bump to invalidate the cached expected dir
+_SEQ_EXPECTED_V = 5  # bump to invalidate the cached expected dir
 _WALK_LEN = 8
 _WALK_SEED = 42
 
@@ -758,10 +779,12 @@ def _seq_expected_dir() -> str:
     import pyarrow.parquet as pq
 
     from dxa_pagerank_ray.oracles.ann_reference import (
+        embedding_clusters_reference,
         embedding_near_dups_lsh_reference,
         ivf_topk_reference,
         lsh_topk_reference,
         pagerank_top20_reference,
+        semantic_dedup_reference,
     )
     from dxa_pagerank_ray.oracles.graph_oracles import core_numbers
     from dxa_pagerank_ray.pipelines.walks import walks_reference
@@ -784,6 +807,9 @@ def _seq_expected_dir() -> str:
         "ann_ivf_top10": ivf_topk_reference(emb, q, qids, k=10,
                                             n_centroids=16, nprobe=6),
         "embedding_near_dups_lsh": embedding_near_dups_lsh_reference(
+            emb, threshold=_EMB_NEAR_DUP_THR),
+        "embedding_clusters": embedding_clusters_reference(emb),
+        "semantic_dedup_keepers": semantic_dedup_reference(
             emb, threshold=_EMB_NEAR_DUP_THR),
         "pagerank_top20": pagerank_top20_reference(src, dst, n, k=20),
         # independent-ALGORITHM reference: min-degree peeling vs the
@@ -893,6 +919,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_audio_features": _q_media_audio_features,
         "media_frame_sample": _q_media_frame_sample,
+        # round-4 additions (never driver-checked yet)
+        "embedding_clusters": _q_embedding_clusters,
+        "semantic_dedup_keepers": _q_semantic_dedup,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -929,16 +958,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_contamination": _q_doc_contamination,
         "top_terms": _q_top_terms,
-        "docs_sample": _q_docs_sample,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "ann_cosine_top10": _q_ann_top10,
-        "ann_lsh_top10": _q_ann_lsh_top10,
-        "ann_ivf_top10": _q_ann_ivf_top10,
+        # r4-CHANGED code paths stay inside the gate window: minhash's
+        # downstream fast-path width, near_dup_clusters' keeper
+        # dispatch, and doc_quality's RE2 punct contract all changed
+        # this round
         "minhash_dup_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
-        # --- tail: green in CORRECTNESS_r03, §2 rows double-covered by
-        # an earlier entry; these yield their gate slot to the ten
-        # never-checked queries above (pytest still verifies all 60)
+        "doc_quality": _q_doc_quality,
+        # --- tail: green in CORRECTNESS_r03 and UNCHANGED since, §2
+        # rows double-covered by an earlier entry; these yield their
+        # gate slot to the never-checked queries above (pytest still
+        # verifies all 62)
+        "ann_lsh_top10": _q_ann_lsh_top10,
+        "ann_ivf_top10": _q_ann_ivf_top10,
         "triangle_count_shuffle": tg.q_triangle_count_shuffle,
         "ppr_fixed4": tg.q_ppr_fixed4,
         "salsa_fixed4": tg.q_salsa_fixed4,
@@ -947,7 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "events_running_totals": rel.events_running_totals,
         "events_asof_last_error": rel.events_asof_last_error,
-        "doc_quality": _q_doc_quality,
+        "docs_sample": _q_docs_sample,
         "docs_split_counts": _q_docs_split_counts,
     }
 
@@ -1352,6 +1386,14 @@ SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         "embedding_near_dups_lsh": (
             "SELECT * FROM read_parquet("
             f"'{_seq_expected_dir()}/embedding_near_dups_lsh.parquet')"
+        ),
+        "embedding_clusters": (
+            "SELECT * FROM read_parquet("
+            f"'{_seq_expected_dir()}/embedding_clusters.parquet')"
+        ),
+        "semantic_dedup_keepers": (
+            "SELECT * FROM read_parquet("
+            f"'{_seq_expected_dir()}/semantic_dedup_keepers.parquet')"
         ),
         "pagerank_top20": (
             "SELECT * FROM "

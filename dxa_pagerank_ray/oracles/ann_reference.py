@@ -145,3 +145,61 @@ def pagerank_top20_reference(src: np.ndarray, dst: np.ndarray, n: int,
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64),
                          pa.int64()),
     })
+
+
+def embedding_clusters_reference(t: pa.Table, n_centroids: int = 16,
+                                 sample_n: int = 4096, iters: int = 10,
+                                 seed: int = 7, id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> pa.Table:
+    """Single-batch mirror of ``stages.semdedup.assign_clusters`` with
+    ``stages.ann.train_ivf_centroids`` training: same hash-ordered
+    sample, same ``_kmeans`` on the bit-identical matrix, and the same
+    exact-dot (non-BLAS) argmax assignment, so cluster ids are
+    bit-equal to the distributed run under any partitioning."""
+    from ..stages.semdedup import _exact_dots
+
+    ids, m = _ids_matrix(t, id_col, vec_col)
+    order = _sample_order(ids, sample_n)
+    cents = _kmeans(_normalize(_to_matrix(t[vec_col])[order]),
+                    n_centroids, iters, seed)
+    cl = _exact_dots(m, cents).argmax(axis=1).astype(np.int64)
+    o = np.argsort(ids, kind="stable")
+    return pa.table({id_col: pa.array(ids[o], pa.int64()),
+                     "cluster": pa.array(cl[o], pa.int64())})
+
+
+def semantic_dedup_reference(t: pa.Table, n_centroids: int = 16,
+                             threshold: float = 0.97, sample_n: int = 4096,
+                             iters: int = 10, seed: int = 7,
+                             max_cluster: int | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> pa.Table:
+    """Single-batch mirror of ``stages.semdedup.semantic_dedup_keepers``
+    — identical training + assignment as ``embedding_clusters_reference``
+    and the IDENTICAL ``_segment_drops`` pure function per cluster, so
+    the kept set is bit-equal by construction."""
+    from ..stages.semdedup import (
+        _DEFAULT_MAX_CLUSTER,
+        _exact_dots,
+        _segment_drops,
+    )
+
+    if max_cluster is None:
+        max_cluster = _DEFAULT_MAX_CLUSTER
+    ids, m = _ids_matrix(t, id_col, vec_col)
+    order = _sample_order(ids, sample_n)
+    cents = _kmeans(_normalize(_to_matrix(t[vec_col])[order]),
+                    n_centroids, iters, seed)
+    cl = _exact_dots(m, cents).argmax(axis=1).astype(np.int64)
+    o = np.lexsort((ids, cl))
+    ids, cl, m = ids[o], cl[o], m[o]
+    starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+    ends = np.r_[starts[1:], len(cl)]
+    keep = np.ones(len(cl), dtype=bool)
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        keep[s:e] = ~_segment_drops(ids[s:e], m[s:e], threshold,
+                                    max_cluster=max_cluster)
+    return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                     "cluster": pa.array(cl[keep], pa.int64())})
