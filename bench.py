@@ -32,14 +32,16 @@ PAGES_N = int(os.environ.get("GRAFT_BENCH_PAGES", 20_000))
 CACHE = "/tmp/dxa_bench_cache"
 
 
-def _cache_graph(n: int) -> str:
-    """Generate + dedup the bench graph once; reuse the Parquet cache."""
-    import ray.data as rd
-
+def _cache_graph(n: int, parts: int) -> str:
+    """Generate + dedup the bench graph once, cached in the
+    ``write_edges_partitioned`` layout (hive ``part=p`` dirs keyed by
+    the owning logical partition) so the engine loads it with the
+    idempotent per-shard parquet read — no routing fan-out."""
     from dxa_pagerank_ray.pipelines.graph_build import dedup_edges
+    from dxa_pagerank_ray.pipelines.pagerank_csr import write_edges_partitioned
     from dxa_pagerank_ray.sources.synth_graph import synthetic_edges
 
-    path = f"{CACHE}/graph_n{n}_m{BENCH_MEAN}_s{BENCH_SEED}"
+    path = f"{CACHE}/graph_n{n}_m{BENCH_MEAN}_s{BENCH_SEED}_p{parts}"
     marker = f"{path}/_COMPLETE"
     if not os.path.exists(marker):
         import shutil
@@ -47,7 +49,7 @@ def _cache_graph(n: int) -> str:
         shutil.rmtree(path, ignore_errors=True)
         raw = synthetic_edges(n, mean_indeg=BENCH_MEAN, seed=BENCH_SEED,
                               override_num_blocks=64)
-        dedup_edges(raw).write_parquet(path)
+        write_edges_partitioned(dedup_edges(raw), path, n, parts)
         open(marker, "w").write("ok")
     return path
 
@@ -82,18 +84,18 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
     out: dict = {"num_cpus": ncpus}
 
     # ---- headline: PageRank supersteps on the cached synthetic graph
-    graph_path = _cache_graph(BENCH_N)
-    t0 = time.perf_counter()
-    edges = rd.read_parquet(graph_path).materialize()
-    num_edges = edges.count()
     # Partition count is FIXED across parallelism levels (BASELINE.md:
     # "identical seeds, partition count, and batch sizes"), mirroring
     # the reference's fixed slave count; only the CPU grant varies.
     parts = int(os.environ.get("GRAFT_BENCH_PARTS", 32))
     msg_dtype = os.environ.get("GRAFT_BENCH_MSG_DTYPE", "float64")
     idx_dtype = os.environ.get("GRAFT_BENCH_IDX_DTYPE", "auto")
-    eng = PageRankCSR(edges, BENCH_N, num_partitions=parts, damping=0.85,
-                      message_dtype=msg_dtype, index_dtype=idx_dtype)
+    graph_path = _cache_graph(BENCH_N, parts)
+    t0 = time.perf_counter()
+    eng = PageRankCSR(None, BENCH_N, num_partitions=parts, damping=0.85,
+                      message_dtype=msg_dtype, index_dtype=idx_dtype,
+                      edges_path=graph_path)
+    num_edges = eng.num_edges
     input_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -109,6 +111,11 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
         rounds=res.rounds,
         converged=res.converged,
         input_time_s=round(input_time, 3),
+        # input_time is now one phase: actor spawn + concurrent
+        # per-shard parquet reads + CSR block build (the idempotent
+        # partitioned-layout load; the r3 routing fan-out cost ~7 s
+        # of the old 10-12 s input window at N=2M)
+        input_mode="partitioned_parquet_per_shard",
         pagerank_total_s=round(superstep_time, 3),
         median_round_s=round(per_round, 4),
         edges_per_sec_per_superstep=round(num_edges / per_round, 1),
@@ -151,7 +158,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "doc_contamination", "sssp_costs", "bowtie_regions",
                  "jaccard_related_top20",
                  "minhash_dup_pairs", "top_terms", "docs_sample",
-                 "training_corpus"]:
+                 "training_corpus", "semantic_dedup_keepers"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):
@@ -252,6 +259,7 @@ def main() -> None:
         "rounds": out["rounds"],
         "converged": out["converged"],
         "input_time_s": out["input_time_s"],
+        "input_mode": out["input_mode"],
         "num_edges": out["num_edges"],
         "num_vertices": out["num_vertices"],
         "pages_n": out["pages_n"],

@@ -166,6 +166,52 @@ def distribute_edges(edges_ds, actors, shard_lo: np.ndarray) -> int:
     return total
 
 
+def write_edges_partitioned(edges_ds, out_dir: str, num_vertices: int,
+                            num_partitions: int) -> None:
+    """Write an edge Dataset as hive-partitioned Parquet keyed by the
+    OWNING LOGICAL PARTITION (``part = src's partition``) — the
+    idempotent cluster-scale load path: each shard actor then reads
+    exactly its own ``part=p`` directories (``load_parquet``), so a
+    failed/retried load replaces state instead of appending (the
+    routing fan-out's ``max_retries=0`` caveat disappears), and the
+    directory layout is the per-partition lineage for resume.  One
+    file per (input block, part); re-running skips via the marker."""
+    import json
+    import os
+
+    bounds = _bounds(num_vertices, num_partitions)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, src, side="right") - 1
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    edges_ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["part"])
+    with open(os.path.join(out_dir, "_edges_meta.json"), "w") as f:
+        json.dump({"num_vertices": num_vertices,
+                   "num_partitions": num_partitions}, f)
+
+
+def _check_edges_meta(path: str, num_vertices: int,
+                      num_partitions: int) -> None:
+    import json
+    import os
+
+    mf = os.path.join(path, "_edges_meta.json")
+    if not os.path.exists(mf):
+        raise ValueError(
+            f"{path}: not a write_edges_partitioned layout "
+            "(_edges_meta.json missing)")
+    meta = json.load(open(mf))
+    if (meta["num_vertices"] != num_vertices
+            or meta["num_partitions"] != num_partitions):
+        raise ValueError(
+            f"{path}: partitioned for n={meta['num_vertices']} "
+            f"P={meta['num_partitions']}, engine wants n={num_vertices} "
+            f"P={num_partitions}")
+
+
 def _make_actor_cls():
     import ray
 
@@ -241,6 +287,28 @@ def _make_actor_cls():
                     raise ValueError("edge weights must be positive")
                 self._edge_w.append(w)
             return len(src)
+
+        def load_parquet(self, path: str) -> int:
+            """Read this shard's own ``part=p`` directories from a
+            ``write_edges_partitioned`` layout — the idempotent load:
+            state is RESET first, so a retried/replayed load task
+            yields the same shard contents (contrast ``add_edges``,
+            which must be guarded against replay).  All shards read
+            concurrently; nothing passes through the driver."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            self._edge_src, self._edge_dst, self._edge_w = [], [], []
+            self._seen_keys = set()
+            cols = ["src", "dst"] + (["w"] if self.weighted else [])
+            total = 0
+            for p in range(self.p_lo, self.p_hi):
+                d = os.path.join(path, f"part={p}")
+                if not os.path.isdir(d):  # partition owns no edges
+                    continue
+                total += self.add_edges(pq.read_table(d, columns=cols))
+            return total
 
         def seal(self) -> int:
             """Build the pinned per-(p, q) CSR blocks: edges bucketed by
@@ -539,7 +607,8 @@ class PageRankCSR:
                  damping: float = 0.85, num_actors: int | None = None,
                  num_cpus_per_actor: float = 1.0,
                  message_dtype: str = "float64", weighted: bool = False,
-                 index_dtype: str = "auto"):
+                 index_dtype: str = "auto",
+                 edges_path: str | None = None):
         import ray
 
         self.n = num_vertices
@@ -549,6 +618,8 @@ class PageRankCSR:
         self.bounds = _bounds(num_vertices, num_partitions)
         self.sp = _shard_parts(num_partitions, self.A)
         shard_lo = self.bounds[self.sp[:-1]]  # vertex lo per shard
+        if edges_path is not None:
+            _check_edges_meta(edges_path, num_vertices, num_partitions)
         cls = _make_actor_cls()
         self.actors = [
             cls.options(num_cpus=num_cpus_per_actor).remote(
@@ -558,7 +629,14 @@ class PageRankCSR:
             )
             for a in range(self.A)
         ]
-        distribute_edges(edges_ds, self.actors, shard_lo)
+        if edges_path is not None:
+            # idempotent per-shard read of the partitioned layout: all
+            # shards pull their own part=p dirs concurrently (no
+            # routing fan-out, no replay guard needed)
+            ray.get([a.load_parquet.remote(edges_path)
+                     for a in self.actors])
+        else:
+            distribute_edges(edges_ds, self.actors, shard_lo)
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
         self.num_dangling = sum(
             ray.get([a.num_dangling.remote() for a in self.actors])

@@ -301,3 +301,52 @@ def test_csr_personalize_validates_seeds():
     with pytest.raises(ValueError, match="range"):
         eng.personalize([5])
     eng.shutdown()
+
+
+def test_csr_partitioned_parquet_load_bit_identical(tmp_path, ray_session):
+    """write_edges_partitioned + edges_path load must equal the
+    routing-fan-out load bit-for-bit (ranks AND error trace), be
+    idempotent on re-load, and reject a mismatched layout."""
+    import pytest
+
+    from dxa_pagerank_ray.pipelines.pagerank_csr import (
+        PageRankCSR,
+        write_edges_partitioned,
+    )
+
+    pages = rd.from_arrow(pages_table(96, seed=3)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    edges = g.edges.materialize()
+    n = g.num_vertices
+
+    out = str(tmp_path / "edges_part")
+    write_edges_partitioned(edges, out, n, num_partitions=8)
+
+    eng_a = PageRankCSR(edges, n, num_partitions=8, num_actors=2)
+    res_a = eng_a.run(threshold=1e-9)
+    na, da = eng_a.num_edges, eng_a.num_dangling
+    eng_a.shutdown()
+
+    eng_b = PageRankCSR(None, n, num_partitions=8, num_actors=3,
+                        edges_path=out)
+    assert (eng_b.num_edges, eng_b.num_dangling) == (na, da)
+    res_b = eng_b.run(threshold=1e-9)
+    eng_b.shutdown()
+
+    assert res_a.rounds == res_b.rounds
+    assert np.array_equal(res_a.pr, res_b.pr)
+    assert np.array_equal(res_a.errs, res_b.errs)
+
+    # idempotent: loading the same layout twice (fresh engine) is not
+    # an append — same edge count, same result
+    eng_c = PageRankCSR(None, n, num_partitions=8, edges_path=out)
+    import ray as _ray
+
+    _ray.get([a.load_parquet.remote(out) for a in eng_c.actors])
+    assert sum(_ray.get([a.seal.remote() for a in eng_c.actors])) == na
+    eng_c.shutdown()
+
+    with pytest.raises(ValueError, match="partitioned for"):
+        PageRankCSR(None, n, num_partitions=16, edges_path=out)
+    with pytest.raises(ValueError, match="_edges_meta"):
+        PageRankCSR(None, n, num_partitions=8, edges_path=str(tmp_path))
