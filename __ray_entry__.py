@@ -927,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_degrees": tg.q_out_degrees,
         "dangling_vertices": tg.q_dangling_vertices,
         "triangle_count": tg.q_triangle_count,
+        "triangle_per_vertex": tg.q_triangle_per_vertex,
         "pagerank_top20": tg.q_pagerank_top20,
         "pagerank_fixed4": tg.q_pagerank_fixed4,
         "hits_fixed4": tg.q_hits_fixed4,
@@ -951,7 +952,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_customers_revenue": rel.top_customers_by_revenue,
         "events_hourly": rel.events_hourly,
-        "events_sessions": rel.events_sessions,
         "lang_doc_stats": rel.lang_doc_stats,
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
@@ -979,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths": tg.q_bfs_depths,
         "host_pagerank_fixed4": _q_host_pagerank_fixed4,
         "random_walks": _q_random_walks,
+        "events_sessions": rel.events_sessions,
         "events_running_totals": rel.events_running_totals,
         "events_asof_last_error": rel.events_asof_last_error,
         "docs_sample": _q_docs_sample,
@@ -1265,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
     ann_ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
     return {
         "edges_dedup": tg.SQL["edges_dedup"],
+        "triangle_per_vertex": tg.SQL["triangle_per_vertex"],
         "out_degrees": tg.SQL["out_degrees"],
         "dangling_vertices": tg.SQL["dangling_vertices"],
         "triangle_count": tg.SQL["triangle_count"],

@@ -170,6 +170,25 @@ def q_triangle_count_shuffle(sf_dir: str):
     return pa.table({"n_triangles": pa.array([cnt], pa.int64())})
 
 
+def q_triangle_per_vertex(sf_dir: str):
+    """Per-vertex triangle counts (local clustering numerator) on the
+    customer graph — only vertices in >= 1 triangle (integer output,
+    hash-exact).  Returns a schema-PINNED table: a triangle-free graph
+    yields 0 rows, and Ray's empty blocks carry no columns, which
+    would fail the driver's schema compare (same pin as the top-k
+    queries); vertices-in-triangles is far below V, a driver-sized
+    result at the gate scales."""
+    from .triangles import per_vertex_triangles
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    out = per_vertex_triangles(edges, n).to_pandas()
+    return pa.table({
+        "v": pa.array(out.get("v", []), pa.int64()),
+        "triangles": pa.array(out.get("triangles", []), pa.int64()),
+    })
+
+
 def q_pagerank_top20(sf_dir: str):
     """Top-20 customer-graph vertices by lump PageRank (1e-8
     convergence) on the pinned CSR engine.  Output is (v, rank) —
@@ -781,6 +800,19 @@ SQL = {
         "SELECT count(*) AS n_triangles FROM e e1 "
         "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
         "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+    ),
+    "triangle_per_vertex": (
+        "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM raw), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+        "corners AS (SELECT x AS v FROM tri UNION ALL "
+        "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+        "SELECT v, count(*) AS triangles FROM corners GROUP BY v"
     ),
 }
 

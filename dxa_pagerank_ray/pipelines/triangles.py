@@ -49,37 +49,13 @@ def _canonicalize(edges_ds):
 BROADCAST_EDGE_LIMIT = 10_000_000
 
 
-def triangle_count_shuffle(edges_ds, num_partitions: int = 64,
-                           _canon=None,
-                           degree_broadcast_limit: int | None = None) -> int:
-    """All-shuffle triangle count — the scale path for graphs whose
-    oriented CSR cannot broadcast (the `triangle_count` limit).
-
-    1. canonicalize + dedup (as the broadcast variant);
-    2. degree-ordered orientation (degrees via a distributed count;
-       the O(V) degree table ships as a ``ray.put`` lookup only while
-       it fits ``degree_broadcast_limit`` rows — beyond that, V at web
-       scale is billions of urls, so degrees are attached to both
-       endpoints with two co-grouped distributed joins instead and
-       nothing lands on the driver);
-    3. wedge generation: group oriented edges by tail on a COARSE
-       hash partition, one vectorized sweep enumerates each tail's
-       out-pairs (u, w) — degree orientation bounds out-degrees at
-       O(sqrt(E)) so wedge volume is O(E^{3/2}) worst case, streaming;
-    4. closing check: hash-join wedges against the oriented edge set on
-       (src, dst) — a pure all-to-all equi-join, no broadcast;
-    5. count = matched rows.
-
-    Partitioning assumption: wedges for one tail must co-locate (step
-    3 groups by tail hash); the closing join hash-partitions both sides
-    on (src, dst).
-    """
+def _orient_shuffle(canon, num_partitions: int = 64,
+                    degree_broadcast_limit: int | None = None):
+    """Degree-ordered orientation of a canonicalized edge Dataset —
+    the shared step 2 of the all-shuffle triangle engines (guarded
+    degree broadcast with the co-grouped-join fallback; see
+    ``triangle_count_shuffle``'s docstring)."""
     import ray
-    import ray.data as rd
-
-    canon = _canon if _canon is not None else _canonicalize(edges_ds).materialize()
-    if canon.count() == 0:
-        return 0
 
     # distributed degree table -> broadcast (deg, id) ordering key
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -153,6 +129,43 @@ def triangle_count_shuffle(edges_ds, num_partitions: int = 64,
 
         oriented = with_both.map_batches(
             orient_attached, batch_format="pyarrow").materialize()
+    return oriented
+
+
+def triangle_count_shuffle(edges_ds, num_partitions: int = 64,
+                           _canon=None,
+                           degree_broadcast_limit: int | None = None) -> int:
+    """All-shuffle triangle count — the scale path for graphs whose
+    oriented CSR cannot broadcast (the `triangle_count` limit).
+
+    1. canonicalize + dedup (as the broadcast variant);
+    2. degree-ordered orientation (degrees via a distributed count;
+       the O(V) degree table ships as a ``ray.put`` lookup only while
+       it fits ``degree_broadcast_limit`` rows — beyond that, V at web
+       scale is billions of urls, so degrees are attached to both
+       endpoints with two co-grouped distributed joins instead and
+       nothing lands on the driver);
+    3. wedge generation: group oriented edges by tail on a COARSE
+       hash partition, one vectorized sweep enumerates each tail's
+       out-pairs (u, w) — degree orientation bounds out-degrees at
+       O(sqrt(E)) so wedge volume is O(E^{3/2}) worst case, streaming;
+    4. closing check: hash-join wedges against the oriented edge set on
+       (src, dst) — a pure all-to-all equi-join, no broadcast;
+    5. count = matched rows.
+
+    Partitioning assumption: wedges for one tail must co-locate (step
+    3 groups by tail hash); the closing join hash-partitions both sides
+    on (src, dst).
+    """
+    import ray
+    import ray.data as rd
+
+    canon = _canon if _canon is not None else _canonicalize(edges_ds).materialize()
+    if canon.count() == 0:
+        return 0
+
+    oriented = _orient_shuffle(canon, num_partitions,
+                               degree_broadcast_limit)
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = batch["src"].to_numpy(zero_copy_only=False) % num_partitions
@@ -277,3 +290,162 @@ def triangle_count(edges_ds, num_vertices: int,
     counts = rd.range(n).map_batches(count_batch, batch_format="numpy",
                                      batch_size=batch_size)
     return int(counts.sum("cnt"))
+
+
+def per_vertex_triangles(edges_ds, num_vertices: int,
+                         batch_size: int = 1 << 16,
+                         broadcast_limit: int | None = None,
+                         num_partitions: int = 64):
+    """-> Dataset (v, triangles) for every vertex in at least one
+    triangle — the per-vertex refinement of ``triangle_count`` (local
+    clustering coefficient's numerator; a standard link-spam /
+    community signal).  Same dual-tier dispatch as the total count:
+    at or under the broadcast limit the oriented CSR ships once via
+    ``ray.put`` and a vertex-range scan emits sparse per-vertex
+    partials; above it the all-shuffle wedge join runs with the wedge
+    CENTER carried through the join, the closed rows explode into
+    their three corners, and a coarse hash aggregate sums per vertex
+    (nothing O(V) on the driver at either tier)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.agg import coarse_agg
+
+    n = num_vertices
+    limit = BROADCAST_EDGE_LIMIT if broadcast_limit is None else broadcast_limit
+    canon = _canonicalize(edges_ds).materialize()
+    if canon.count() > limit or n >= (1 << 31):
+        return _per_vertex_triangles_shuffle(canon, num_partitions)
+    t = pa.concat_tables(
+        list(canon.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    ) if canon.count() else pa.table({"src": pa.array([], pa.int64()),
+                                      "dst": pa.array([], pa.int64())})
+    lo = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table({"v": pa.array([], pa.int64()),
+                      "triangles": pa.array([], pa.int64())})
+    if len(lo) == 0:
+        return rd.from_arrow(empty)
+    deg = np.bincount(lo, minlength=n) + np.bincount(hi, minlength=n)
+    key_lo = deg[lo] * (n + 1) + lo
+    key_hi = deg[hi] * (n + 1) + hi
+    fwd = key_lo < key_hi
+    a = np.where(fwd, lo, hi)
+    b = np.where(fwd, hi, lo)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, a + 1, 1)
+    indptr = np.cumsum(indptr)
+    packed = np.sort((a << np.int64(31)) | b)
+    state_ref = ray.put((indptr, b, packed))
+
+    def count_batch(batch: dict) -> pa.Table:
+        indptr_, nbrs, packed_ = ray.get(state_ref)
+        cs, us, ws = [], [], []
+        for v in batch["id"]:
+            s, e = indptr_[v], indptr_[v + 1]
+            if e - s < 2:
+                continue
+            nb = nbrs[s:e]
+            iu, iw = np.triu_indices(e - s, 1)
+            cs.append(np.full(len(iu), v, dtype=np.int64))
+            us.append(nb[iu])
+            ws.append(nb[iw])
+        if not cs:
+            return empty
+        c = np.concatenate(cs)
+        u = np.concatenate(us)
+        w = np.concatenate(ws)
+        p1 = (u << np.int64(31)) | w
+        p2 = (w << np.int64(31)) | u
+        i1 = np.searchsorted(packed_, p1)
+        i2 = np.searchsorted(packed_, p2)
+        m1 = (i1 < len(packed_)) & (packed_[np.minimum(i1, len(packed_) - 1)] == p1)
+        closed = m1 | ((i2 < len(packed_))
+                       & (packed_[np.minimum(i2, len(packed_) - 1)] == p2))
+        if not closed.any():
+            return empty
+        corners = np.concatenate([c[closed], u[closed], w[closed]])
+        cnt = np.bincount(corners)
+        vs = np.flatnonzero(cnt)
+        return pa.table({"v": pa.array(vs, pa.int64()),
+                         "triangles": pa.array(cnt[vs], pa.int64())})
+
+    partials = rd.range(n).map_batches(count_batch, batch_format="numpy",
+                                       batch_size=batch_size)
+    return coarse_agg(partials, ["v"], [("triangles", "sum", "triangles")])
+
+
+def _per_vertex_triangles_shuffle(canon, num_partitions: int):
+    """All-shuffle per-vertex tier: the wedge sweep of
+    ``triangle_count_shuffle`` with the wedge center carried through
+    the closing-edge join; closed rows explode into three corner rows
+    and a coarse aggregate counts per vertex."""
+    from ..stages.agg import coarse_agg
+
+    # reuse the orientation machinery by re-running the degree +
+    # orient steps of the shuffle engine on the canonical edges
+    oriented = _orient_shuffle(canon, num_partitions)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["src"].to_numpy(zero_copy_only=False) % num_partitions
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def wedges(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], len(a)]
+        out_c, out_u, out_w = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu, iw = np.triu_indices(m, 1)
+            out_c.append(np.full(len(iu), a[s], dtype=np.int64))
+            out_u.append(b[s:e][iu])
+            out_w.append(b[s:e][iw])
+        if not out_u:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        c = np.concatenate(out_c)
+        u = np.concatenate(out_u)
+        w = np.concatenate(out_w)
+        # closing edge may be oriented either way: emit both, center kept
+        return pa.table({
+            "src": pa.array(np.concatenate([u, w]), pa.int64()),
+            "dst": pa.array(np.concatenate([w, u]), pa.int64()),
+            "c": pa.array(np.concatenate([c, c]), pa.int64()),
+        })
+
+    wedge_ds = (
+        oriented.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedges, batch_format="pyarrow")
+        .materialize()
+    )
+    import ray.data as rd
+
+    empty = pa.table({"v": pa.array([], pa.int64()),
+                      "triangles": pa.array([], pa.int64())})
+    nw = wedge_ds.count()
+    if nw == 0:
+        return rd.from_arrow(empty)
+    join_parts = max(1, min(num_partitions, nw // 4096 + 1))
+    closed = wedge_ds.join(oriented, join_type="inner",
+                           num_partitions=join_parts, on=("src", "dst"))
+
+    def corners(batch: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            batch["c"].to_numpy(zero_copy_only=False),
+            batch["src"].to_numpy(zero_copy_only=False),
+            batch["dst"].to_numpy(zero_copy_only=False),
+        ])
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    corner_ds = closed.map_batches(corners, batch_format="pyarrow")
+    return coarse_agg(corner_ds, ["v"], [("v", "count", "triangles")])

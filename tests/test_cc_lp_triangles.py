@@ -104,3 +104,38 @@ def test_triangle_count_dispatches_to_shuffle(name):
     src, dst, n = CASES[name]
     expect = oracle.triangle_count(src, dst, n)
     assert triangle_count(_ds(src, dst), n, broadcast_limit=0) == expect
+
+
+def test_per_vertex_triangles_tiers_agree(ray_session):
+    """Per-vertex counts: known answer, corner-sum = 3x total count,
+    and broadcast/shuffle tier equality on a built graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.pipelines.triangles import (
+        per_vertex_triangles,
+        triangle_count,
+    )
+
+    tri = pa.table({"src": pa.array([0, 1, 2, 2], pa.int64()),
+                    "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    got = per_vertex_triangles(rd.from_arrow(tri), 4).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert got["v"].tolist() == [0, 1, 2]
+    assert got["triangles"].tolist() == [1, 1, 1]
+
+    from dxa_pagerank_ray.pipelines.graph_build import build_link_graph
+    from dxa_pagerank_ray.sources.pages import pages_table
+
+    g = build_link_graph(rd.from_arrow(pages_table(120, seed=9)),
+                         num_partitions=4)
+    edges = g.edges.materialize()
+    bc = per_vertex_triangles(edges, g.num_vertices).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    sh = per_vertex_triangles(edges, g.num_vertices, broadcast_limit=0) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    assert bc.equals(sh)
+    total = triangle_count(edges, g.num_vertices)
+    assert int(bc["triangles"].sum()) == 3 * total
+    assert (bc["triangles"] > 0).all()
