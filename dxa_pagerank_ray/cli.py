@@ -75,15 +75,34 @@ def _load_graph(args):
     return edges, n, url_ids, time.perf_counter() - t0
 
 
+def _edges_meta(path: str | None) -> dict | None:
+    """The _edges_meta.json of a ``write_edges_partitioned`` layout,
+    or None for a plain edges dir / non-edges input."""
+    if not path:
+        return None
+    mf = os.path.join(path, "_edges_meta.json")
+    return json.load(open(mf)) if os.path.exists(mf) else None
+
+
 def cmd_pagerank(args) -> None:
     from .pipelines.pagerank_csr import PageRankCSR
 
-    edges, n, url_ids, input_time = _load_graph(args)
+    meta = _edges_meta(getattr(args, "edges", None))
+    if meta is not None and meta["num_partitions"] == args.partitions:
+        # partitioned layout: skip the Dataset load + routing fan-out
+        # entirely — each shard actor reads its own part=p dirs (the
+        # idempotent per-shard load)
+        edges, n, url_ids = None, meta["num_vertices"], None
+        edges_path, input_time = args.edges, 0.0
+    else:
+        edges, n, url_ids, input_time = _load_graph(args)
+        edges_path = None
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
     eng = PageRankCSR(edges, n, num_partitions=args.partitions,
                       damping=args.damping,
-                      weighted=getattr(args, "weighted", False))
+                      weighted=getattr(args, "weighted", False),
+                      edges_path=edges_path)
     if getattr(args, "seeds", None):
         eng.personalize([int(s) for s in args.seeds.split(",")])
     res = eng.run(threshold=args.threshold, max_rounds=args.max_rounds,
@@ -517,6 +536,20 @@ def _pq_files(d: str):
             yield pq_mod.ParquetFile(os.path.join(d, f))
 
 
+def cmd_partition_edges(args) -> None:
+    """Write the edge list in the ``write_edges_partitioned`` layout
+    (hive part=p dirs + meta manifest) — the idempotent per-shard load
+    for ``pagerank --edges <out>`` at the same --partitions."""
+    from .pipelines.pagerank_csr import write_edges_partitioned
+
+    edges, n, _, input_time = _load_graph(args)
+    write_edges_partitioned(edges, args.out, n,
+                            num_partitions=args.partitions)
+    print(json.dumps({"out": args.out, "num_vertices": n,
+                      "num_partitions": args.partitions,
+                      "input_time_s": round(input_time, 3)}))
+
+
 def cmd_synth_pages(args) -> None:
     from .sources.pages import write_pages_parquet
 
@@ -628,6 +661,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("triangles", help="triangle count")
     add_common(p)
     p.set_defaults(fn=cmd_triangles)
+
+    p = sub.add_parser("partition-edges", help="write edges in the "
+                       "partitioned per-shard layout (idempotent "
+                       "engine load for pagerank --edges)")
+    add_common(p)
+    p.set_defaults(fn=cmd_partition_edges)
 
     p = sub.add_parser("synth-pages", help="write the deterministic "
                        "synthetic pages fixture")

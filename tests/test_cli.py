@@ -158,3 +158,34 @@ def test_cli_ann_and_textops(tmp_path):
           "--ops", "tokens,lang"])
     stats = json.load(open(os.path.join(out2, "statistics.json")))
     assert stats["ROWS"] == {"tokens": 500, "lang": 500}
+
+
+def test_cli_partition_edges_roundtrip(pages_dir, tmp_path):
+    """partition-edges -> pagerank --edges <layout> must use the
+    per-shard fast path and produce ranks identical to the direct
+    pages run at the same partitions."""
+    out_direct = str(tmp_path / "direct")
+    main(["pagerank", "--pages", pages_dir, "--out", out_direct,
+          "--partitions", "4", "--threshold", "1e-8"])
+
+    edir = str(tmp_path / "edges_part")
+    main(["partition-edges", "--pages", pages_dir, "--out", edir,
+          "--partitions", "4"])
+    assert os.path.exists(os.path.join(edir, "_edges_meta.json"))
+
+    out_fast = str(tmp_path / "fast")
+    main(["pagerank", "--edges", edir, "--out", out_fast,
+          "--partitions", "4", "--threshold", "1e-8"])
+
+    pr_a = _read_vertex_col(out_direct, "ranks", "pr")
+    pr_b = _read_vertex_col(out_fast, "ranks", "pr")
+    assert np.array_equal(pr_a, pr_b)
+
+    # mismatched --partitions falls back to the Dataset load (reads
+    # part=p dirs as plain hive parquet) and still agrees — to ulps
+    # only: a different P changes the p-ordered reduction order
+    out_slow = str(tmp_path / "slow")
+    main(["pagerank", "--edges", edir, "--out", out_slow,
+          "--partitions", "2", "--threshold", "1e-8"])
+    pr_c = _read_vertex_col(out_slow, "ranks", "pr")
+    np.testing.assert_allclose(pr_c, pr_a, atol=1e-12, rtol=0)
