@@ -168,6 +168,22 @@ FROM b GROUP BY v, bucket
 """
 
 
+def _q_docs_stratified(sf_dir: str):
+    from dxa_pagerank_ray.stages.sampling import stratified_sample
+
+    docs = _rpq(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "source"])
+    return stratified_sample(docs, k=10, group_col="source", seed=5)
+
+
+def _docs_stratified_oracle_sql() -> str:
+    h = _sample_hash_sql("doc_id", 5)
+    return ("WITH r AS (SELECT doc_id, source, row_number() OVER ("
+            f"PARTITION BY source ORDER BY {h}, doc_id) AS rn "
+            "FROM documents) "
+            "SELECT doc_id, source FROM r WHERE rn <= 10")
+
+
 def _docs_sample_oracle_sql() -> str:
     cut = min(int(0.25 * (1 << 64)), (1 << 64) - 1)
     return (f"SELECT doc_id, n_chars FROM documents "
@@ -922,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions (never driver-checked yet)
         "embedding_clusters": _q_embedding_clusters,
         "semantic_dedup_keepers": _q_semantic_dedup,
+        "docs_stratified_sample": _q_docs_stratified,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -946,7 +963,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": tg.q_degree_distribution,
         "host_graph": _q_host_graph,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
-        "anchor_texts": _q_anchor_texts,
         "random_walks_weighted": _q_random_walks_weighted,
         # relational operator coverage
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -979,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths": tg.q_bfs_depths,
         "host_pagerank_fixed4": _q_host_pagerank_fixed4,
         "random_walks": _q_random_walks,
+        "anchor_texts": _q_anchor_texts,
         "events_sessions": rel.events_sessions,
         "events_running_totals": rel.events_running_totals,
         "events_asof_last_error": rel.events_asof_last_error,
@@ -1353,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_terms": _TOP_TERMS_SQL,
         "docs_sample": _docs_sample_oracle_sql(),
+        "docs_stratified_sample": _docs_stratified_oracle_sql(),
         "docs_split_counts": _docs_split_oracle_sql(),
         "ann_cosine_top10": f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -64,3 +64,43 @@ def hash_split(ds, holdout_fraction: float, seed: int = 0,
         )
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _group_headk(batch: pa.Table, group_col: str, id_col: str,
+                 k: int, seed: int) -> pa.Table:
+    """Keep the k hash-smallest (sample_hash(id), id) rows per group
+    within ONE table — the pure per-batch/per-group cut shared by the
+    partial and combine passes (idempotent: applying it twice gives
+    the same rows, which is what makes the two-pass plan exact)."""
+    if batch.num_rows == 0:
+        return batch
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    hv = sample_hash(ids, seed)
+    grp = batch[group_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, hv, grp))
+    g = grp[order]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    ends = np.r_[starts[1:], len(g)]
+    kept = [order[s:min(s + k, e)] for s, e in zip(starts, ends)]
+    idx = np.sort(np.concatenate(kept)) if kept else np.array([], np.int64)
+    return batch.take(pa.array(idx))
+
+
+def stratified_sample(ds, k: int, group_col: str = "source",
+                      seed: int = 0, id_col: str = "doc_id"):
+    """Keep the ``k`` hash-smallest ids PER GROUP — deterministic
+    stratified down-sampling (domain/source balancing), a pure
+    function of ``(id, group, seed)``: same rows on any cluster, any
+    partitioning.  Plan: per-batch head-k cut (any global top-k member
+    survives its own batch's cut), then a per-group combine applying
+    the identical cut.  The combine uses the NATIVE groupby — group
+    cardinality is source/domain-sized, not document-sized; a
+    document-cardinality stratification key would need the coarse-key
+    sweep pattern (stages/agg.py) instead."""
+    import functools
+
+    cut = functools.partial(_group_headk, group_col=group_col,
+                            id_col=id_col, k=k, seed=seed)
+    return (ds.map_batches(cut, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(cut, batch_format="pyarrow"))

@@ -45,3 +45,24 @@ def test_hash_sample_fraction_edges(ray_session):
     t = pa.table({"doc_id": pa.array(range(100), pa.int64())})
     assert _ids(hash_sample(rd.from_arrow(t), 0.0)) == []
     assert _ids(hash_sample(rd.from_arrow(t), 1.0)) == list(range(100))
+
+
+def test_stratified_sample_partition_independent(ray_session):
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.sampling import stratified_sample
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "source"])
+    outs = []
+    for nblocks in (1, 6):
+        got = stratified_sample(docs.repartition(nblocks), k=3, seed=5) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    sizes = outs[0].groupby("source").size()
+    assert (sizes <= 3).all() and len(outs[0]) > 0
+    # exhaustive per group when the group has >= k members
+    full = docs.to_pandas().groupby("source").size()
+    for src_name, n in full.items():
+        assert sizes.get(src_name, 0) == min(3, n)
