@@ -153,3 +153,14 @@ def test_ann_ivf_recall_vs_brute_force():
     """IVF with nprobe=6/16 cells scans ~3/8 of the data; recall should
     beat that fraction comfortably on clustered embeddings."""
     assert _recall("ann_ivf_top10") >= 0.5
+
+
+def test_registry_every_query_oracled():
+    """Driver-gate invariants: every queries() entry has an oracle_sql()
+    entry and vice versa (the gate pairs them by key), and the dict
+    carries no duplicate keys by construction."""
+    qs = entrymod.queries()
+    oq = entrymod.oracle_sql()
+    assert set(qs) == set(oq), set(qs) ^ set(oq)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in oq.values())
