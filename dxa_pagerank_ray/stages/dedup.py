@@ -925,11 +925,42 @@ def embedding_near_dups_lsh(emb_ds, threshold: float = 0.95,
 # ---- near-dup clustering (keeper per connected component) ------------------
 
 
+# Driver fast-path cap for the near-dup keeper: pair sets at or under
+# this row count (~64 MB of int64 pairs) label on the driver with a
+# vectorized min-label sweep instead of the CC superstep engine.
+_PAIR_DRIVER_LIMIT = 1 << 22
+
+
+def _minlabel_components(edges_ds, num_docs: int) -> np.ndarray:
+    """Min-label connected components of a SMALL pair set, driver-side:
+    hash-min propagation + pointer jumping over numpy arrays — the
+    same fixed point as the distributed CC superstep (minimum id per
+    component; isolated ids keep themselves)."""
+    parts = [b for b in edges_ds.iter_batches(batch_size=1 << 20,
+                                              batch_format="pyarrow")
+             if b.num_rows]
+    lab = np.arange(num_docs, dtype=np.int64)
+    if not parts:
+        return lab
+    t = pa.concat_tables(parts)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    while True:
+        m = np.minimum(lab[src], lab[dst])
+        before = lab.copy()
+        np.minimum.at(lab, src, m)
+        np.minimum.at(lab, dst, m)
+        lab = np.minimum(lab, lab[lab])  # pointer jump (path halving)
+        if np.array_equal(lab, before):
+            return lab
+
+
 def near_dup_clusters(pairs_ds, num_docs: int,
                       a_col: str = "a", b_col: str = "b",
                       num_partitions: int | None = None,
                       keeper_limit: int | None = None,
-                      labels_dir: str | None = None):
+                      labels_dir: str | None = None,
+                      pair_driver_limit: int | None = None):
     """Near-dup PAIRS -> per-doc cluster keeper: ``(doc_id, keeper)``
     where ``keeper`` is the minimum doc id in the doc's connected
     component of the pair graph (docs in no pair keep themselves).
@@ -970,9 +1001,21 @@ def near_dup_clusters(pairs_ds, num_docs: int,
     edges = pairs_ds.select_columns([a_col, b_col]) \
         .map_batches(as_edges, batch_format="pyarrow")
     if num_docs <= limit:
-        from ..pipelines.components import connected_components
+        edges_m = edges.materialize()
+        pair_limit = (_PAIR_DRIVER_LIMIT if pair_driver_limit is None
+                      else pair_driver_limit)
+        if edges_m.count() <= pair_limit:
+            # near-dup pair sets are a tiny fraction of the corpus; at
+            # or under the row cap (~64 MB of int64 pairs) a driver
+            # min-label sweep beats spinning the CC superstep's
+            # per-round Dataset executions (measured ~2 s of fixed
+            # cost on 184 pairs).  Same fixed point: min doc id per
+            # component, isolated docs keep themselves.
+            labels = _minlabel_components(edges_m, num_docs)
+        else:
+            from ..pipelines.components import connected_components
 
-        labels = connected_components(edges, num_docs).labels
+            labels = connected_components(edges_m, num_docs).labels
         return pa.table({
             "doc_id": pa.array(np.arange(num_docs, dtype=np.int64),
                                pa.int64()),

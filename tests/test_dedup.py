@@ -374,3 +374,26 @@ def test_near_dup_clusters_end_to_end_planted():
         assert keeper[3 * i] == 3 * i
         assert keeper[3 * i + 1] == 3 * i      # near-dup joins original
         assert keeper[3 * i + 2] == 3 * i + 2  # filler stays singleton
+
+
+def test_near_dup_keeper_driver_sweep_equals_superstep(ray_session):
+    """The driver min-label fast path and the CC-superstep path must
+    produce the identical keeper table (chains exercise transitivity;
+    pointer jumping must not skip the global min)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.dedup import near_dup_clusters
+
+    pairs = pa.table({
+        "a": pa.array([9, 8, 7, 2, 0, 12], pa.int64()),
+        "b": pa.array([8, 7, 6, 3, 1, 13], pa.int64()),
+    })
+    ds = rd.from_arrow(pairs).repartition(3)
+    fast = near_dup_clusters(ds, 16)
+    slow = near_dup_clusters(ds, 16, pair_driver_limit=0)
+    assert fast.equals(slow)
+    k = fast["keeper"].to_pylist()
+    assert k[9] == k[8] == k[7] == k[6] == 6      # chain collapses to min
+    assert k[0] == k[1] == 0 and k[2] == k[3] == 2
+    assert k[4] == 4 and k[5] == 5                # isolated keep selves
