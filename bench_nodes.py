@@ -60,15 +60,16 @@ def run_one(num_nodes: int) -> dict:
     from dxa_pagerank_ray.context import quiet_data_context
 
     quiet_data_context()
-    import ray.data as rd
-
     from bench import _cache_graph
     from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
 
-    path = _cache_graph(N)
-    edges = rd.read_parquet(path).materialize()
-    num_edges = edges.count()
-    eng = PageRankCSR(edges, N, num_partitions=32, damping=0.85)
+    # partitioned cache (P=32 matches the engine) -> per-shard load;
+    # on this simulated cluster every raylet shares the host's /tmp,
+    # exactly like a real cluster's shared object store / FS mount
+    path = _cache_graph(N, 32)
+    eng = PageRankCSR(None, N, num_partitions=32, damping=0.85,
+                      edges_path=path)
+    num_edges = eng.num_edges
     res = eng.run(threshold=1e-6, max_rounds=100)
     eng.shutdown()
     warm = res.round_seconds[1:] or res.round_seconds
