@@ -911,6 +911,40 @@ def _q_lang_id(sf_dir: str):
     return lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+# Reflow for the paragraph-dedup query: the synthetic documents are
+# single-line token streams, so the query first breaks them into
+# 12-token pseudo-paragraph lines with ONE RE2 rewrite shared verbatim
+# with the SQL oracle (both engines run RE2, so the reflowed bytes are
+# identical) — the dedup then operates on real multi-paragraph docs.
+_REFLOW_PAT = r"((?:\S+ ){11}\S+) "
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from dxa_pagerank_ray.stages.paradedup import paragraph_dedup
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def reflow(b):
+        import pyarrow as pa
+
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pc.replace_substring_regex(
+                b["text"], pattern=_REFLOW_PAT, replacement="\\1\n"),
+        })
+
+    return paragraph_dedup(docs.map_batches(reflow, batch_format="pyarrow"))
+
+
+def _q_pii_scrub(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import pii_scrub
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pii_scrub(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from dxa_pagerank_ray.pipelines import relational as rel
     from dxa_pagerank_ray.pipelines import testdata_graph as tg
@@ -939,6 +973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": _q_embedding_clusters,
         "semantic_dedup_keepers": _q_semantic_dedup,
         "docs_stratified_sample": _q_docs_stratified,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pii_scrub": _q_pii_scrub,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -965,9 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_weighted": _q_host_pagerank_weighted,
         "random_walks_weighted": _q_random_walks_weighted,
         # relational operator coverage
-        "q1_pricing_summary": rel.q1_pricing_summary,
         "top_customers_revenue": rel.top_customers_by_revenue,
-        "events_hourly": rel.events_hourly,
         "lang_doc_stats": rel.lang_doc_stats,
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
@@ -996,6 +1030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_fixed4": _q_host_pagerank_fixed4,
         "random_walks": _q_random_walks,
         "anchor_texts": _q_anchor_texts,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "events_hourly": rel.events_hourly,
         "events_sessions": rel.events_sessions,
         "events_running_totals": rel.events_running_totals,
         "events_asof_last_error": rel.events_asof_last_error,
@@ -1276,6 +1312,58 @@ SELECT v AS doc_id, min(lbl) AS keeper FROM r GROUP BY v
 """
 
 
+def _pii_oracle_sql() -> str:
+    """Nested regexp_replace chain generated from the engine's OWN
+    ``PII_PATTERNS`` (same RE2 literals, same order, counts taken on
+    the text as redacted so far — mirroring ``pii_scrub_batch``)."""
+    from dxa_pagerank_ray.stages.textops import PII_PATTERNS
+
+    ctes, prev, counts = [], "documents", []
+    txt = "text"
+    for i, (out, pat, repl) in enumerate(PII_PATTERNS):
+        carried = ", ".join(counts)
+        carried = carried + ", " if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all({txt}, '{pat}')) AS {out}, "
+            f"regexp_replace({txt}, '{pat}', '{repl}', 'g') AS t "
+            f"FROM {prev})"
+        )
+        prev, txt = f"s{i}", "t"
+        counts.append(out)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, {', '.join(counts)}, t AS clean_text FROM {prev}"
+    )
+
+
+def _paragraph_dedup_oracle_sql(max_count: int = 1) -> str:
+    """Reflow (the SAME RE2 rewrite as the query) -> string_split on
+    newline (DuckDB keeps empty fields, matching ``str.split``) ->
+    corpus-wide paragraph counts -> per-doc ordered reassembly of the
+    paragraphs with count <= max_count."""
+    return rf"""
+WITH rf AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_REFLOW_PAT}', '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+para AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pidx,
+         string_split(text, chr(10))[u.i] AS para
+  FROM rf, unnest(range(1, len(string_split(text, chr(10))) + 1)) AS u(i)
+),
+cnt AS (SELECT para, count(*) AS c FROM para GROUP BY para)
+SELECT p.doc_id,
+       coalesce(string_agg(p.para, chr(10) ORDER BY p.pidx)
+                FILTER (WHERE cnt.c <= {max_count}), '') AS clean_text,
+       count(*) AS n_paras,
+       count(*) FILTER (WHERE cnt.c > {max_count}) AS n_dropped
+FROM para p JOIN cnt USING (para)
+GROUP BY p.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from dxa_pagerank_ray.pipelines import relational as rel
     from dxa_pagerank_ray.pipelines import testdata_graph as tg
@@ -1319,6 +1407,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": (
             "SELECT doc_id, md5(text) AS fingerprint FROM documents"
         ),
+        "pii_scrub": _pii_oracle_sql(),
+        "paragraph_dedup": _paragraph_dedup_oracle_sql(),
         "q1_pricing_summary": rel.Q1_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,

@@ -158,7 +158,8 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "doc_contamination", "sssp_costs", "bowtie_regions",
                  "jaccard_related_top20",
                  "minhash_dup_pairs", "top_terms", "docs_sample",
-                 "training_corpus", "semantic_dedup_keepers"]:
+                 "training_corpus", "semantic_dedup_keepers",
+                 "paragraph_dedup", "pii_scrub"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):

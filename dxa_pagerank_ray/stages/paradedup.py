@@ -1,0 +1,199 @@
+"""Paragraph-level exact deduplication (boilerplate removal).
+
+The CCNet / RefinedWeb-style pass every web-scale training pipeline
+runs before document-level dedup: split each document into paragraphs,
+count every exact paragraph string across the WHOLE corpus, drop the
+paragraphs that repeat (navigation bars, cookie banners, license
+boilerplate repeat across millions of pages; real prose almost never
+repeats verbatim), and reassemble each document from its surviving
+paragraphs in original order.
+
+Split contract: ``str.split(delimiter)`` — an empty document is ONE
+empty paragraph, adjacent delimiters yield empty paragraphs, and empty
+paragraphs are counted (and therefore dropped) like any other string.
+This is exactly DuckDB's ``string_split``, which keeps the SQL oracle
+character-exact.
+
+Scale shape (two tiers, the repo-wide guarded-broadcast idiom):
+
+1. Count: ``coarse_agg`` over the exploded paragraph strings — Arrow
+   hash-agg pre-combine per batch means only each batch's DISTINCT
+   paragraphs enter the one coarse shuffle, then the count table is
+   filtered to ``cnt > max_count`` BEFORE anything else sees it.  The
+   duplicated-paragraph set is the small side by construction (it is
+   the boilerplate, not the corpus).
+2. Apply:
+   - dup set ≤ ``broadcast_limit`` rows: the strings are collected,
+     ``ray.put`` ONCE, and one stateless ``map_batches`` over the
+     original documents re-splits, filters and re-joins locally —
+     document text never moves through a shuffle at all.
+   - larger: distributed fallback — explode, coarse-partition by
+     paragraph hash, co-grouped semi-join marks the dropped rows,
+     then one doc-keyed shuffle reassembles.  Text moves twice; only
+     in the regime where the dup set itself is cluster-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..context import derive_num_groups
+from .agg import coarse_agg
+from .ids import hash64
+
+_OUT_SCHEMA = [("clean_text", pa.string()), ("n_paras", pa.int64()),
+               ("n_dropped", pa.int64())]
+
+
+def _explode(batch: pa.Table, delimiter: str, text_col: str,
+             id_col: str) -> pa.Table:
+    """(doc_id, pidx, para) rows — vectorized: one Arrow split kernel,
+    offsets unpacked with numpy repeat/arange, no per-row Python."""
+    import pyarrow.compute as pc
+
+    lst = pc.split_pattern(pc.fill_null(batch[text_col], ""),
+                           pattern=delimiter)
+    lst = lst.combine_chunks()
+    offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    total = int(offsets[-1]) - int(offsets[0])
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+        "pidx": pa.array(
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offsets[:-1] - offsets[0], counts), pa.int64()),
+        "para": lst.values if lst.offset == 0 and total == len(lst.values)
+        else lst.flatten(),
+    })
+
+
+def duplicated_paragraphs(docs_ds, max_count: int = 1,
+                          delimiter: str = "\n", text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Dataset of ``(para, cnt)`` for every paragraph string occurring
+    more than ``max_count`` times corpus-wide."""
+    import pyarrow.compute as pc
+
+    paras = docs_ds.map_batches(
+        lambda b: _explode(b, delimiter, text_col, id_col)
+        .select(["para"]), batch_format="pyarrow")
+    cnts = coarse_agg(paras, ["para"], [("para", "count", "cnt")])
+    return cnts.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], max_count)),
+        batch_format="pyarrow")
+
+
+def _assemble(ids: np.ndarray, pidx: np.ndarray, paras: list[str],
+              dropped: np.ndarray, delimiter: str,
+              id_col: str) -> pa.Table:
+    """Per-doc reassembly of pre-sorted (doc_id, pidx) paragraph rows.
+    One Python join per document (C-level str.join over a slice) —
+    the irreducible per-doc step, everything around it is numpy."""
+    bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1], True])
+    out_id = ids[bounds[:-1]] if len(ids) else ids
+    texts, n_par, n_drop = [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        keep = ~dropped[s:e]
+        texts.append(delimiter.join(
+            [paras[j] for j in range(s, e) if keep[j - s]]))
+        n_par.append(e - s)
+        n_drop.append(int((e - s) - keep.sum()))
+    return pa.table({
+        id_col: pa.array(out_id, pa.int64()),
+        "clean_text": pa.array(texts, pa.string()),
+        "n_paras": pa.array(n_par, pa.int64()),
+        "n_dropped": pa.array(n_drop, pa.int64()),
+    })
+
+
+def paragraph_dedup(docs_ds, max_count: int = 1, delimiter: str = "\n",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    broadcast_limit: int | None = None,
+                    num_groups: int | None = None):
+    """(doc_id, clean_text, n_paras, n_dropped) — every input document
+    exactly once, ``clean_text`` its paragraphs with corpus-wide count
+    ≤ ``max_count``, joined by ``delimiter`` in original order (empty
+    string when everything was boilerplate)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import BROADCAST_ROW_LIMIT
+
+    limit = BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
+    dups = duplicated_paragraphs(docs_ds, max_count, delimiter,
+                                 text_col, id_col).materialize()
+
+    if dups.count() <= limit:
+        dup_ref = ray.put(frozenset(
+            s for b in dups.iter_batches(batch_size=1 << 20,
+                                         batch_format="pyarrow")
+            for s in b["para"].to_pylist()))
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)
+            ex = _explode(batch, delimiter, text_col, id_col)
+            ids = ex[id_col].to_numpy(zero_copy_only=False)
+            paras = ex["para"].to_pylist()
+            dropped = np.fromiter((p in dup for p in paras), dtype=bool,
+                                  count=len(paras))
+            # explode emits rows already in (doc, pidx) order
+            return _assemble(ids, ex["pidx"].to_numpy(zero_copy_only=False),
+                             paras, dropped, delimiter, id_col)
+
+        return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+    # Distributed tier: semi-join on paragraph hash partitions, then a
+    # doc-keyed reassembly shuffle.  Collision-free marking: within a
+    # hash partition the dup strings are compared by VALUE (index_in),
+    # the 63-bit hash only routes.
+    G = num_groups or derive_num_groups(docs_ds, dups)
+    ex_schema = pa.schema([(id_col, pa.int64()), ("pidx", pa.int64()),
+                           ("para", pa.string())])
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ex = _explode(batch, delimiter, text_col, id_col)
+        return ex.append_column(
+            "part", pa.array(hash64(ex["para"]) % np.int64(G), pa.int64()))
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pa.nulls(batch.num_rows, pa.int64()),
+            "pidx": pa.nulls(batch.num_rows, pa.int64()),
+            "para": batch["para"],
+            "part": pa.array(hash64(batch["para"]) % np.int64(G),
+                             pa.int64()),
+        })
+
+    both = docs_ds.map_batches(tag_doc, batch_format="pyarrow").union(
+        dups.map_batches(tag_dup, batch_format="pyarrow"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        is_dup = pc.is_null(t[id_col])
+        dup_vals = t.filter(is_dup)["para"].combine_chunks()
+        rows = t.filter(pc.invert(is_dup))
+        hit = pc.is_valid(pc.index_in(rows["para"], value_set=dup_vals))
+        return pa.table({
+            id_col: rows[id_col],
+            "pidx": rows["pidx"],
+            "para": rows["para"],
+            "dropped": hit,
+            "dpart": pa.array(
+                rows[id_col].to_numpy(zero_copy_only=False) % np.int64(G),
+                pa.int64()),
+        })
+
+    marked = both.groupby("part").map_groups(mark, batch_format="pyarrow")
+
+    def assemble_group(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(id_col, "ascending"), ("pidx", "ascending")])
+        return _assemble(
+            t[id_col].to_numpy(zero_copy_only=False),
+            t["pidx"].to_numpy(zero_copy_only=False),
+            t["para"].to_pylist(),
+            t["dropped"].to_numpy(zero_copy_only=False),
+            delimiter, id_col)
+
+    return marked.groupby("dpart").map_groups(
+        assemble_group, batch_format="pyarrow")

@@ -349,3 +349,45 @@ def rolling_fingerprints(docs_ds, text_col: str = "text",
         lambda b: rolling_fingerprint_batch(b, text_col, id_col),
         batch_format="pyarrow",
     )
+
+
+# PII redaction contract: all three patterns are RE2 (the engine runs
+# them through Arrow's C kernels, the oracle through DuckDB — both
+# RE2), applied IN ORDER with each count taken on the text as redacted
+# so far, so engine and oracle are byte-exact by construction.  The
+# order matters (an address inside an email is consumed by the email
+# pass) and is part of the contract.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("n_ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("n_phones", r"(?:\+\d{7,15}|\b\d{3}-\d{3,4}-\d{4})\b", "<PHONE>"),
+)
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, clean_text, n_emails, n_ipv4, n_phones) — redact
+    email addresses, dotted-quad IPv4 addresses and phone-shaped
+    numbers, the pre-release scrub every published web-text pipeline
+    runs (e.g. the C4 / RefinedWeb cleanup passes).  Stateless and
+    fully vectorized: one RE2 count + one RE2 global replace per
+    pattern per batch, no per-row Python."""
+    import pyarrow.compute as pc
+
+    cur = pc.fill_null(batch[text_col], "")
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {id_col: batch[id_col]}
+    for out, pat, repl in PII_PATTERNS:
+        cols[out] = pa.array(count_regex(cur, pat), pa.int64())
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=repl)
+    cols["clean_text"] = cur
+    return pa.table(cols)
+
+
+def pii_scrub(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Streaming PII redaction over a documents Dataset — embarrassingly
+    parallel (no shuffle, no state), so it scales linearly with input
+    bytes; at 100 TB the cost is one RE2 scan per pattern per byte."""
+    return docs_ds.map_batches(
+        lambda b: pii_scrub_batch(b, text_col, id_col),
+        batch_format="pyarrow")
