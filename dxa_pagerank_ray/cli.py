@@ -514,6 +514,12 @@ def cmd_textops(args) -> None:
             import ray.data as rd
 
             res = rd.from_arrow(textops.top_terms(docs, k=args.top_k))
+        elif op == "pii":
+            res = textops.pii_scrub(docs)
+        elif op == "paradedup":
+            from .stages.paradedup import paragraph_dedup
+
+            res = paragraph_dedup(docs)
         else:
             raise SystemExit(f"unknown op {op!r}")
         dest = os.path.join(args.out, op)
@@ -703,8 +709,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated vec_ids used as queries")
     p.set_defaults(fn=cmd_ann)
 
-    p = sub.add_parser("textops", help="text analysis sweep "
-                       "(tokens / quality / lang / fingerprint / terms)")
+    p = sub.add_parser("textops", help="text analysis sweep (tokens / "
+                       "quality / lang / fingerprint / terms / pii / "
+                       "paradedup)")
     p.add_argument("--docs", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--ops", default="tokens,quality,lang,fingerprint")
