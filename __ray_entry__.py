@@ -945,6 +945,25 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(docs)
 
 
+# k=20 against the synthetic docs' ~40-term vocabulary so both sides of
+# the OOV split are populated (k=1000 would make every token in-vocab).
+_OOV_VOCAB_K = 20
+
+
+def _q_doc_oov_counts(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import oov_counts
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return oov_counts(docs, vocab_k=_OOV_VOCAB_K)
+
+
+def _q_docs_normalized(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import normalize_text
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from dxa_pagerank_ray.pipelines import relational as rel
     from dxa_pagerank_ray.pipelines import testdata_graph as tg
@@ -975,6 +994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_scrub": _q_pii_scrub,
+        "doc_oov_counts": _q_doc_oov_counts,
+        "docs_normalized": _q_docs_normalized,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -1001,7 +1022,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_weighted": _q_host_pagerank_weighted,
         "random_walks_weighted": _q_random_walks_weighted,
         # relational operator coverage
-        "top_customers_revenue": rel.top_customers_by_revenue,
         "lang_doc_stats": rel.lang_doc_stats,
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
@@ -1009,7 +1029,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": _q_doc_contamination,
         "top_terms": _q_top_terms,
         "docs_exact_dedup": _q_docs_exact_dedup,
-        "ann_cosine_top10": _q_ann_top10,
         # r4-CHANGED code paths stay inside the gate window: minhash's
         # downstream fast-path width, near_dup_clusters' keeper
         # dispatch, and doc_quality's RE2 punct contract all changed
@@ -1020,7 +1039,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tail: green in CORRECTNESS_r03 and UNCHANGED since, §2
         # rows double-covered by an earlier entry; these yield their
         # gate slot to the never-checked queries above (pytest still
-        # verifies all 62)
+        # verifies every entry via tests/test_entry_oracle.py)
+        "top_customers_revenue": rel.top_customers_by_revenue,
+        "ann_cosine_top10": _q_ann_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
         "triangle_count_shuffle": tg.q_triangle_count_shuffle,
@@ -1409,6 +1430,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_scrub": _pii_oracle_sql(),
         "paragraph_dedup": _paragraph_dedup_oracle_sql(),
+        "doc_oov_counts": rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) AS term
+  FROM documents
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+vocab AS (SELECT term FROM cnt ORDER BY n DESC, term ASC
+          LIMIT {_OOV_VOCAB_K})
+SELECT d.doc_id,
+       count(t.term) AS n_tokens,
+       coalesce(count(*) FILTER (WHERE t.term IS NOT NULL
+                                 AND v.term IS NULL), 0) AS n_oov
+FROM documents d
+LEFT JOIN tok t USING (doc_id)
+LEFT JOIN vocab v ON v.term = t.term
+GROUP BY d.doc_id
+""",
+        "docs_normalized": (
+            r"SELECT doc_id, regexp_replace(regexp_replace(text, "
+            r"'[\t\n\f\r ]+', ' ', 'g'), '^ | $', '', 'g') "
+            "AS norm_text FROM documents"
+        ),
         "q1_pricing_summary": rel.Q1_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,

@@ -159,7 +159,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "jaccard_related_top20",
                  "minhash_dup_pairs", "top_terms", "docs_sample",
                  "training_corpus", "semantic_dedup_keepers",
-                 "paragraph_dedup", "pii_scrub"]:
+                 "paragraph_dedup", "pii_scrub", "doc_oov_counts"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):

@@ -391,3 +391,72 @@ def pii_scrub(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     return docs_ds.map_batches(
         lambda b: pii_scrub_batch(b, text_col, id_col),
         batch_format="pyarrow")
+
+
+def oov_counts(docs_ds, vocab_k: int = 1000, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """(doc_id, n_tokens, n_oov) — per-document out-of-vocabulary
+    token occurrences against the corpus top-``vocab_k`` vocabulary
+    (count DESC, term ASC tie-break, the ``top_terms`` contract).
+    High OOV rate = rare-token-heavy text (OCR noise, codes, spam) —
+    a standard quality-filter signal.  Integer outputs -> hash-exact.
+
+    Scale shape: the vocabulary is a top-k CAP by construction, so it
+    is driver-sized whatever the corpus size; it ships ONCE via
+    ``ray.put`` and each batch resolves membership with one Arrow
+    ``index_in`` + numpy segment sums — no shuffle of the token
+    stream, no per-row Python."""
+    import ray
+    import pyarrow.compute as pc
+
+    vocab = top_terms(docs_ds, k=vocab_k, text_col=text_col)
+    vref = ray.put(vocab["term"].combine_chunks())
+
+    def count(batch: pa.Table) -> pa.Table:
+        vset = ray.get(vref)
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\W+")
+        if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = offsets[:-1] - offsets[0]
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        in_vocab = pc.is_valid(pc.index_in(flat, value_set=vset)) \
+            .to_numpy(zero_copy_only=False)
+        tok = np.r_[(nonempty).astype(np.int64), 0]
+        oov = np.r_[(nonempty & ~in_vocab).astype(np.int64), 0]
+        cum_t, cum_o = np.r_[0, np.cumsum(tok)], np.r_[0, np.cumsum(oov)]
+        ends = np.r_[starts[1:], len(flat)]
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(cum_t[ends] - cum_t[starts], pa.int64()),
+            "n_oov": pa.array(cum_o[ends] - cum_o[starts], pa.int64()),
+        })
+
+    return docs_ds.map_batches(count, batch_format="pyarrow")
+
+
+# Whitespace normalization contract (RE2, shared with the SQL oracle):
+# collapse every run of RE2 \s ([\t\n\f\r ]) to one space, then strip
+# one leading / trailing space — the canonicalization pass dedup
+# pipelines run before hashing so formatting-only variants collide.
+_WS_RUN = r"[\t\n\f\r ]+"
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    import pyarrow.compute as pc
+
+    t = pc.replace_substring_regex(
+        pc.fill_null(batch[text_col], ""), pattern=_WS_RUN, replacement=" ")
+    t = pc.replace_substring_regex(t, pattern=r"^ | $", replacement="")
+    return pa.table({id_col: batch[id_col], "norm_text": t})
+
+
+def normalize_text(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, norm_text) — streaming, stateless, no shuffle."""
+    return docs_ds.map_batches(
+        lambda b: normalize_text_batch(b, text_col, id_col),
+        batch_format="pyarrow")

@@ -107,3 +107,38 @@ def test_pii_scrub_dataset_roundtrip():
     out = pii_scrub(rd.from_arrow(t)).to_pandas()
     assert out["clean_text"][0] == "clean text stays byte-identical"
     assert int(out[["n_emails", "n_ipv4", "n_phones"]].sum().sum()) == 0
+
+
+def test_oov_counts_vocab_boundary():
+    from dxa_pagerank_ray.stages.textops import oov_counts
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["the the the cat", "the dog zebra!", "", "THE zebra"],
+    })
+    # counts: the=5, zebra=2, cat=1, dog=1 -> top-2 vocab {the, zebra}
+    out = oov_counts(rd.from_arrow(t).repartition(2), vocab_k=2) \
+        .to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [4, 3, 0, 2]
+    assert out["n_oov"].tolist() == [1, 1, 0, 0]
+
+
+def test_oov_counts_tie_break_term_ascending():
+    from dxa_pagerank_ray.stages.textops import oov_counts
+
+    # b and c tie at 2; vocab_k=2 keeps {a(3), b} (term-ascending)
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": ["a a a b b c c"]})
+    out = oov_counts(rd.from_arrow(t), vocab_k=2).to_pandas()
+    assert out["n_oov"].tolist() == [2]
+
+
+def test_normalize_text_contract():
+    from dxa_pagerank_ray.stages.textops import normalize_text_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["  a\t\tb \n c ", None, "x", " \t "],
+    })
+    out = normalize_text_batch(t).to_pydict()
+    assert out["norm_text"] == ["a b c", "", "x", ""]
