@@ -964,6 +964,21 @@ def _q_docs_normalized(sf_dir: str):
     return normalize_text(docs)
 
 
+def _q_doc_bpe_token_counts(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import bpe_token_counts
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_token_counts(docs)
+
+
+def _bpe_oracle_sql() -> str:
+    from dxa_pagerank_ray.stages.textops import BPE_PIECE_RE
+
+    pat = BPE_PIECE_RE.replace("'", "''")
+    return (f"SELECT doc_id, len(regexp_extract_all(text, '{pat}')) "
+            "AS n_pieces FROM documents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from dxa_pagerank_ray.pipelines import relational as rel
     from dxa_pagerank_ray.pipelines import testdata_graph as tg
@@ -996,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "doc_oov_counts": _q_doc_oov_counts,
         "docs_normalized": _q_docs_normalized,
+        "doc_bpe_token_counts": _q_doc_bpe_token_counts,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -1026,7 +1042,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
         "doc_repetition": _q_doc_repetition,
-        "doc_contamination": _q_doc_contamination,
         "top_terms": _q_top_terms,
         "docs_exact_dedup": _q_docs_exact_dedup,
         # r4-CHANGED code paths stay inside the gate window: minhash's
@@ -1041,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate slot to the never-checked queries above (pytest still
         # verifies every entry via tests/test_entry_oracle.py)
         "top_customers_revenue": rel.top_customers_by_revenue,
+        "doc_contamination": _q_doc_contamination,
         "ann_cosine_top10": _q_ann_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
@@ -1448,6 +1464,7 @@ LEFT JOIN tok t USING (doc_id)
 LEFT JOIN vocab v ON v.term = t.term
 GROUP BY d.doc_id
 """,
+        "doc_bpe_token_counts": _bpe_oracle_sql(),
         "docs_normalized": (
             r"SELECT doc_id, regexp_replace(regexp_replace(text, "
             r"'[\t\n\f\r ]+', ' ', 'g'), '^ | $', '', 'g') "

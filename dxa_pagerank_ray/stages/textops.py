@@ -460,3 +460,29 @@ def normalize_text(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     return docs_ds.map_batches(
         lambda b: normalize_text_batch(b, text_col, id_col),
         batch_format="pyarrow")
+
+
+# GPT-2-style pre-tokenizer, reduced to pure RE2 (the original's
+# trailing-whitespace lookahead `\s+(?!\S)` is dropped — RE2 has no
+# lookahead; a whitespace run still counts as ONE piece, it just isn't
+# re-split before a following word).  Unicode-aware via RE2 \p{L}/\p{N},
+# shared verbatim with the DuckDB oracle (quote-doubled there).
+BPE_PIECE_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_counts(docs_ds, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """(doc_id, n_pieces) — BPE-ish pre-token counts, the token-budget
+    estimate training pipelines use before the real tokenizer runs
+    (piece counts upper-bound BPE tokens and track them closely).
+    One RE2 C-kernel count per batch, no per-row Python."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "n_pieces": pa.array(count_regex(batch[text_col],
+                                             BPE_PIECE_RE), pa.int64()),
+        })
+
+    return docs_ds.map_batches(count, batch_format="pyarrow")

@@ -142,3 +142,17 @@ def test_normalize_text_contract():
     })
     out = normalize_text_batch(t).to_pydict()
     assert out["norm_text"] == ["a b c", "", "x", ""]
+
+
+def test_bpe_token_counts():
+    from dxa_pagerank_ray.stages.textops import bpe_token_counts
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["Hello world's fate!  I'll go... 123 abc42",
+                 "", "  \t", "naïve café 42km"],
+    })
+    out = bpe_token_counts(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id")
+    # hand-tokenized against the RE2 piece pattern
+    assert out["n_pieces"].tolist() == [13, 0, 1, 4]
