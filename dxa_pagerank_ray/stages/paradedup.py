@@ -91,8 +91,13 @@ def _assemble(ids: np.ndarray, pidx: np.ndarray, paras: list[str],
     """Per-doc reassembly of pre-sorted (doc_id, pidx) paragraph rows.
     One Python join per document (C-level str.join over a slice) —
     the irreducible per-doc step, everything around it is numpy."""
+    if len(ids) == 0:  # Ray sort/groupby can emit empty blocks
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "clean_text": pa.array([], pa.string()),
+                         "n_paras": pa.array([], pa.int64()),
+                         "n_dropped": pa.array([], pa.int64())})
     bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1], True])
-    out_id = ids[bounds[:-1]] if len(ids) else ids
+    out_id = ids[bounds[:-1]]
     texts, n_par, n_drop = [], [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         keep = ~dropped[s:e]

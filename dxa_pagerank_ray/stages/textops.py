@@ -422,13 +422,12 @@ def oov_counts(docs_ds, vocab_k: int = 1000, text_col: str = "text",
         offsets = lists.offsets.to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         starts = offsets[:-1] - offsets[0]
+        ends = offsets[1:] - offsets[0]
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         in_vocab = pc.is_valid(pc.index_in(flat, value_set=vset)) \
             .to_numpy(zero_copy_only=False)
-        tok = np.r_[(nonempty).astype(np.int64), 0]
-        oov = np.r_[(nonempty & ~in_vocab).astype(np.int64), 0]
-        cum_t, cum_o = np.r_[0, np.cumsum(tok)], np.r_[0, np.cumsum(oov)]
-        ends = np.r_[starts[1:], len(flat)]
+        cum_t = np.r_[0, np.cumsum(nonempty.astype(np.int64))]
+        cum_o = np.r_[0, np.cumsum((nonempty & ~in_vocab).astype(np.int64))]
         return pa.table({
             id_col: batch[id_col],
             "n_tokens": pa.array(cum_t[ends] - cum_t[starts], pa.int64()),
