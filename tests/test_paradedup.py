@@ -156,3 +156,93 @@ def test_bpe_token_counts():
         .sort_values("doc_id")
     # hand-tokenized against the RE2 piece pattern
     assert out["n_pieces"].tolist() == [13, 0, 1, 4]
+
+
+def test_pii_and_normalize_match_duckdb_re2_property():
+    """The byte-exactness contract the SQL oracles rely on: Arrow's
+    RE2 kernels and DuckDB's RE2 functions agree on arbitrary input for
+    every pattern the pii/normalize/bpe operators use."""
+    import duckdb
+    import pyarrow.compute as pc
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dxa_pagerank_ray.stages.textops import (BPE_PIECE_RE,
+                                                 PII_PATTERNS, _WS_RUN)
+
+    con = duckdb.connect()
+    pats = [(p, r) for _, p, r in PII_PATTERNS] + \
+        [(_WS_RUN, " "), (r"^ | $", "")]
+
+    # seed corpus biased toward pattern-relevant shapes
+    seeds = st.sampled_from([
+        "a@b.co", " 1.2.3.4 ", "+12345678", "555-123-4567", "x  y\t\nz",
+        " .", "@", "1.2.3.4.5", "a@b@c.de", "'ll", "café 42km",
+    ])
+    texts_st = st.lists(st.one_of(st.text(max_size=30), seeds), max_size=6)
+
+    @settings(max_examples=120, deadline=None)
+    @given(texts_st)
+    def check(texts):
+        arr = pa.array(texts, pa.string())
+        for pat, repl in pats:
+            got = pc.replace_substring_regex(
+                arr, pattern=pat, replacement=repl).to_pylist()
+            got_n = pc.count_substring_regex(arr, pat).to_pylist()
+            sqlpat = pat.replace("'", "''")
+            exp, exp_n = [], []
+            for t in texts:
+                r = con.execute(
+                    "SELECT regexp_replace(?, '" + sqlpat + "', '"
+                    + repl.replace("'", "''") + "', 'g'), "
+                    "len(regexp_extract_all(?, '" + sqlpat + "'))",
+                    [t, t]).fetchone()
+                exp.append(r[0])
+                exp_n.append(r[1])
+            assert got == exp, pat
+            assert got_n == exp_n, pat
+        got_b = pc.count_substring_regex(arr, BPE_PIECE_RE).to_pylist()
+        bpat = BPE_PIECE_RE.replace("'", "''")
+        exp_b = [con.execute(
+            "SELECT len(regexp_extract_all(?, '" + bpat + "'))",
+            [t]).fetchone()[0] for t in texts]
+        assert got_b == exp_b
+
+    check()
+
+
+def test_paragraph_dedup_matches_python_oracle_property():
+    """Both dispatch tiers vs a pure-python corpus-wide oracle on
+    random multi-paragraph corpora (including empty docs, empty
+    paragraphs, and heavy duplication from a tiny paragraph pool)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    paras = st.sampled_from(["dup one", "dup two", "", "x", "longer para"])
+    doc = st.lists(st.one_of(paras, st.text(
+        alphabet=st.characters(blacklist_characters="\n",
+                               codec="ascii"), max_size=12)),
+        min_size=0, max_size=5).map("\n".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=25), st.integers(1, 3))
+    def check(texts, max_count):
+        cnt = Counter(p for t in texts for p in t.split("\n"))
+        exp = []
+        for i, t in enumerate(texts):
+            ps = t.split("\n")
+            kept = [p for p in ps if cnt[p] <= max_count]
+            exp.append((i, "\n".join(kept), len(ps), len(ps) - len(kept)))
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": texts})
+        for kw in ({}, {"broadcast_limit": 0, "num_groups": 3}):
+            got = paragraph_dedup(
+                rd.from_arrow(tbl).repartition(4), max_count=max_count,
+                **kw).to_pandas().sort_values("doc_id")
+            got_rows = list(zip(got["doc_id"], got["clean_text"],
+                                got["n_paras"], got["n_dropped"]))
+            assert got_rows == exp, kw
+
+    check()
