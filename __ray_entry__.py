@@ -938,6 +938,26 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(docs.map_batches(reflow, batch_format="pyarrow"))
 
 
+def _q_paragraph_dedup_keep_first(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from dxa_pagerank_ray.stages.paradedup import paragraph_dedup
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def reflow(b):
+        import pyarrow as pa
+
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pc.replace_substring_regex(
+                b["text"], pattern=_REFLOW_PAT, replacement="\\1\n"),
+        })
+
+    return paragraph_dedup(docs.map_batches(reflow, batch_format="pyarrow"),
+                           keep="first")
+
+
 def _q_pii_scrub(sf_dir: str):
     from dxa_pagerank_ray.stages.textops import pii_scrub
 
@@ -1008,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_keepers": _q_semantic_dedup,
         "docs_stratified_sample": _q_docs_stratified,
         "paragraph_dedup": _q_paragraph_dedup,
+        "paragraph_dedup_keep_first": _q_paragraph_dedup_keep_first,
         "pii_scrub": _q_pii_scrub,
         "doc_oov_counts": _q_doc_oov_counts,
         "docs_normalized": _q_docs_normalized,
@@ -1034,7 +1055,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
         "degree_distribution": tg.q_degree_distribution,
-        "host_graph": _q_host_graph,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
         "random_walks_weighted": _q_random_walks_weighted,
         # relational operator coverage
@@ -1057,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verifies every entry via tests/test_entry_oracle.py)
         "top_customers_revenue": rel.top_customers_by_revenue,
         "doc_contamination": _q_doc_contamination,
+        "host_graph": _q_host_graph,
         "ann_cosine_top10": _q_ann_top10,
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
@@ -1374,11 +1395,17 @@ def _pii_oracle_sql() -> str:
     )
 
 
-def _paragraph_dedup_oracle_sql(max_count: int = 1) -> str:
+def _paragraph_dedup_oracle_sql(max_count: int = 1,
+                                keep: str = "none") -> str:
     """Reflow (the SAME RE2 rewrite as the query) -> string_split on
     newline (DuckDB keeps empty fields, matching ``str.split``) ->
-    corpus-wide paragraph counts -> per-doc ordered reassembly of the
-    paragraphs with count <= max_count."""
+    corpus-wide paragraph counts -> per-doc ordered reassembly.
+    ``keep='none'`` keeps only paragraphs with count <= max_count;
+    ``keep='first'`` additionally keeps the globally-first occurrence
+    (min (doc_id, pidx), mirroring the engine's occurrence key)."""
+    survive = f"cnt.c <= {max_count}"
+    if keep == "first":
+        survive += (" OR p.doc_id * 2097152 + p.pidx = cnt.kk")
     return rf"""
 WITH rf AS (
   SELECT doc_id,
@@ -1390,12 +1417,14 @@ para AS (
          string_split(text, chr(10))[u.i] AS para
   FROM rf, unnest(range(1, len(string_split(text, chr(10))) + 1)) AS u(i)
 ),
-cnt AS (SELECT para, count(*) AS c FROM para GROUP BY para)
+cnt AS (SELECT para, count(*) AS c,
+               min(doc_id * 2097152 + pidx) AS kk
+        FROM para GROUP BY para)
 SELECT p.doc_id,
        coalesce(string_agg(p.para, chr(10) ORDER BY p.pidx)
-                FILTER (WHERE cnt.c <= {max_count}), '') AS clean_text,
+                FILTER (WHERE {survive}), '') AS clean_text,
        count(*) AS n_paras,
-       count(*) FILTER (WHERE cnt.c > {max_count}) AS n_dropped
+       count(*) FILTER (WHERE NOT ({survive})) AS n_dropped
 FROM para p JOIN cnt USING (para)
 GROUP BY p.doc_id
 """
@@ -1446,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_scrub": _pii_oracle_sql(),
         "paragraph_dedup": _paragraph_dedup_oracle_sql(),
+        "paragraph_dedup_keep_first": _paragraph_dedup_oracle_sql(keep="first"),
         "doc_oov_counts": rf"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) AS term

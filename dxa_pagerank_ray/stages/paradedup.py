@@ -69,17 +69,42 @@ def _explode(batch: pa.Table, delimiter: str, text_col: str,
     })
 
 
+# Occurrence key for keep="first": key = doc_id * _PIDX_LIMIT + pidx,
+# totally ordered by (doc_id, pidx).  Loud guards: ≤ 2^21 paragraphs
+# per document and doc ids < 2^42 (ample at the 10^12-doc design
+# point) keep the key inside int64.
+_PIDX_LIMIT = 1 << 21
+_DOC_ID_LIMIT = 1 << 42
+
+
 def duplicated_paragraphs(docs_ds, max_count: int = 1,
                           delimiter: str = "\n", text_col: str = "text",
                           id_col: str = "doc_id"):
-    """Dataset of ``(para, cnt)`` for every paragraph string occurring
-    more than ``max_count`` times corpus-wide."""
+    """Dataset of ``(para, cnt, keep_key)`` for every paragraph string
+    occurring more than ``max_count`` times corpus-wide; ``keep_key``
+    is the occurrence key of its globally-FIRST occurrence (min over
+    (doc_id, pidx)), computed in the same coarse aggregate as the
+    count."""
     import pyarrow.compute as pc
 
-    paras = docs_ds.map_batches(
-        lambda b: _explode(b, delimiter, text_col, id_col)
-        .select(["para"]), batch_format="pyarrow")
-    cnts = coarse_agg(paras, ["para"], [("para", "count", "cnt")])
+    def explode_keys(b: pa.Table) -> pa.Table:
+        ex = _explode(b, delimiter, text_col, id_col)
+        ids = ex[id_col].to_numpy(zero_copy_only=False)
+        pidx = ex["pidx"].to_numpy(zero_copy_only=False)
+        if len(ids) and (pidx.max() >= _PIDX_LIMIT
+                         or ids.max() >= _DOC_ID_LIMIT or ids.min() < 0):
+            raise ValueError(
+                "paragraph_dedup occurrence key overflow: need "
+                f"0 <= doc_id < 2^42 and < 2^21 paragraphs per doc "
+                f"(got doc_id max {ids.max()}, pidx max {pidx.max()})")
+        return pa.table({
+            "para": ex["para"],
+            "key": pa.array(ids * _PIDX_LIMIT + pidx, pa.int64()),
+        })
+
+    keyed = docs_ds.map_batches(explode_keys, batch_format="pyarrow")
+    cnts = coarse_agg(keyed, ["para"], [("para", "count", "cnt"),
+                                        ("key", "min", "keep_key")])
     return cnts.map_batches(
         lambda t: t.filter(pc.greater(t["cnt"], max_count)),
         batch_format="pyarrow")
@@ -115,37 +140,53 @@ def _assemble(ids: np.ndarray, pidx: np.ndarray, paras: list[str],
 
 def paragraph_dedup(docs_ds, max_count: int = 1, delimiter: str = "\n",
                     text_col: str = "text", id_col: str = "doc_id",
+                    keep: str = "none",
                     broadcast_limit: int | None = None,
                     num_groups: int | None = None):
     """(doc_id, clean_text, n_paras, n_dropped) — every input document
-    exactly once, ``clean_text`` its paragraphs with corpus-wide count
-    ≤ ``max_count``, joined by ``delimiter`` in original order (empty
-    string when everything was boilerplate)."""
+    exactly once, ``clean_text`` its surviving paragraphs joined by
+    ``delimiter`` in original order (empty string when everything was
+    boilerplate).  A paragraph with corpus-wide count ≤ ``max_count``
+    always survives; for repeated paragraphs ``keep`` selects the
+    semantics: ``"none"`` drops every occurrence (boilerplate removal),
+    ``"first"`` keeps exactly the globally-first occurrence by
+    (doc_id, pidx) — the CCNet/RefinedWeb line-dedup contract."""
     import ray
     import pyarrow.compute as pc
 
     from ..pipelines.relational import BROADCAST_ROW_LIMIT
 
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    keep_first = keep == "first"
     limit = BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
     dups = duplicated_paragraphs(docs_ds, max_count, delimiter,
                                  text_col, id_col).materialize()
 
     if dups.count() <= limit:
-        dup_ref = ray.put(frozenset(
-            s for b in dups.iter_batches(batch_size=1 << 20,
-                                         batch_format="pyarrow")
-            for s in b["para"].to_pylist()))
+        dup_map: dict[str, int] = {}
+        for b in dups.iter_batches(batch_size=1 << 20,
+                                   batch_format="pyarrow"):
+            dup_map.update(zip(b["para"].to_pylist(),
+                               b["keep_key"].to_pylist()))
+        dup_ref = ray.put(dup_map)
 
         def scrub(batch: pa.Table) -> pa.Table:
             dup = ray.get(dup_ref)
             ex = _explode(batch, delimiter, text_col, id_col)
             ids = ex[id_col].to_numpy(zero_copy_only=False)
+            pidx = ex["pidx"].to_numpy(zero_copy_only=False)
             paras = ex["para"].to_pylist()
-            dropped = np.fromiter((p in dup for p in paras), dtype=bool,
-                                  count=len(paras))
+            if keep_first:
+                dropped = np.fromiter(
+                    (dup.get(p, -1) not in (-1, int(i) * _PIDX_LIMIT + int(j))
+                     for p, i, j in zip(paras, ids, pidx)),
+                    dtype=bool, count=len(paras))
+            else:
+                dropped = np.fromiter((p in dup for p in paras),
+                                      dtype=bool, count=len(paras))
             # explode emits rows already in (doc, pidx) order
-            return _assemble(ids, ex["pidx"].to_numpy(zero_copy_only=False),
-                             paras, dropped, delimiter, id_col)
+            return _assemble(ids, pidx, paras, dropped, delimiter, id_col)
 
         return docs_ds.map_batches(scrub, batch_format="pyarrow")
 
@@ -163,9 +204,11 @@ def paragraph_dedup(docs_ds, max_count: int = 1, delimiter: str = "\n",
             "part", pa.array(hash64(ex["para"]) % np.int64(G), pa.int64()))
 
     def tag_dup(batch: pa.Table) -> pa.Table:
+        # the dup side rides keep_key in the "pidx" column (doc rows
+        # are distinguished by a non-null doc id)
         return pa.table({
             id_col: pa.nulls(batch.num_rows, pa.int64()),
-            "pidx": pa.nulls(batch.num_rows, pa.int64()),
+            "pidx": batch["keep_key"],
             "para": batch["para"],
             "part": pa.array(hash64(batch["para"]) % np.int64(G),
                              pa.int64()),
@@ -176,14 +219,24 @@ def paragraph_dedup(docs_ds, max_count: int = 1, delimiter: str = "\n",
 
     def mark(t: pa.Table) -> pa.Table:
         is_dup = pc.is_null(t[id_col])
-        dup_vals = t.filter(is_dup)["para"].combine_chunks()
+        dup_side = t.filter(is_dup)
+        dup_vals = dup_side["para"].combine_chunks()
         rows = t.filter(pc.invert(is_dup))
-        hit = pc.is_valid(pc.index_in(rows["para"], value_set=dup_vals))
+        pos = pc.index_in(rows["para"], value_set=dup_vals)
+        hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        if keep_first and len(dup_vals):
+            keep_keys = dup_side["pidx"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            idx = pc.fill_null(pos, 0).to_numpy(zero_copy_only=False)
+            row_keys = (rows[id_col].to_numpy(zero_copy_only=False)
+                        * _PIDX_LIMIT
+                        + rows["pidx"].to_numpy(zero_copy_only=False))
+            hit = hit & (keep_keys[idx] != row_keys)
         return pa.table({
             id_col: rows[id_col],
             "pidx": rows["pidx"],
             "para": rows["para"],
-            "dropped": hit,
+            "dropped": pa.array(hit),
             "dpart": pa.array(
                 rows[id_col].to_numpy(zero_copy_only=False) % np.int64(G),
                 pa.int64()),

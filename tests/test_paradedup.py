@@ -246,3 +246,64 @@ def test_paragraph_dedup_matches_python_oracle_property():
             assert got_rows == exp, kw
 
     check()
+
+
+@pytest.mark.parametrize("tier", ["broadcast", "distributed"])
+def test_paragraph_dedup_keep_first(tier):
+    ds = rd.from_arrow(DOCS).repartition(3)
+    kw = {"broadcast_limit": 0, "num_groups": 4} \
+        if tier == "distributed" else {}
+    out = _run(ds, keep="first", **kw)
+    # doc 0 holds the globally-first occurrence of both BOILER and
+    # "shared tail", so it survives intact; later occurrences drop
+    assert out["clean_text"].tolist() == [
+        f"{BOILER}\nunique prose alpha\nshared tail",
+        "unique prose beta",
+        "unique prose gamma",
+        "",
+        "",
+    ]
+    assert out["n_dropped"].tolist() == [0, 1, 1, 0, 2]
+
+
+def test_paragraph_dedup_keep_first_property():
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    paras = st.sampled_from(["dup one", "dup two", "", "x"])
+    doc = st.lists(paras, min_size=0, max_size=4).map("\n".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=15))
+    def check(texts):
+        cnt = Counter(p for t in texts for p in t.split("\n"))
+        first = {}
+        for i, t in enumerate(texts):
+            for j, p in enumerate(t.split("\n")):
+                first.setdefault(p, (i, j))
+        exp = []
+        for i, t in enumerate(texts):
+            ps = t.split("\n")
+            kept = [p for j, p in enumerate(ps)
+                    if cnt[p] <= 1 or first[p] == (i, j)]
+            exp.append((i, "\n".join(kept), len(ps), len(ps) - len(kept)))
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": texts})
+        for kw in ({}, {"broadcast_limit": 0, "num_groups": 3}):
+            got = paragraph_dedup(rd.from_arrow(tbl).repartition(4),
+                                  keep="first", **kw) \
+                .to_pandas().sort_values("doc_id")
+            got_rows = list(zip(got["doc_id"], got["clean_text"],
+                                got["n_paras"], got["n_dropped"]))
+            assert got_rows == exp, kw
+
+    check()
+
+
+def test_paragraph_dedup_key_overflow_guard():
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1 << 50], pa.int64()), "text": ["a"]}))
+    with pytest.raises(Exception, match="occurrence key overflow"):
+        paragraph_dedup(ds).to_pandas()
