@@ -919,10 +919,8 @@ def _q_lang_id(sf_dir: str):
 _REFLOW_PAT = r"((?:\S+ ){11}\S+) "
 
 
-def _q_paragraph_dedup(sf_dir: str):
+def _reflowed_docs(sf_dir: str):
     import pyarrow.compute as pc
-
-    from dxa_pagerank_ray.stages.paradedup import paragraph_dedup
 
     docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -935,27 +933,19 @@ def _q_paragraph_dedup(sf_dir: str):
                 b["text"], pattern=_REFLOW_PAT, replacement="\\1\n"),
         })
 
-    return paragraph_dedup(docs.map_batches(reflow, batch_format="pyarrow"))
+    return docs.map_batches(reflow, batch_format="pyarrow")
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    from dxa_pagerank_ray.stages.paradedup import paragraph_dedup
+
+    return paragraph_dedup(_reflowed_docs(sf_dir))
 
 
 def _q_paragraph_dedup_keep_first(sf_dir: str):
-    import pyarrow.compute as pc
-
     from dxa_pagerank_ray.stages.paradedup import paragraph_dedup
 
-    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def reflow(b):
-        import pyarrow as pa
-
-        return pa.table({
-            "doc_id": b["doc_id"],
-            "text": pc.replace_substring_regex(
-                b["text"], pattern=_REFLOW_PAT, replacement="\\1\n"),
-        })
-
-    return paragraph_dedup(docs.map_batches(reflow, batch_format="pyarrow"),
-                           keep="first")
+    return paragraph_dedup(_reflowed_docs(sf_dir), keep="first")
 
 
 def _q_pii_scrub(sf_dir: str):
@@ -995,8 +985,8 @@ def _bpe_oracle_sql() -> str:
     from dxa_pagerank_ray.stages.textops import BPE_PIECE_RE
 
     pat = BPE_PIECE_RE.replace("'", "''")
-    return (f"SELECT doc_id, len(regexp_extract_all(text, '{pat}')) "
-            "AS n_pieces FROM documents")
+    return ("SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), "
+            f"'{pat}')) AS n_pieces FROM documents")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1377,7 +1367,7 @@ def _pii_oracle_sql() -> str:
     from dxa_pagerank_ray.stages.textops import PII_PATTERNS
 
     ctes, prev, counts = [], "documents", []
-    txt = "text"
+    txt = "coalesce(text, '')"  # engine fill_null contract
     for i, (out, pat, repl) in enumerate(PII_PATTERNS):
         carried = ", ".join(counts)
         carried = carried + ", " if carried else ""
@@ -1409,7 +1399,7 @@ def _paragraph_dedup_oracle_sql(max_count: int = 1,
     return rf"""
 WITH rf AS (
   SELECT doc_id,
-         regexp_replace(text, '{_REFLOW_PAT}', '\1' || chr(10), 'g') AS text
+         regexp_replace(coalesce(text, ''), '{_REFLOW_PAT}', '\1' || chr(10), 'g') AS text
   FROM documents
 ),
 para AS (
@@ -1496,9 +1486,9 @@ GROUP BY d.doc_id
 """,
         "doc_bpe_token_counts": _bpe_oracle_sql(),
         "docs_normalized": (
-            r"SELECT doc_id, regexp_replace(regexp_replace(text, "
-            r"'[\t\n\f\r ]+', ' ', 'g'), '^ | $', '', 'g') "
-            "AS norm_text FROM documents"
+            r"SELECT doc_id, regexp_replace(regexp_replace("
+            r"coalesce(text, ''), '[\t\n\f\r ]+', ' ', 'g'), "
+            r"'^ | $', '', 'g') AS norm_text FROM documents"
         ),
         "q1_pricing_summary": rel.Q1_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,

@@ -40,10 +40,10 @@ import pyarrow as pa
 
 from ..context import derive_num_groups
 from .agg import coarse_agg
-from .ids import hash64
 
-_OUT_SCHEMA = [("clean_text", pa.string()), ("n_paras", pa.int64()),
-               ("n_dropped", pa.int64())]
+# Byte budget for the broadcast tier's dup table (same order as the
+# repo's other driver-side broadcasts: ~hundreds of MB, not GB).
+_BROADCAST_BYTES = 256 << 20
 
 
 def _explode(batch: pa.Table, delimiter: str, text_col: str,
@@ -154,6 +154,7 @@ def paragraph_dedup(docs_ds, max_count: int = 1, delimiter: str = "\n",
     import ray
     import pyarrow.compute as pc
 
+    from ..context import estimate_size_bytes
     from ..pipelines.relational import BROADCAST_ROW_LIMIT
 
     if keep not in ("none", "first"):
@@ -163,45 +164,64 @@ def paragraph_dedup(docs_ds, max_count: int = 1, delimiter: str = "\n",
     dups = duplicated_paragraphs(docs_ds, max_count, delimiter,
                                  text_col, id_col).materialize()
 
-    if dups.count() <= limit:
-        dup_map: dict[str, int] = {}
-        for b in dups.iter_batches(batch_size=1 << 20,
-                                   batch_format="pyarrow"):
-            dup_map.update(zip(b["para"].to_pylist(),
-                               b["keep_key"].to_pylist()))
-        dup_ref = ray.put(dup_map)
+    # Rows alone don't bound the broadcast (paragraphs are arbitrary-
+    # length strings): also require the materialized dup table's byte
+    # size under the same ~hundreds-of-MB budget the row limit models.
+    est = estimate_size_bytes(dups)
+    if dups.count() <= limit and (est is None or est <= _BROADCAST_BYTES):
+        parts = [b for b in dups.iter_batches(batch_size=1 << 20,
+                                              batch_format="pyarrow")
+                 if b.num_rows]
+        dup_tbl = (pa.concat_tables(parts).combine_chunks() if parts
+                   else pa.table({"para": pa.array([], pa.string()),
+                                  "keep_key": pa.array([], pa.int64())}))
+        # ship as Arrow arrays (zero-copy from plasma per task, unlike
+        # a dict which re-unpickles per ray.get)
+        dup_ref = ray.put((dup_tbl["para"].combine_chunks(),
+                           dup_tbl["keep_key"].combine_chunks()
+                           .to_numpy(zero_copy_only=False)))
 
         def scrub(batch: pa.Table) -> pa.Table:
-            dup = ray.get(dup_ref)
+            dup_paras, keep_keys = ray.get(dup_ref)
             ex = _explode(batch, delimiter, text_col, id_col)
             ids = ex[id_col].to_numpy(zero_copy_only=False)
             pidx = ex["pidx"].to_numpy(zero_copy_only=False)
-            paras = ex["para"].to_pylist()
-            if keep_first:
-                dropped = np.fromiter(
-                    (dup.get(p, -1) not in (-1, int(i) * _PIDX_LIMIT + int(j))
-                     for p, i, j in zip(paras, ids, pidx)),
-                    dtype=bool, count=len(paras))
-            else:
-                dropped = np.fromiter((p in dup for p in paras),
-                                      dtype=bool, count=len(paras))
+            pos = pc.index_in(ex["para"], value_set=dup_paras)
+            dropped = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+            if keep_first and len(dup_paras):
+                idx = pc.fill_null(pos, 0).to_numpy(zero_copy_only=False)
+                dropped = dropped & (keep_keys[idx]
+                                     != ids * _PIDX_LIMIT + pidx)
             # explode emits rows already in (doc, pidx) order
-            return _assemble(ids, pidx, paras, dropped, delimiter, id_col)
+            return _assemble(ids, pidx, ex["para"].to_pylist(), dropped,
+                             delimiter, id_col)
 
         return docs_ds.map_batches(scrub, batch_format="pyarrow")
 
     # Distributed tier: semi-join on paragraph hash partitions, then a
     # doc-keyed reassembly shuffle.  Collision-free marking: within a
     # hash partition the dup strings are compared by VALUE (index_in),
-    # the 63-bit hash only routes.
+    # the 63-bit hash only routes (same key function as agg._part_for,
+    # reused so co-partitioning with coarse_agg-derived tables holds).
+    from .agg import _part_for
+
     G = num_groups or derive_num_groups(docs_ds, dups)
-    ex_schema = pa.schema([(id_col, pa.int64()), ("pidx", pa.int64()),
-                           ("para", pa.string())])
+
+    def _para_parts(col) -> np.ndarray:
+        # hash each DISTINCT paragraph once per batch (blake2b is a
+        # per-string Python call; batches repeat boilerplate heavily)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        uniq = pc.unique(col)
+        upart = _part_for(uniq, G)
+        idx = pc.index_in(col, value_set=uniq) \
+            .to_numpy(zero_copy_only=False)
+        return upart[idx]
 
     def tag_doc(batch: pa.Table) -> pa.Table:
         ex = _explode(batch, delimiter, text_col, id_col)
         return ex.append_column(
-            "part", pa.array(hash64(ex["para"]) % np.int64(G), pa.int64()))
+            "part", pa.array(_para_parts(ex["para"]), pa.int64()))
 
     def tag_dup(batch: pa.Table) -> pa.Table:
         # the dup side rides keep_key in the "pidx" column (doc rows
@@ -210,8 +230,7 @@ def paragraph_dedup(docs_ds, max_count: int = 1, delimiter: str = "\n",
             id_col: pa.nulls(batch.num_rows, pa.int64()),
             "pidx": batch["keep_key"],
             "para": batch["para"],
-            "part": pa.array(hash64(batch["para"]) % np.int64(G),
-                             pa.int64()),
+            "part": pa.array(_para_parts(batch["para"]), pa.int64()),
         })
 
     both = docs_ds.map_batches(tag_doc, batch_format="pyarrow").union(
