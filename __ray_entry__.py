@@ -1023,6 +1023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov_counts": _q_doc_oov_counts,
         "docs_normalized": _q_docs_normalized,
         "doc_bpe_token_counts": _q_doc_bpe_token_counts,
+        "clustering_coefficients": tg.q_clustering_coefficients,
+        "global_clustering": tg.q_global_clustering,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -1432,6 +1434,8 @@ def oracle_sql() -> dict[str, str]:
         "dangling_vertices": tg.SQL["dangling_vertices"],
         "triangle_count": tg.SQL["triangle_count"],
         "triangle_count_shuffle": tg.SQL["triangle_count"],
+        "clustering_coefficients": tg.SQL["clustering_coefficients"],
+        "global_clustering": tg.SQL["global_clustering"],
         "degree_distribution": tg.SQL["degree_distribution"],
         "host_graph": _host_graph_oracle_sql(),
         "host_pagerank_fixed4": _host_pagerank_oracle_sql(),

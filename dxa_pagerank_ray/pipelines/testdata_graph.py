@@ -189,6 +189,33 @@ def q_triangle_per_vertex(sf_dir: str):
     })
 
 
+def q_clustering_coefficients(sf_dir: str):
+    """Per-vertex local clustering coefficients (Watts & Strogatz
+    1998) on the customer graph: ``(v, deg, triangles, lcc_nano)`` for
+    every vertex with >= 1 canonical edge, lcc = 2*tri/(deg*(deg-1))
+    in exact integer nano-units (floor division — identical in numpy
+    and DuckDB HUGEINT, so the value hash is bit-stable).  Returned as
+    the distributed Dataset itself (V-sized output stays off the
+    driver)."""
+    from .triangles import clustering_coefficients
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    return clustering_coefficients(edges, n)
+
+
+def q_global_clustering(sf_dir: str):
+    """One-row transitivity (3T/wedges) + network-average local
+    clustering coefficient, integer nano — the whole-graph summary of
+    ``clustering_coefficients`` (driver holds Python-int scalars
+    only)."""
+    from .triangles import global_clustering
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    return global_clustering(edges, n)
+
+
 def q_pagerank_top20(sf_dir: str):
     """Top-20 customer-graph vertices by lump PageRank (1e-8
     convergence) on the pinned CSR engine.  Output is (v, rank) —
@@ -815,6 +842,48 @@ SQL = {
         "SELECT v, count(*) AS triangles FROM corners GROUP BY v"
     ),
 }
+
+# shared CTE prefix for the clustering-coefficient oracles: canonical
+# undirected simple customer graph -> per-vertex degree + triangle count
+_LCC_CTES = (
+    "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+    "o_orderkey % {mod} AS dst FROM orders "
+    "WHERE o_custkey <> o_orderkey % {mod}), "
+    "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM raw), "
+    "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+    "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+    "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+    "corners AS (SELECT x AS v FROM tri UNION ALL "
+    "SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+    "vt AS (SELECT v, count(*) AS triangles FROM corners GROUP BY v), "
+    "dg AS (SELECT v, count(*) AS deg FROM "
+    "(SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v), "
+    # lcc in exact int128 (HUGEINT) floor division, cast back to BIGINT
+    "lcc AS (SELECT dg.v AS v, dg.deg AS deg, "
+    "coalesce(vt.triangles, 0) AS triangles, "
+    "CASE WHEN dg.deg >= 2 THEN CAST("
+    "(2 * CAST(coalesce(vt.triangles, 0) AS HUGEINT) * 1000000000) "
+    "// (CAST(dg.deg AS HUGEINT) * (dg.deg - 1)) AS BIGINT) "
+    "ELSE 0 END AS lcc_nano "
+    "FROM dg LEFT JOIN vt ON vt.v = dg.v) "
+)
+
+SQL["clustering_coefficients"] = (
+    _LCC_CTES + "SELECT v, deg, triangles, lcc_nano FROM lcc"
+).format(mod=CUSTOMER_MOD)
+
+SQL["global_clustering"] = (
+    _LCC_CTES +
+    "SELECT count(*) AS n_vertices, "
+    "CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges, "
+    "(SELECT count(*) FROM tri) AS n_triangles, "
+    "CAST((3 * (SELECT count(*) FROM tri)::HUGEINT * 1000000000) "
+    "// CAST(sum(deg * (deg - 1) // 2) AS HUGEINT) AS BIGINT) "
+    "AS transitivity_nano, "
+    "CAST(sum(lcc_nano) // count(*) AS BIGINT) AS avg_lcc_nano "
+    "FROM lcc"
+).format(mod=CUSTOMER_MOD)
 
 
 def pagerank_core_sql(rounds: int, damping: float, final_select: str,

@@ -295,7 +295,8 @@ def triangle_count(edges_ds, num_vertices: int,
 def per_vertex_triangles(edges_ds, num_vertices: int,
                          batch_size: int = 1 << 16,
                          broadcast_limit: int | None = None,
-                         num_partitions: int = 64):
+                         num_partitions: int = 64,
+                         _canon=None):
     """-> Dataset (v, triangles) for every vertex in at least one
     triangle — the per-vertex refinement of ``triangle_count`` (local
     clustering coefficient's numerator; a standard link-spam /
@@ -313,7 +314,8 @@ def per_vertex_triangles(edges_ds, num_vertices: int,
 
     n = num_vertices
     limit = BROADCAST_EDGE_LIMIT if broadcast_limit is None else broadcast_limit
-    canon = _canonicalize(edges_ds).materialize()
+    canon = (_canon if _canon is not None
+             else _canonicalize(edges_ds).materialize())
     if canon.count() > limit or n >= (1 << 31):
         return _per_vertex_triangles_shuffle(canon, num_partitions)
     t = pa.concat_tables(
@@ -449,3 +451,121 @@ def _per_vertex_triangles_shuffle(canon, num_partitions: int):
 
     corner_ds = closed.map_batches(corners, batch_format="pyarrow")
     return coarse_agg(corner_ds, ["v"], [("v", "count", "triangles")])
+
+
+def clustering_coefficients(edges_ds, num_vertices: int,
+                            batch_size: int = 1 << 16,
+                            broadcast_limit: int | None = None,
+                            num_partitions: int = 64):
+    """-> Dataset ``(v, deg, triangles, lcc_nano)`` over every vertex
+    with >= 1 edge in the canonical simple graph: the LOCAL CLUSTERING
+    COEFFICIENT (Watts & Strogatz 1998) ``2*tri / (deg*(deg-1))``,
+    shipped as INTEGER nano-units via floor division (identical in
+    numpy and SQL, so values are hash-exact vs the DuckDB oracle —
+    same contract as ``jaccard_related_topk``).  Vertices with
+    ``deg < 2`` score 0; isolated vertices never appear (no edge rows
+    to derive them from — the oracle applies the same domain).
+
+    Shape: NO join.  Degree partials ``(v, deg, 0)`` stream off the
+    canonical edges, the sparse per-vertex triangle rows re-emit as
+    ``(v, 0, triangles)``, and ONE ``coarse_agg`` over the union sums
+    both columns — fully distributed, nothing O(V) on the driver, and
+    the triangle side reuses ``per_vertex_triangles``'s dual-tier
+    dispatch on the SAME materialized canonical edge set.
+
+    Overflow honesty at web scale: ``2*tri*1e9`` exceeds int64 once
+    ``tri > ~4.6e9`` (a vertex whose neighborhood closes billions of
+    wedges).  The vectorized int64 path covers everything below that;
+    the rare hub rows fall back to exact Python big-int division, so
+    results stay exact instead of silently wrapping.  The SQL oracle
+    computes in HUGEINT (int128) for the same reason."""
+    from ..stages.agg import coarse_agg
+
+    canon = _canonicalize(edges_ds).materialize()
+    tri = per_vertex_triangles(edges_ds, num_vertices,
+                               batch_size=batch_size,
+                               broadcast_limit=broadcast_limit,
+                               num_partitions=num_partitions,
+                               _canon=canon)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        v = np.concatenate([b["src"].to_numpy(zero_copy_only=False),
+                            b["dst"].to_numpy(zero_copy_only=False)])
+        vs, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vs, pa.int64()),
+                         "deg": pa.array(cnt, pa.int64()),
+                         "triangles": pa.array(
+                             np.zeros(len(vs), dtype=np.int64), pa.int64())})
+
+    def tri_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"v": b["v"],
+                         "deg": pa.array(
+                             np.zeros(b.num_rows, dtype=np.int64), pa.int64()),
+                         "triangles": b["triangles"]})
+
+    merged = coarse_agg(
+        canon.map_batches(deg_partial, batch_format="pyarrow").union(
+            tri.map_batches(tri_rows, batch_format="pyarrow")),
+        ["v"], [("deg", "sum", "deg"), ("triangles", "sum", "triangles")])
+
+    _NANO = 1_000_000_000
+    _SAFE_TRI = ((1 << 63) - 1) // (2 * _NANO)  # int64-safe numerator bound
+
+    def finalize(t: pa.Table) -> pa.Table:
+        deg = t["deg"].to_numpy(zero_copy_only=False)
+        tri_ = t["triangles"].to_numpy(zero_copy_only=False)
+        denom = deg * (deg - 1)
+        lcc = np.where(denom >= 2,
+                       (2 * np.minimum(tri_, _SAFE_TRI) * _NANO)
+                       // np.maximum(denom, 1), 0)
+        big = tri_ > _SAFE_TRI  # exact big-int fallback, vanishingly rare
+        if big.any():
+            for i in np.flatnonzero(big):
+                lcc[i] = (2 * int(tri_[i]) * _NANO) // int(denom[i])
+        return pa.table({"v": t["v"], "deg": t["deg"],
+                         "triangles": t["triangles"],
+                         "lcc_nano": pa.array(lcc, pa.int64())})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def global_clustering(edges_ds, num_vertices: int,
+                      num_partitions: int = 64) -> pa.Table:
+    """One-row graph diagnostic: TRANSITIVITY (3*triangles / wedges,
+    the global clustering coefficient) and the network-average local
+    coefficient (mean of ``lcc`` over vertices with >= 1 edge, deg<2
+    counting 0 — the Watts-Strogatz average), both as integer
+    nano-units.  Wedges = sum over vertices of C(deg, 2).
+
+    Reduction shape: the per-vertex table collapses to one partial row
+    per block (sum_lcc, sum_wedges, sum_tri, n) — driver work is
+    summing a handful of int rows with PYTHON ints (arbitrary
+    precision, so the 3*T*1e9 numerator can't overflow at any scale)."""
+    lcc = clustering_coefficients(edges_ds, num_vertices,
+                                  num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        deg = t["deg"].to_numpy(zero_copy_only=False)
+        tri_ = t["triangles"].to_numpy(zero_copy_only=False)
+        lc = t["lcc_nano"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "wedges": pa.array([int((deg * (deg - 1) // 2).sum())], pa.int64()),
+            "tri3": pa.array([int(tri_.sum())], pa.int64()),
+            "lcc_sum": pa.array([int(lc.sum())], pa.int64()),
+        })
+
+    rows = lcc.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    wedges = sum(int(r["wedges"]) for r in rows)
+    tri3 = sum(int(r["tri3"]) for r in rows)  # 3 * n_triangles (corner sum)
+    lcc_sum = sum(int(r["lcc_sum"]) for r in rows)
+    trans = (tri3 * 1_000_000_000) // wedges if wedges else 0
+    avg = lcc_sum // n if n else 0
+    return pa.table({
+        "n_vertices": pa.array([n], pa.int64()),
+        "n_wedges": pa.array([wedges], pa.int64()),
+        "n_triangles": pa.array([tri3 // 3], pa.int64()),
+        "transitivity_nano": pa.array([trans], pa.int64()),
+        "avg_lcc_nano": pa.array([avg], pa.int64()),
+    })

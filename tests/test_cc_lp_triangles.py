@@ -139,3 +139,50 @@ def test_per_vertex_triangles_tiers_agree(ray_session):
     total = triangle_count(edges, g.num_vertices)
     assert int(bc["triangles"].sum()) == 3 * total
     assert (bc["triangles"] > 0).all()
+
+
+def test_clustering_coefficients(ray_session):
+    """Local coefficients: known answer on the 'kite' graph (triangle
+    0-1-2 plus pendant 2-3), tier equality under a forced shuffle
+    dispatch, and the global summary's exact integer identities."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.pipelines.triangles import (
+        clustering_coefficients,
+        global_clustering,
+    )
+
+    kite = pa.table({"src": pa.array([0, 1, 2, 2], pa.int64()),
+                     "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    got = clustering_coefficients(rd.from_arrow(kite), 4).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert got["v"].tolist() == [0, 1, 2, 3]
+    assert got["deg"].tolist() == [2, 2, 3, 1]
+    assert got["triangles"].tolist() == [1, 1, 1, 0]
+    # lcc: v0=v1=1.0, v2=2*1/(3*2)=1/3 floor-div nano, v3 deg<2 -> 0
+    third = (2 * 10**9) // 6
+    assert got["lcc_nano"].tolist() == [10**9, 10**9, third, 0]
+
+    g = global_clustering(rd.from_arrow(kite), 4)
+    assert g["n_vertices"][0].as_py() == 4
+    # wedges: C(2,2)+C(2,2)+C(3,2)+0 = 1+1+3 = 5; transitivity 3*1/5
+    assert g["n_wedges"][0].as_py() == 5
+    assert g["n_triangles"][0].as_py() == 1
+    assert g["transitivity_nano"][0].as_py() == (3 * 10**9) // 5
+    assert g["avg_lcc_nano"][0].as_py() == \
+        (10**9 + 10**9 + third + 0) // 4
+
+    from dxa_pagerank_ray.pipelines.graph_build import build_link_graph
+    from dxa_pagerank_ray.sources.pages import pages_table
+
+    gg = build_link_graph(rd.from_arrow(pages_table(120, seed=9)),
+                          num_partitions=4)
+    edges = gg.edges.materialize()
+    bc = clustering_coefficients(edges, gg.num_vertices).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    sh = clustering_coefficients(edges, gg.num_vertices,
+                                 broadcast_limit=0).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert bc.equals(sh)
+    assert (bc["lcc_nano"] <= 10**9).all()
