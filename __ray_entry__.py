@@ -1025,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_counts": _q_doc_bpe_token_counts,
         "clustering_coefficients": tg.q_clustering_coefficients,
         "global_clustering": tg.q_global_clustering,
+        "trustrank_fixed4": tg.q_trustrank_fixed4,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -1436,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_shuffle": tg.SQL["triangle_count"],
         "clustering_coefficients": tg.SQL["clustering_coefficients"],
         "global_clustering": tg.SQL["global_clustering"],
+        "trustrank_fixed4": tg.SQL["trustrank_fixed4"],
         "degree_distribution": tg.SQL["degree_distribution"],
         "host_graph": _host_graph_oracle_sql(),
         "host_pagerank_fixed4": _host_pagerank_oracle_sql(),

@@ -279,6 +279,72 @@ def q_ppr_fixed4(sf_dir: str):
                      "pr_nano": pa.array(pr_nano, pa.int64())})
 
 
+_TRUST_SEEDS = 50
+
+
+def q_trustrank_fixed4(sf_dir: str):
+    """TRUSTRANK + SPAM MASS (Gyongyi, Garcia-Molina & Pedersen, VLDB
+    2004; spam mass: Gyongyi et al. 2006) on the customer graph — the
+    full composite, each stage on the pinned CSR engine:
+
+    1. INVERSE PageRank (4 rounds on the reversed edge set) ranks
+       pages by how many pages they reach — the paper's seed-candidate
+       scorer.
+    2. Seed selection: top ``_TRUST_SEEDS`` by (inv_nano desc, v);
+       the paper's human oracle is a deterministic stand-in here
+       (``v % 2 == 0`` marks a candidate trusted).
+    3. TrustRank: personalized PageRank with teleport uniform over the
+       trusted set (4 rounds + dangling restore).
+    4. Spam mass per vertex: ``max(pr - trust, 0) / pr`` over the
+       baseline PageRank, in exact integer nano arithmetic (floor
+       division — identical in numpy and SQL).
+
+    All three rank vectors are integer-nano rounded BEFORE any
+    comparison, so seed cuts and spam mass are hash-exact vs the
+    oracle (three nested unrolled-SQL PageRank runs).  The dense
+    O(V) collect is query-tier convenience at gate scale, as in
+    ``pagerank_fixed4``; at 1e12 vertices seed selection runs through
+    the engine's distributed ``top_k`` and spam mass becomes a
+    zip-join over the three per-partition rank sinks."""
+    from .pagerank_csr import PageRankCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    redges = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    eng = PageRankCSR(redges, n, num_partitions=8, damping=0.85)
+    res = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    inv_nano = np.floor(res.pr * 1e9 + 0.5).astype(np.int64)
+    cand = np.lexsort((np.arange(n, dtype=np.int64),
+                       -inv_nano))[:_TRUST_SEEDS]
+    trusted = cand[cand % 2 == 0]
+
+    eng = PageRankCSR(edges, n, num_partitions=8, damping=0.85)
+    res_b = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    pr_nano = np.floor(res_b.pr * 1e9 + 0.5).astype(np.int64)
+
+    eng = PageRankCSR(edges, n, num_partitions=8, damping=0.85)
+    eng.personalize(trusted)
+    res_t = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    trust_nano = np.floor(res_t.pr * 1e9 + 0.5).astype(np.int64)
+
+    # pr >= (1-d)/N > 0 everywhere, so pr_nano >= 1 at any gate scale;
+    # the maximum() is belt-and-braces for degenerate tiny graphs
+    sm = (np.maximum(pr_nano - trust_nano, 0) * np.int64(1_000_000_000)
+          // np.maximum(pr_nano, 1))
+    v = np.arange(n, dtype=np.int64)
+    return pa.table({"v": pa.array(v, pa.int64()),
+                     "pr_nano": pa.array(pr_nano, pa.int64()),
+                     "trust_nano": pa.array(trust_nano, pa.int64()),
+                     "spam_mass_nano": pa.array(sm, pa.int64())})
+
+
 def q_hits_fixed4(sf_dir: str):
     """HITS hubs & authorities (4 L2-normalized rounds, Kleinberg
     1999) on the customer graph via the bidirectional CSR shard engine;
@@ -888,13 +954,14 @@ SQL["global_clustering"] = (
 
 def pagerank_core_sql(rounds: int, damping: float, final_select: str,
                       weighted: bool = False,
-                      personalized: bool = False) -> str:
+                      personalized: bool = False,
+                      tag: str = "", raw_name: str = "raw") -> str:
     """The reusable unrolled lump-PageRank middle: given CTEs
     ``raw(src, dst)`` (deduplicated directed edges over integer vertex
     ids; plus ``w`` when ``weighted``), ``nv(n)`` and ``verts(v)``
     already open in a WITH list, appends odeg/pr0/dp0 + ``rounds``
     materialized iterations + the final dangling restore, then
-    ``final_select`` (which reads ``fin(v, pr)``).  Mirrors
+    ``final_select`` (which reads ``fin{tag}(v, pr)``).  Mirrors
     ``pagerank_lump`` term-by-term (same expression association, so
     engines differ only by summation-order ulps, absorbed by integer
     nano rounding in the callers).  Weighted: ``outdeg`` becomes the
@@ -902,61 +969,80 @@ def pagerank_core_sql(rounds: int, damping: float, final_select: str,
     ``(pr / strength) * w`` — the engine/numpy association.
     Personalized: expects an additional CTE ``tp(v, tv)`` (the teleport
     distribution over seed vertices); init, the (1-d) term and the
-    dangling lump use ``tv`` in place of 1/N."""
+    dangling lump use ``tv`` in place of 1/N.
+
+    ``tag`` suffixes every generated CTE name and ``raw_name`` renames
+    the edge input, so several unrolled runs can share ONE flat WITH
+    list (the trustrank oracle chains three) — required because DuckDB
+    neither allows nested MATERIALIZED CTEs to shadow an outer name
+    nor tolerates un-materialized nesting (the per-round CTEs are each
+    referenced 3x, so default inlining re-evaluates rounds
+    exponentially; measured 254 s vs <2 s at sf0.001).  Passing
+    ``final_select=""`` ends the output at the ``fin{tag}`` CTE so the
+    caller can keep appending to the same WITH list."""
     d = repr(damping)
     deg_expr = "sum(w)" if weighted else "count(*)"
     gat = ("p.pr / odeg.outdeg * raw.w" if weighted
            else "p.pr / odeg.outdeg")
     tj = " LEFT JOIN tp ON tp.v = p.v" if personalized else ""
     tv = "COALESCE(tp.tv, 0)"
+    o, raw = f"odeg{tag}", raw_name
+
+    def pr(k: int) -> str:
+        return f"pr{k}{tag}"
+
+    def dp(k: int) -> str:
+        return f"dp{k}{tag}"
+
     if personalized:
         base = f"(1.0 - {d}) * {tv}"
         lump = "* " + tv
         init = ("SELECT verts.v, COALESCE(tp.tv, 0) AS pr,\n"
                 "               odeg.outdeg IS NOT NULL AS nd\n"
-                "        FROM verts LEFT JOIN odeg ON odeg.v = verts.v\n"
+                f"        FROM verts LEFT JOIN {o} odeg ON odeg.v = verts.v\n"
                 "        LEFT JOIN tp ON tp.v = verts.v")
         # COALESCE: an empty sum (no dangling vertices) is NULL in SQL
         dp0 = ("SELECT CAST(COALESCE(sum(pr) FILTER (WHERE NOT nd), 0) "
-               "AS DOUBLE) AS dpr FROM pr0")
+               f"AS DOUBLE) AS dpr FROM {pr(0)}")
     else:
         base = f"(1.0 - {d}) / (SELECT n FROM nv)"
         lump = "/ (SELECT n FROM nv)"
         init = ("SELECT verts.v, 1.0 / (SELECT n FROM nv) AS pr,\n"
                 "               odeg.outdeg IS NOT NULL AS nd\n"
-                "        FROM verts LEFT JOIN odeg ON odeg.v = verts.v")
+                f"        FROM verts LEFT JOIN {o} odeg ON odeg.v = verts.v")
         dp0 = ("SELECT CAST(count(*) FILTER (WHERE NOT nd) AS DOUBLE)\n"
-               "               / (SELECT n FROM nv) AS dpr FROM pr0")
+               f"               / (SELECT n FROM nv) AS dpr FROM {pr(0)}")
     head = f"""
-odeg AS (SELECT src AS v, {deg_expr} AS outdeg FROM raw GROUP BY src),
-pr0 AS ({init}),
-dp0 AS ({dp0})"""
+{o} AS MATERIALIZED (SELECT src AS v, {deg_expr} AS outdeg FROM {raw} GROUP BY src),
+{pr(0)} AS MATERIALIZED ({init}),
+{dp(0)} AS MATERIALIZED ({dp0})"""
     steps = []
     for k in range(1, rounds + 1):
         steps.append(f""",
-g{k} AS (SELECT raw.dst AS v, sum({gat}) AS gathered
-       FROM raw JOIN pr{k - 1} p ON p.v = raw.src
-       JOIN odeg ON odeg.v = raw.src GROUP BY raw.dst),
-pr{k} AS (SELECT p.v,
+g{k}{tag} AS MATERIALIZED (SELECT raw.dst AS v, sum({gat}) AS gathered
+       FROM {raw} raw JOIN {pr(k - 1)} p ON p.v = raw.src
+       JOIN {o} odeg ON odeg.v = raw.src GROUP BY raw.dst),
+{pr(k)} AS MATERIALIZED (SELECT p.v,
       CASE WHEN p.nd THEN {base}
-                + {d} * COALESCE(g{k}.gathered, 0)
-                + {d} * (SELECT dpr FROM dp{k - 1}) {lump}
+                + {d} * COALESCE(g{k}{tag}.gathered, 0)
+                + {d} * (SELECT dpr FROM {dp(k - 1)}) {lump}
            ELSE p.pr END AS pr, p.nd AS nd
-      FROM pr{k - 1} p LEFT JOIN g{k} ON g{k}.v = p.v{tj}),
-dp{k} AS (SELECT 1.0 - sum(pr) FILTER (WHERE nd) AS dpr FROM pr{k})""")
+      FROM {pr(k - 1)} p LEFT JOIN g{k}{tag} ON g{k}{tag}.v = p.v{tj}),
+{dp(k)} AS MATERIALIZED (SELECT 1.0 - sum(pr) FILTER (WHERE nd) AS dpr FROM {pr(k)})""")
     k = rounds
     tail = f""",
-gr AS (SELECT raw.dst AS v, sum({gat}) AS gathered
-       FROM raw JOIN pr{k} p ON p.v = raw.src
-       JOIN odeg ON odeg.v = raw.src GROUP BY raw.dst),
-fin AS (SELECT p.v,
+gr{tag} AS (SELECT raw.dst AS v, sum({gat}) AS gathered
+       FROM {raw} raw JOIN {pr(k)} p ON p.v = raw.src
+       JOIN {o} odeg ON odeg.v = raw.src GROUP BY raw.dst),
+fin{tag} AS (SELECT p.v,
       CASE WHEN p.nd THEN p.pr
            ELSE {base}
-                + {d} * COALESCE(gr.gathered, 0)
-                + {d} * (SELECT dpr FROM dp{k}) {lump}
+                + {d} * COALESCE(gr{tag}.gathered, 0)
+                + {d} * (SELECT dpr FROM {dp(k)}) {lump}
       END AS pr
-      FROM pr{k} p LEFT JOIN gr ON gr.v = p.v{tj})
-{final_select}"""
+      FROM {pr(k)} p LEFT JOIN gr{tag} ON gr{tag}.v = p.v{tj})"""
+    if final_select:
+        tail += "\n" + final_select
     return head + "".join(steps) + tail
 
 
@@ -997,6 +1083,50 @@ tp AS (SELECT v, 1.0 / (SELECT count(*) FROM verts WHERE v % 100 = 0) AS tv
 
 
 SQL["ppr_fixed4"] = ppr_fixed_sql(4)
+
+
+def trustrank_sql(rounds: int = 4, damping: float = 0.85,
+                  num_seeds: int = _TRUST_SEEDS) -> str:
+    """Unrolled TRUSTRANK + spam-mass oracle: three chained unrolled
+    PageRank runs in ONE flat WITH list (DuckDB rejects MATERIALIZED
+    CTEs shadowing an outer name, so nesting is out) — the inverse run
+    (seed scoring, reversed edges, tag ``_i``), the baseline run (tag
+    ``_b``) and the trusted personalized run (untagged, forms the
+    outer statement via ``pagerank_core_sql(personalized=True)``).
+    Every cross-run comparison happens on integer nano values,
+    mirroring ``q_trustrank_fixed4`` exactly."""
+    raw_expr = (
+        f"SELECT DISTINCT o_custkey AS src, o_orderkey % {CUSTOMER_MOD} "
+        f"AS dst FROM orders WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}"
+    )
+    inv_run = pagerank_core_sql(rounds, damping, "", tag="_i",
+                                raw_name="rawr")
+    base_run = pagerank_core_sql(rounds, damping, "", tag="_b")
+    head = f"""
+WITH raw AS MATERIALIZED ({raw_expr}),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS (SELECT unnest(range(0, (SELECT n FROM nv))) AS v),
+rawr AS MATERIALIZED (SELECT dst AS src, src AS dst FROM raw),"""
+    mid = f""",
+seeds AS MATERIALIZED (SELECT v FROM fin_i
+          ORDER BY CAST(round(pr * 1e9) AS BIGINT) DESC, v
+          LIMIT {num_seeds}),
+trusted AS MATERIALIZED (SELECT v FROM seeds WHERE v % 2 = 0),
+tp AS MATERIALIZED (SELECT v, 1.0 / (SELECT count(*) FROM trusted) AS tv
+                    FROM trusted),"""
+    final = """SELECT f.v, CAST(round(b.pr * 1e9) AS BIGINT) AS pr_nano,
+  CAST(round(f.pr * 1e9) AS BIGINT) AS trust_nano,
+  (greatest(CAST(round(b.pr * 1e9) AS BIGINT)
+            - CAST(round(f.pr * 1e9) AS BIGINT), 0)
+   * 1000000000) // greatest(CAST(round(b.pr * 1e9) AS BIGINT), 1)
+  AS spam_mass_nano
+FROM fin f JOIN fin_b b ON b.v = f.v"""
+    trust_run = pagerank_core_sql(rounds, damping, final,
+                                  personalized=True)
+    return head + inv_run + "," + base_run + mid + trust_run
+
+
+SQL["trustrank_fixed4"] = trustrank_sql(4)
 
 
 def hits_fixed_sql(rounds: int = 4) -> str:
