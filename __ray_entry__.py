@@ -1082,6 +1082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "anchor_texts": _q_anchor_texts,
         "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
         "events_hourly": rel.events_hourly,
         "events_sessions": rel.events_sessions,
         "events_running_totals": rel.events_running_totals,
@@ -1497,6 +1499,8 @@ GROUP BY d.doc_id
             r"'^ | $', '', 'g') AS norm_text FROM documents"
         ),
         "q1_pricing_summary": rel.Q1_SQL,
+        "q3_shipping_priority": rel.Q3_SQL,
+        "q6_forecast_revenue": rel.Q6_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_sessions": rel.EVENTS_SESSIONS_SQL,

@@ -242,6 +242,232 @@ LIMIT 10
 """
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = (1998, 6, 15)
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10,
+                         broadcast_limit: int | None = None):
+    """TPC-H Q3-style shipping priority: 3-table join —
+    customer(segment) ⨝ orders(orderdate < D) ⨝ lineitem(shipdate > D)
+    — grouped per order, top-k by revenue.  Revenue in integer c4
+    (cents x (100 - discount cents)) so the total order
+    (revenue desc, orderdate, orderkey) is hash-exact vs SQL.
+
+    Join strategy mirrors ``top_customers_by_revenue``'s guard
+    discipline, per side:
+
+    - the segment-filtered customer KEY SET and the orderkey ->
+      (orderdate, priority) lookup broadcast via ``ray.put`` below
+      ``broadcast_limit`` rows (set-membership semi-join + attach
+      resolved per lineitem batch — zero shuffles);
+    - above it, the same joins run distributed: a co-grouped semi-join
+      of orders against customer keys, then per-order lineitem revenue
+      (map-side combine + coarse groupby) inner-joined to the filtered
+      orders with ``cogroup_attach(on_missing="drop")`` — orders
+      without qualifying lineitems (and vice versa) drop exactly as
+      the broadcast path drops them.
+    """
+    import datetime as _dt
+
+    import ray
+
+    from ..context import derive_num_groups
+    from ..stages.agg import coarse_agg
+    from ..stages.dedup import cogroup_attach
+
+    limit = BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
+    cutoff = pa.scalar(_dt.datetime(*Q3_CUTOFF), type=pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def seg_filter(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["c_mktsegment"], Q3_SEGMENT)
+        return pa.table({"c_custkey": b["c_custkey"].filter(keep)})
+
+    seg_keys = cust.map_batches(seg_filter, batch_format="pyarrow")
+
+    def date_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"], cutoff))
+
+    o_filt = orders.map_batches(date_filter, batch_format="pyarrow")
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        rev = _cents(batch["l_extendedprice"]) * (
+            100 - _cents(batch["l_discount"]))
+        t = pa.table({"l_orderkey": pa.array(lok, pa.int64()),
+                      "rev": pa.array(rev, pa.int64())})
+        return t.group_by("l_orderkey").aggregate(
+            [("rev", "sum")]).rename_columns(["l_orderkey", "rev"])
+
+    li_partial = lineitem.map_batches(rev_partial, batch_format="pyarrow")
+
+    if orders.count() <= limit and cust.count() <= limit:
+        segs = pa.concat_tables(list(
+            seg_keys.iter_batches(batch_size=1 << 20,
+                                  batch_format="pyarrow")))
+        seg_np = np.sort(segs["c_custkey"].to_numpy(zero_copy_only=False))
+        o = pa.concat_tables(list(
+            o_filt.iter_batches(batch_size=1 << 20,
+                                batch_format="pyarrow")))
+        ck = o["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(seg_np):
+            in_seg = np.clip(np.searchsorted(seg_np, ck), 0,
+                             len(seg_np) - 1)
+            keep = seg_np[in_seg] == ck
+        else:
+            keep = np.zeros(len(ck), dtype=bool)
+        o = o.filter(pa.array(keep))
+        ok = o["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        lookup_ref = ray.put((
+            ok[order],
+            o["o_orderdate"].to_numpy(zero_copy_only=False)[order],
+            o.column("o_orderpriority").combine_chunks().take(
+                pa.array(order, pa.int64())),
+        ))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ok_s, od_s, op_s = ray.get(lookup_ref)
+            lok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            i = np.clip(np.searchsorted(ok_s, lok), 0,
+                        max(len(ok_s) - 1, 0))
+            hit = (ok_s[i] == lok if len(ok_s)
+                   else np.zeros(len(lok), dtype=bool))
+            i = i[hit]
+            batch = batch.filter(pa.array(hit))
+            return pa.table({
+                "l_orderkey": batch["l_orderkey"],
+                "rev": batch["rev"],
+                "o_orderdate": pa.array(od_s[i], pa.timestamp("us")),
+                "o_orderpriority": op_s.take(pa.array(i, pa.int64())),
+            })
+
+        joined = li_partial.map_batches(attach, batch_format="pyarrow")
+    else:
+        G = derive_num_groups(orders)
+        o_schema = pa.schema([("o_orderkey", pa.int64()),
+                              ("o_custkey", pa.int64()),
+                              ("o_orderdate", pa.timestamp("us")),
+                              ("o_orderpriority", pa.string())])
+        # semi-join orders -> segment customers: attach a marker and
+        # drop non-matches (the marker column itself is discarded)
+        # materialized: the filtered-orders side feeds BOTH attach
+        # joins below — left lazy, the semi-join would run twice
+        o_seg = cogroup_attach(
+            o_filt, "o_custkey", seg_keys, "c_custkey", "c_custkey",
+            "__seg", o_schema, pa.int64(), num_groups=G,
+            on_missing="drop",
+        ).drop_columns(["__seg", "o_custkey"]).materialize()
+        per_order = coarse_agg(li_partial, ["l_orderkey"],
+                               [("rev", "sum", "rev")])
+        li_schema = pa.schema([("l_orderkey", pa.int64()),
+                               ("rev", pa.int64())])
+        j1 = cogroup_attach(per_order, "l_orderkey", o_seg, "o_orderkey",
+                            "o_orderdate", "o_orderdate", li_schema,
+                            pa.timestamp("us"), num_groups=G,
+                            on_missing="drop")
+        j2 = cogroup_attach(
+            j1, "l_orderkey", o_seg, "o_orderkey", "o_orderpriority",
+            "o_orderpriority",
+            li_schema.append(pa.field("o_orderdate", pa.timestamp("us"))),
+            pa.string(), num_groups=G, on_missing="drop")
+        joined = j2
+
+    agg = coarse_agg(joined, ["l_orderkey", "o_orderdate",
+                              "o_orderpriority"],
+                     [("rev", "sum", "revenue_c4")])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        rev = t["revenue_c4"].to_numpy(zero_copy_only=False)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sel = np.lexsort((okey, od, -rev))[:k]
+        return t.take(pa.array(sel, pa.int64()))
+
+    pruned = agg.map_batches(local_topk, batch_format="pyarrow")
+    rows = pruned.sort(["revenue_c4", "o_orderdate", "l_orderkey"],
+                       descending=[True, False, False]).limit(k).take_all()
+    return pa.table({
+        "l_orderkey": pa.array([r["l_orderkey"] for r in rows], pa.int64()),
+        "revenue_c4": pa.array([r["revenue_c4"] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r["o_orderdate"] for r in rows],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([r["o_orderpriority"] for r in rows],
+                                    pa.string()),
+    })
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c4,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c4 DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-style forecast revenue: pure filter + global aggregate
+    over lineitem — shipped in 1997, discount in [0.03, 0.07] (exact
+    integer cents 3..7), quantity < 24; revenue = sum(extendedprice *
+    discount) in integer c4.  One map-side partial sum per batch, one
+    driver-sized final reduce — the minimal full-scan aggregate (scan
+    is pruned to the four columns involved)."""
+    import datetime as _dt
+
+    lo = pa.scalar(_dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi)),
+            pc.less(batch["l_quantity"], pa.scalar(24.0)))
+        batch = batch.filter(keep)
+        disc = _cents(batch["l_discount"])
+        m = (disc >= 3) & (disc <= 7)
+        rev = int((_cents(batch["l_extendedprice"])[m]
+                   * disc[m]).sum()) if m.any() else 0
+        return pa.table({"revenue_c4": pa.array([rev], pa.int64())})
+
+    total = li.map_batches(partial, batch_format="pyarrow").sum(
+        "revenue_c4") or 0
+    return pa.table({"revenue_c4": pa.array([int(total)], pa.int64())})
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 3 AND 7
+  AND l_quantity < 24
+"""
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table
     (streaming-shaped workload — SURVEY.md §2.9 notes the reference has

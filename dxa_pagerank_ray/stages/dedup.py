@@ -296,7 +296,8 @@ def _list_matrix(col, width: int) -> np.ndarray:
 
 def cogroup_attach(left_ds, key_col: str, lookup_ds, id_col: str,
                    val_col: str, out_col: str, left_schema: pa.Schema,
-                   val_type: pa.DataType, num_groups: int = 64):
+                   val_type: pa.DataType, num_groups: int = 64,
+                   on_missing: str = "raise"):
     """Distributed equi-join that attaches ``lookup_ds[val_col]`` (keyed
     by a non-negative int64 ``id_col``, unique) to every left row whose
     ``key_col`` matches — the pattern behind distributed candidate-pair
@@ -306,9 +307,14 @@ def cogroup_attach(left_ds, key_col: str, lookup_ds, id_col: str,
     (``key % num_groups``), unioned, and co-grouped ONCE; inside each
     partition a single vectorized sort + searchsorted resolves all left
     rows.  The (possibly list-typed) payload moves cluster-to-cluster
-    through the shuffle — nothing lands on the driver.  Raises if a
-    left key is missing from the lookup (callers guarantee coverage).
+    through the shuffle — nothing lands on the driver.
+    ``on_missing``: ``"raise"`` (default — callers guarantee coverage)
+    or ``"drop"`` (inner-join semantics: left rows without a lookup
+    match are filtered out, the distributed mirror of a broadcast
+    semi-join + attach).
     """
+    if on_missing not in ("raise", "drop"):
+        raise ValueError(f"cogroup_attach: bad on_missing={on_missing!r}")
     import pyarrow.compute as pc
 
     left_cols = [f.name for f in left_schema]
@@ -343,13 +349,17 @@ def cogroup_attach(left_ds, key_col: str, lookup_ds, id_col: str,
         probe = left["__key"].to_numpy(zero_copy_only=False)
         idx = np.clip(np.searchsorted(keys, probe), 0,
                       max(len(keys) - 1, 0))
-        if len(probe) and (len(keys) == 0
-                           or not np.array_equal(keys[idx], probe)):
-            raise ValueError(
-                f"cogroup_attach({out_col}): left key missing from lookup"
-            )
+        hit = (keys[idx] == probe if len(keys)
+               else np.zeros(len(probe), dtype=bool))
+        if not hit.all():
+            if on_missing == "raise":
+                raise ValueError(
+                    f"cogroup_attach({out_col}): left key missing from lookup"
+                )
+            left = left.filter(pa.array(hit))
+            idx = idx[hit]
         vals = lookup["__val"].combine_chunks().take(
-            pa.array(idx[: len(probe)], pa.int64())
+            pa.array(idx[: left.num_rows], pa.int64())
         )
         return left.select(left_cols).append_column(out_col, vals)
 

@@ -136,6 +136,19 @@ def test_top_customers_join_fallback_matches_broadcast():
     pd.testing.assert_frame_equal(bcast, joined, check_exact=True)
 
 
+def test_q3_join_fallback_matches_broadcast():
+    """Force broadcast_limit=0 so q3's distributed semi-join +
+    double-attach path runs; it must equal the (oracle-green)
+    broadcast path exactly — incl. the inner-join drop semantics of
+    cogroup_attach(on_missing="drop")."""
+    from dxa_pagerank_ray.pipelines import relational as rel
+
+    bcast = _canon(_to_pandas(rel.q3_shipping_priority(SF_DIR)))
+    joined = _canon(_to_pandas(
+        rel.q3_shipping_priority(SF_DIR, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(bcast, joined, check_exact=True)
+
+
 def test_event_windows_invariant_to_num_groups(con):
     """Coarse-key windowed operators must be partition-count invariant
     (verdict item 7: oracles green at two different group counts)."""
