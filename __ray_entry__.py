@@ -1084,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "doc_length_quantiles": rel.doc_length_quantiles,
         "events_hourly": rel.events_hourly,
         "events_sessions": rel.events_sessions,
         "events_running_totals": rel.events_running_totals,
@@ -1501,6 +1502,7 @@ GROUP BY d.doc_id
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_shipping_priority": rel.Q3_SQL,
         "q6_forecast_revenue": rel.Q6_SQL,
+        "doc_length_quantiles": rel.DOC_LENGTH_QUANTILES_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_sessions": rel.EVENTS_SESSIONS_SQL,

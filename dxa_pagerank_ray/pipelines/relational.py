@@ -468,6 +468,33 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
+QUANTILE_PCTS = [1, 25, 50, 75, 99]
+
+
+def doc_length_quantiles(sf_dir: str):
+    """Exact document-length percentiles (p1/p25/p50/p75/p99 of
+    ``n_chars``) via the distributed value-counts histogram
+    (``stages.agg.exact_quantiles``) — the corpus-statistics pass a
+    filtering pipeline runs before picking length cutoffs."""
+    from ..stages.agg import exact_quantiles
+
+    docs = _read(sf_dir, "documents", ["n_chars"])
+    return exact_quantiles(docs, "n_chars", QUANTILE_PCTS)
+
+
+DOC_LENGTH_QUANTILES_SQL = f"""
+WITH ranked AS (SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars) AS r
+                FROM documents),
+cnt AS (SELECT count(*) AS c FROM documents),
+p(pct) AS (VALUES {", ".join(f"({p})" for p in QUANTILE_PCTS)})
+SELECT p.pct AS pct, rk.n_chars AS value
+FROM p JOIN ranked rk
+  ON rk.r = greatest(1, (p.pct * (SELECT c FROM cnt) + 99) // 100)
+ORDER BY p.pct
+"""
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table
     (streaming-shaped workload — SURVEY.md §2.9 notes the reference has

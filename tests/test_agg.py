@@ -66,3 +66,35 @@ def test_coarse_distinct_fast_path_matches_general(ray_session):
         ["k", "v"])
     assert fast == general
     assert fast == sorted(set(zip(t["k"].to_pylist(), t["v"].to_pylist())))
+
+
+def test_exact_quantiles_matches_numpy_order_statistics(ray_session):
+    from dxa_pagerank_ray.stages.agg import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    # heavy ties + skew: the histogram path must resolve ranks inside
+    # runs of equal values
+    vals = np.concatenate([
+        rng.integers(0, 50, 3000),
+        rng.integers(0, 5, 2000),
+        np.full(500, 42),
+    ]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    pcts = [1, 10, 25, 50, 75, 90, 99, 100]
+    got = exact_quantiles(ds, "x", pcts, num_groups=4)
+    s = np.sort(vals)
+    n = len(s)
+    exp = {p: int(s[max(1, (p * n + 99) // 100) - 1]) for p in pcts}
+    assert got.num_rows == len(pcts)
+    for p, v in zip(got["pct"].to_pylist(), got["value"].to_pylist()):
+        assert v == exp[p], (p, v, exp[p])
+
+
+def test_exact_quantiles_empty_and_single(ray_session):
+    from dxa_pagerank_ray.stages.agg import exact_quantiles
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert exact_quantiles(empty, "x", [50]).num_rows == 0
+    one = rd.from_arrow(pa.table({"x": pa.array([9], pa.int64())}))
+    got = exact_quantiles(one, "x", [1, 50, 100])
+    assert got["value"].to_pylist() == [9, 9, 9]
