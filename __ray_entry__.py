@@ -1041,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_regions": tg.q_bowtie_regions,
         "cocitation_top20": tg.q_cocitation_top20,
         "coupling_top20": tg.q_coupling_top20,
+        "link_prediction_top20": tg.q_link_prediction_top20,
         "jaccard_related_top20": tg.q_jaccard_related_top20,
         "degree_assortativity": tg.q_degree_assortativity,
         "edge_reciprocity": tg.q_edge_reciprocity,
@@ -1458,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_regions": tg.SQL["bowtie_regions"],
         "cocitation_top20": tg.SQL["cocitation_top20"],
         "coupling_top20": tg.SQL["coupling_top20"],
+        "link_prediction_top20": tg.SQL["link_prediction_top20"],
         "jaccard_related_top20": tg.SQL["jaccard_related_top20"],
         "degree_assortativity": tg.SQL["degree_assortativity"],
         "edge_reciprocity": tg.SQL["edge_reciprocity"],

@@ -250,3 +250,99 @@ def cocitation_topk(edges_ds, k: int = 20,
         "b": pa.array([r["b"] for r in rows], pa.int64()),
         "n": pa.array([r["n"] for r in rows], pa.int64()),
     })
+
+
+def link_prediction_topk(edges_ds, k: int = 20,
+                         max_degree: int = DEFAULT_MAX_OUTDEG,
+                         num_groups: int | None = None):
+    """Common-neighbors LINK PREDICTION (Liben-Nowell & Kleinberg 2003,
+    "The Link Prediction Problem for Social Networks"): top-k NON-edge
+    pairs (a < b) by ``|N(a) ∩ N(b)|`` over the UNDIRECTED graph.
+
+    Pipeline = three reuses of existing shapes:
+
+    1. symmetrize + distinct (``coarse_distinct`` on both directions)
+       — the undirected adjacency, one shuffle;
+    2. the hub-bounded co-citation sweep over it: pairs of neighbors
+       of every middle vertex u count once per u, so the pair count IS
+       the common-neighbor count; vertices above ``max_degree`` are
+       dropped under the operator's hub contract (a celebrity node
+       implies deg² spurious candidate pairs);
+    3. existing edges removed by a co-grouped ANTI-join: canonical
+       (lo < hi) edges and candidate pairs hash-partition on ``a``,
+       each partition resolves with one vectorized Arrow anti-join —
+       the edge table never lands on the driver.
+
+    Returns ``(a, b, n)`` Arrow table, total order (n desc, a, b).
+    """
+    from ..stages.agg import coarse_distinct
+
+    if num_groups is None:
+        num_groups = derive_num_groups(edges_ds)
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "src": pa.array(np.concatenate([s, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    und = coarse_distinct(
+        edges_ds.map_batches(sym, batch_format="pyarrow"), ["src", "dst"],
+        num_groups=num_groups,
+    ).materialize()
+
+    counts = cocitation_counts(und, max_outdeg=max_degree,
+                               num_groups=num_groups)
+
+    G = num_groups
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": pa.array(a % G, pa.int64()),
+                         "a": b["a"], "b": b["b"], "n": b["n"]})
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s < d  # canonical direction only — und holds both
+        lo, hi = s[keep], d[keep]
+        return pa.table({"part": pa.array(lo % G, pa.int64()),
+                         "a": pa.array(lo, pa.int64()),
+                         "b": pa.array(hi, pa.int64()),
+                         "n": pa.nulls(len(lo), pa.int64())})
+
+    both = counts.map_batches(tag_pairs, batch_format="pyarrow").union(
+        und.map_batches(tag_edges, batch_format="pyarrow"))
+
+    def minus_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        have = pc.is_valid(t["n"])
+        cand = t.filter(have).select(["a", "b", "n"])
+        edges = t.filter(pc.invert(have)).select(["a", "b"])
+        if edges.num_rows == 0 or cand.num_rows == 0:
+            return cand
+        return cand.join(edges, keys=["a", "b"], join_type="left anti")
+
+    nonedge = both.groupby("part").map_groups(minus_edges,
+                                              batch_format="pyarrow")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((b, a, -n))[:k]
+        return t.take(pa.array(sel, pa.int64()))
+
+    pruned = nonedge.map_batches(local_topk, batch_format="pyarrow")
+    rows = pruned.sort(["n", "a", "b"],
+                       descending=[True, False, False]).limit(k).take_all()
+    return pa.table({
+        "a": pa.array([r["a"] for r in rows], pa.int64()),
+        "b": pa.array([r["b"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })

@@ -518,6 +518,17 @@ def q_jaccard_related_top20(sf_dir: str):
     return jaccard_related_topk(edges, k=20, max_outdeg=COCITE_MAX_OUTDEG)
 
 
+def q_link_prediction_top20(sf_dir: str):
+    """Top-20 predicted links: common-neighbor count over the
+    UNDIRECTED customer graph, existing edges anti-joined out
+    (Liben-Nowell & Kleinberg 2003); same hub-cap contract as the
+    co-citation family."""
+    from .cocitation import link_prediction_topk
+
+    edges = customer_edges(sf_dir).materialize()
+    return link_prediction_topk(edges, k=20, max_degree=COCITE_MAX_OUTDEG)
+
+
 def q_coupling_top20(sf_dir: str):
     """Top-20 bibliographically COUPLED pairs (count of common
     out-neighbors, Kessler 1963) — co-citation over the reversed edge
@@ -882,6 +893,28 @@ SQL = {
         "JOIN raw e2 ON e2.dst = e1.dst AND e1.src < e2.src "
         "JOIN ok ON ok.dst = e1.dst) "
         "SELECT a, b, count(*) AS n FROM p GROUP BY a, b "
+        "ORDER BY n DESC, a, b LIMIT 20"
+    ),
+    # link prediction: common neighbors over the undirected graph,
+    # existing (canonical) edges anti-joined out; degree cap mirrors
+    # the engine's hub contract on the undirected adjacency
+    "link_prediction_top20": (
+        "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "und AS (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM raw "
+        "UNION ALL SELECT dst, src FROM raw)), "
+        "ok AS (SELECT u FROM und GROUP BY u "
+        f"HAVING count(*) <= {COCITE_MAX_OUTDEG}), "
+        "p AS (SELECT n1.v AS a, n2.v AS b FROM und n1 "
+        "JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v "
+        "JOIN ok ON ok.u = n1.u), "
+        "cnt AS (SELECT a, b, count(*) AS n FROM p GROUP BY a, b), "
+        "ex AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw) "
+        "SELECT c.a, c.b, c.n FROM cnt c ANTI JOIN ex "
+        "ON ex.a = c.a AND ex.b = c.b "
         "ORDER BY n DESC, a, b LIMIT 20"
     ),
     "triangle_count": (

@@ -151,3 +151,48 @@ def test_jaccard_related_vs_bruteforce():
     dist = jaccard_related_topk(_ds(src, dst), k=10, num_groups=2,
                                 broadcast_limit=0)
     assert dist.to_pydict() == got.to_pydict()
+
+
+def test_link_prediction_known_answer(ray_session):
+    from dxa_pagerank_ray.pipelines.cocitation import link_prediction_topk
+
+    # path 0-1-2 plus star 3->{0,2}: undirected N(0)={1,3}, N(2)={1,3}
+    # -> (0,2) common=2 non-edge; (1,3) common=2 non-edge; edges never
+    # appear in the output even when co-neighbored
+    src = [0, 1, 3, 3]
+    dst = [1, 2, 0, 2]
+    got = link_prediction_topk(_ds(src, dst), k=10, num_groups=2)
+    rows = list(zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                    got["n"].to_pylist()))
+    assert rows == [(0, 2, 2), (1, 3, 2)]
+
+
+def test_link_prediction_brute_force(ray_session):
+    from dxa_pagerank_ray.pipelines.cocitation import link_prediction_topk
+
+    rng = np.random.default_rng(23)
+    m = 400
+    src = rng.integers(0, 60, m)
+    dst = rng.integers(0, 60, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    got = link_prediction_topk(_ds(src, dst), k=15, num_groups=3)
+    from collections import Counter, defaultdict
+
+    nbr = defaultdict(set)
+    edges = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        nbr[s].add(d); nbr[d].add(s)
+        edges.add((min(s, d), max(s, d)))
+    c = Counter()
+    for outs in nbr.values():
+        outs = sorted(outs)
+        for i in range(len(outs)):
+            for j in range(i + 1, len(outs)):
+                c[(outs[i], outs[j])] += 1
+    exp = sorted(((a, b, n) for (a, b), n in c.items()
+                  if (a, b) not in edges),
+                 key=lambda r: (-r[2], r[0], r[1]))[:15]
+    rows = list(zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                    got["n"].to_pylist()))
+    assert rows == exp
