@@ -1042,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_top20": tg.q_cocitation_top20,
         "coupling_top20": tg.q_coupling_top20,
         "link_prediction_top20": tg.q_link_prediction_top20,
+        "scc_ids": tg.q_scc_ids,
         "jaccard_related_top20": tg.q_jaccard_related_top20,
         "degree_assortativity": tg.q_degree_assortativity,
         "edge_reciprocity": tg.q_edge_reciprocity,
@@ -1460,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation_top20": tg.SQL["cocitation_top20"],
         "coupling_top20": tg.SQL["coupling_top20"],
         "link_prediction_top20": tg.SQL["link_prediction_top20"],
+        "scc_ids": tg.SQL["scc_ids"],
         "jaccard_related_top20": tg.SQL["jaccard_related_top20"],
         "degree_assortativity": tg.SQL["degree_assortativity"],
         "edge_reciprocity": tg.SQL["edge_reciprocity"],

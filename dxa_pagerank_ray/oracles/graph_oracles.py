@@ -282,3 +282,60 @@ def triangle_count(src: np.ndarray, dst: np.ndarray, n: int) -> int:
     adj[b, a] = 1
     a2 = (adj.astype(np.int64) @ adj.astype(np.int64))
     return int((a2 * adj).sum() // 6)
+
+
+def strongly_connected_components(src: np.ndarray, dst: np.ndarray,
+                                  n: int) -> np.ndarray:
+    """Per-vertex SCC id = minimum member of the SCC.  Iterative
+    Tarjan (explicit stack — no recursion limit), then remap each
+    component to its minimum vertex id so the labeling is canonical
+    and engine-comparable."""
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    indptr = np.searchsorted(s, np.arange(n + 1))
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    ncomp = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        # (vertex, next-edge-offset) work stack
+        work = [(root, indptr[root])]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, ei = work[-1]
+            if ei < indptr[v + 1]:
+                work[-1] = (v, ei + 1)
+                w = int(d[ei])
+                if index[w] == -1:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, int(indptr[w])))
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp[w] = ncomp
+                        if w == v:
+                            break
+                    ncomp += 1
+    # canonical id = min member
+    mins = np.full(ncomp, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mins, comp, np.arange(n, dtype=np.int64))
+    return mins[comp]

@@ -580,6 +580,142 @@ def _make_label_actor_cls():
             self.labels = new
             return changed
 
+        # ---- strongly connected components: forward-backward
+        # COLORING with trim (Orzan 2004 "On Distributed Verification
+        # and Verified Distribution", ch. 4; trim step from
+        # McLendon et al. 2005 FW-BW-Trim — public-literature
+        # algorithms; no reference counterpart).  Per outer round:
+        # (1) trim singleton SCCs with no active in- or out-neighbor,
+        # (2) forward min-label fixpoint over ACTIVE vertices — the
+        # color of v = min active vertex reaching v, (3) backward mark
+        # from color roots (color(r)==r): along v->w, color(w) <=
+        # color(v) within the active subgraph, so v joins root r's SCC
+        # iff the MAX over marked out-neighbors' colors equals
+        # color(v) (a max-gather — a min would be masked by
+        # smaller-colored neighbors of other components).  Marked
+        # vertices get scc_id = color = the SCC's minimum member. ----
+        def scc_init(self) -> None:
+            self.scc = np.full(self.size, -1, dtype=np.int64)
+            self.mark = np.zeros(self.size, dtype=bool)
+            self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
+
+        def _gather_reduce(self, blocks, vals_full, reducer):
+            """Packed (counts, idx, vals) gather like ``_gather_min``
+            but over a caller-supplied per-vertex value vector."""
+            idx_out, val_out = [], []
+            counts = np.zeros(self.A, dtype=np.int64)
+            for b in range(self.A):
+                src_l, dst_l = blocks[b]
+                if len(dst_l) == 0:
+                    continue
+                vals = vals_full[src_l]
+                bd = np.flatnonzero(np.r_[True, dst_l[1:] != dst_l[:-1]])
+                counts[b] = len(bd)
+                idx_out.append(dst_l[bd])
+                val_out.append(reducer.reduceat(vals, bd))
+            return (counts,
+                    np.concatenate(idx_out) if idx_out
+                    else np.array([], dtype=np.int64),
+                    np.concatenate(val_out) if val_out
+                    else np.array([], dtype=np.int64))
+
+        def _merge_partials(self, packed, reducer):
+            """-> (tgt, merged) from the A packed buffers, or None."""
+            partials = self._my_slices(packed)
+            idx = np.concatenate([p[0] for p in partials]) if partials \
+                else np.array([], dtype=np.int64)
+            if len(idx) == 0:
+                return None
+            vals = np.concatenate([p[1] for p in partials])
+            order = np.argsort(idx, kind="stable")
+            idx, vals = idx[order], vals[order]
+            b = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+            return idx[b], reducer.reduceat(vals, b)
+
+        def scc_color_compute(self):
+            active = self.scc < 0
+            n = int(self.bounds[-1])
+            vals = np.where(active, self.labels, np.int64(n))
+            return self._gather_reduce(self.blocks, vals, np.minimum)
+
+        def scc_color_apply(self, *packed) -> int:
+            merged = self._merge_partials(packed, np.minimum)
+            if merged is None:
+                return 0
+            tgt, vals = merged
+            active = self.scc < 0
+            upd = active[tgt] & (vals < self.labels[tgt])
+            self.labels[tgt[upd]] = vals[upd]
+            return int(upd.sum())
+
+        def scc_mark_seed(self) -> int:
+            active = self.scc < 0
+            own = np.arange(self.lo, self.hi, dtype=np.int64)
+            self.mark = active & (self.labels == own)
+            return int(self.mark.sum())
+
+        def scc_mark_compute(self):
+            send = (self.scc < 0) & self.mark
+            vals = np.where(send, self.labels, np.int64(-1))
+            return self._gather_reduce(self.rev_blocks, vals, np.maximum)
+
+        def scc_mark_apply(self, *packed) -> int:
+            merged = self._merge_partials(packed, np.maximum)
+            if merged is None:
+                return 0
+            tgt, vals = merged
+            active = self.scc < 0
+            newly = (active[tgt] & ~self.mark[tgt]
+                     & (vals == self.labels[tgt]))
+            self.mark[tgt[newly]] = True
+            return int(newly.sum())
+
+        def scc_presence_compute_fwd(self):
+            vals = (self.scc < 0).astype(np.int64)
+            return self._gather_reduce(self.blocks, vals, np.maximum)
+
+        def scc_presence_apply_in(self, *packed) -> int:
+            self._has_in = np.zeros(self.size, dtype=bool)
+            merged = self._merge_partials(packed, np.maximum)
+            if merged is not None:
+                tgt, vals = merged
+                self._has_in[tgt] = vals > 0
+            return 0
+
+        def scc_presence_compute_rev(self):
+            vals = (self.scc < 0).astype(np.int64)
+            return self._gather_reduce(self.rev_blocks, vals, np.maximum)
+
+        def scc_presence_apply_out(self, *packed) -> int:
+            self._has_out = np.zeros(self.size, dtype=bool)
+            merged = self._merge_partials(packed, np.maximum)
+            if merged is not None:
+                tgt, vals = merged
+                self._has_out[tgt] = vals > 0
+            return 0
+
+        def scc_trim_finalize(self) -> int:
+            """Active vertices with no active in-neighbor OR no active
+            out-neighbor are singleton SCCs — assign own id."""
+            active = self.scc < 0
+            t = active & (~self._has_in | ~self._has_out)
+            own = np.arange(self.lo, self.hi, dtype=np.int64)
+            self.scc[t] = own[t]
+            return int(t.sum())
+
+        def scc_assign(self) -> int:
+            m = self.mark
+            self.scc[m] = self.labels[m]
+            self.mark = np.zeros(self.size, dtype=bool)
+            self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
+            return int(m.sum())
+
+        def scc_remaining(self) -> int:
+            return int(np.sum(self.scc < 0))
+
+        def scc_state(self):
+            return self.lo, self.scc
+
         def get_state(self):
             return self.lo, self.labels
 
@@ -1057,6 +1193,68 @@ class LabelCSR:
         return ComponentsResult(
             labels=self._collect() if collect_state else None,
             rounds=rounds, changed_per_round=hist)
+
+    def strongly_connected_components(self, max_outer: int = 10_000,
+                                      trim_rounds: int = 64,
+                                      collect_state: bool = True):
+        """Per-vertex SCC ids (= the minimum member of each SCC) via
+        distributed forward-backward COLORING with trim — see the
+        actor-method block for the algorithm and citations.  Expects
+        the DIRECTED edge Dataset (callers must NOT symmetrize);
+        reverse blocks are built on the same pool.
+
+        Outer rounds: >= 1 SCC (the one rooted at the minimum active
+        vertex) is assigned per round, and the trim loop peels all
+        degree-dangling singleton chains first, so round count tracks
+        the graph's SCC condensation depth, not the SCC count.  Each
+        inner fixpoint is the engine's standard 2A-object packed
+        exchange."""
+        import ray
+
+        self.build_reverse()
+        ray.get([a.scc_init.remote() for a in self.actors])
+        hist: list[int] = []
+        outer = 0
+        while True:
+            remaining = sum(ray.get(
+                [a.scc_remaining.remote() for a in self.actors]))
+            if remaining == 0:
+                break
+            outer += 1
+            if outer > max_outer:
+                raise RuntimeError(
+                    f"SCC did not converge in {max_outer} outer rounds"
+                )
+            for _ in range(trim_rounds):
+                self._superstep("scc_presence_compute_fwd",
+                                "scc_presence_apply_in")
+                self._superstep("scc_presence_compute_rev",
+                                "scc_presence_apply_out")
+                trimmed = sum(ray.get(
+                    [a.scc_trim_finalize.remote() for a in self.actors]))
+                if trimmed == 0:
+                    break
+            while self._superstep("scc_color_compute", "scc_color_apply"):
+                pass
+            seeded = sum(ray.get(
+                [a.scc_mark_seed.remote() for a in self.actors]))
+            if seeded:
+                while self._superstep("scc_mark_compute",
+                                      "scc_mark_apply"):
+                    pass
+            assigned = sum(ray.get(
+                [a.scc_assign.remote() for a in self.actors]))
+            hist.append(assigned)
+        from .components import ComponentsResult
+
+        labels = None
+        if collect_state:
+            labels = np.empty(self.n, dtype=np.int64)
+            for lo, sl in ray.get(
+                    [a.scc_state.remote() for a in self.actors]):
+                labels[lo : lo + len(sl)] = sl
+        return ComponentsResult(labels=labels, rounds=outer,
+                                changed_per_round=hist)
 
     def write_hyperball(self, out_dir: str) -> list[dict]:
         """Distributed register sink after ``hyperball()``: every shard

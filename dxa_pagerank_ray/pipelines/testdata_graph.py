@@ -518,6 +518,27 @@ def q_jaccard_related_top20(sf_dir: str):
     return jaccard_related_topk(edges, k=20, max_outdeg=COCITE_MAX_OUTDEG)
 
 
+def q_scc_ids(sf_dir: str):
+    """Per-vertex STRONGLY connected component id (= min member) over
+    the directed customer graph — distributed forward-backward
+    coloring with trim on the LabelCSR pool
+    (``LabelCSR.strongly_connected_components``); oracle = recursive
+    transitive closure + mutual-reachability min.  The dense O(V)
+    collect is query-tier convenience at gate scale (the engine
+    supports ``collect_state=False`` + ``write_labels``)."""
+    from .labels_csr import LabelCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = LabelCSR(edges, n, num_partitions=8)
+    res = eng.strongly_connected_components()
+    eng.shutdown()
+    return pa.table({
+        "v": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "scc_id": pa.array(res.labels, pa.int64()),
+    })
+
+
 def q_link_prediction_top20(sf_dir: str):
     """Top-20 predicted links: common-neighbor count over the
     UNDIRECTED customer graph, existing edges anti-joined out
@@ -894,6 +915,20 @@ SQL = {
         "JOIN ok ON ok.dst = e1.dst) "
         "SELECT a, b, count(*) AS n FROM p GROUP BY a, b "
         "ORDER BY n DESC, a, b LIMIT 20"
+    ),
+    # SCC: recursive transitive closure (finite vertex set, UNION
+    # dedup terminates), mutual reachability, min member per class
+    "scc_ids": (
+        "WITH RECURSIVE raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "verts AS (SELECT unnest(range(0, "
+        "(SELECT max(greatest(src, dst)) + 1 FROM raw))) AS v), "
+        "reach(a, b) AS (SELECT v, v FROM verts UNION "
+        "SELECT r.a, e.dst FROM reach r JOIN raw e ON e.src = r.b) "
+        "SELECT r1.a AS v, min(r1.b) AS scc_id FROM reach r1 "
+        "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a "
+        "GROUP BY r1.a ORDER BY v"
     ),
     # link prediction: common neighbors over the undirected graph,
     # existing (canonical) edges anti-joined out; degree cap mirrors

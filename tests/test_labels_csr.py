@@ -505,3 +505,45 @@ def test_bowtie_distributed_classify_matches_dense():
     dense = q_bowtie_regions(sf)
     dist = q_bowtie_regions(sf, collect_limit=0)
     assert dense.equals(dist)
+
+
+@pytest.mark.parametrize("name", list(CASES))
+@pytest.mark.parametrize("parts", [1, 3])
+def test_csr_scc_exact_small(name, parts):
+    src, dst, n = CASES[name]
+    eng = LabelCSR(_ds(src, dst), n, num_partitions=parts)
+    got = eng.strongly_connected_components()
+    eng.shutdown()
+    exp = oracle.strongly_connected_components(src, dst, n)
+    assert np.array_equal(got.labels, exp), name
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_csr_scc_random_vs_tarjan(seed):
+    rng = np.random.default_rng(seed)
+    n, m = 120, 360
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    eng = LabelCSR(_ds(src, dst), n, num_partitions=4, num_actors=2)
+    got = eng.strongly_connected_components()
+    eng.shutdown()
+    exp = oracle.strongly_connected_components(src, dst, n)
+    assert np.array_equal(got.labels, exp)
+
+
+def test_csr_scc_cycle_chain_structures():
+    # two 3-cycles bridged by a path, plus an isolated vertex
+    src = np.array([0, 1, 2, 2, 3, 4, 5, 6])
+    dst = np.array([1, 2, 0, 3, 4, 5, 6, 4])
+    n = 8
+    eng = LabelCSR(_ds(src, dst), n, num_partitions=3)
+    got = eng.strongly_connected_components()
+    eng.shutdown()
+    exp = oracle.strongly_connected_components(src, dst, n)
+    assert np.array_equal(got.labels, exp)
+    assert got.labels[0] == got.labels[1] == got.labels[2] == 0
+    assert got.labels[4] == got.labels[5] == got.labels[6] == 4
+    assert got.labels[3] == 3 and got.labels[7] == 7
