@@ -85,6 +85,59 @@ SELECT term, n FROM cnt ORDER BY n DESC, term ASC LIMIT 50
 """
 
 
+def _q_doc_bigram_familiarity(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import bigram_familiarity
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_familiarity(docs)
+
+
+_BIGRAM_FAM_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(coalesce(text, '')), '\W+'),
+    x -> x <> '') AS a
+  FROM documents
+),
+bgz AS (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        FROM arrs WHERE len(a) >= 2),
+pairs AS (SELECT doc_id, z[1] || ' ' || z[2] AS bg FROM bgz),
+cnts AS (SELECT bg, count(*) AS cnt FROM pairs GROUP BY bg),
+per AS (SELECT p.doc_id, sum(least(c.cnt, 1000)) AS s, count(*) AS nb
+        FROM pairs p JOIN cnts c USING (bg) GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(per.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(per.s * 1000000000 // per.nb, 0) AS BIGINT)
+         AS fam_nano
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _q_postings_top25(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import postings_for_terms, top_terms
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    vocab = top_terms(docs, k=25)["term"].to_pylist()
+    return postings_for_terms(docs, vocab)
+
+
+_POSTINGS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\W+')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, count(*) AS n FROM toks WHERE term <> ''
+        GROUP BY term),
+vocab AS (SELECT term FROM cnt ORDER BY n DESC, term ASC LIMIT 25)
+SELECT t.term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM toks t JOIN vocab USING (term)
+GROUP BY t.term, t.doc_id
+ORDER BY t.term, t.doc_id
+"""
+
+
 def _q_docs_sample(sf_dir: str):
     from dxa_pagerank_ray.stages.sampling import hash_sample
 
@@ -1058,6 +1111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_repetition": _q_doc_repetition,
         "top_terms": _q_top_terms,
+        "doc_bigram_familiarity": _q_doc_bigram_familiarity,
+        "postings_top25": _q_postings_top25,
         "docs_exact_dedup": _q_docs_exact_dedup,
         # r4-CHANGED code paths stay inside the gate window: minhash's
         # downstream fast-path width, near_dup_clusters' keeper
@@ -1556,6 +1611,8 @@ GROUP BY d.doc_id
             "FROM documents GROUP BY text"
         ),
         "top_terms": _TOP_TERMS_SQL,
+        "doc_bigram_familiarity": _BIGRAM_FAM_SQL,
+        "postings_top25": _POSTINGS_SQL,
         "docs_sample": _docs_sample_oracle_sql(),
         "docs_stratified_sample": _docs_stratified_oracle_sql(),
         "docs_split_counts": _docs_split_oracle_sql(),

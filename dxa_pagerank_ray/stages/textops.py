@@ -485,3 +485,214 @@ def bpe_token_counts(docs_ds, text_col: str = "text",
         })
 
     return docs_ds.map_batches(count, batch_format="pyarrow")
+
+
+def doc_bigram_rows(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, bg) rows: consecutive lowercased ``\\w+`` token pairs
+    per document, joined by one space — empty tokens dropped BEFORE
+    pairing (same tokenizer contract as ``term_frequencies``, so the
+    SQL mirror is ``list_filter(regexp_split_to_array(...))`` +
+    ``list_zip``).  All-Arrow/numpy: flatten once, one boundary mask,
+    one vectorized join — no Python loop over tokens."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "bg": pa.array([], pa.string())})
+    if batch.num_rows == 0:
+        return empty
+    text = pc.fill_null(batch[text_col].combine_chunks(), "")
+    lists = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\W+")
+    if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    docidx = docidx[keep]
+    if len(docidx) < 2:
+        return empty
+    same = docidx[1:] == docidx[:-1]
+    n = len(docidx)
+    left = flat.slice(0, n - 1).filter(pa.array(same))
+    right = flat.slice(1, n - 1).filter(pa.array(same))
+    bg = pc.binary_join_element_wise(left, right, " ")
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    pair_doc = ids[docidx[:-1][same]]
+    return pa.table({id_col: pa.array(pair_doc, pa.int64()), "bg": bg})
+
+
+BIGRAM_COUNT_CAP = 1000
+
+
+def bigram_familiarity(docs_ds, cap: int = BIGRAM_COUNT_CAP,
+                       num_groups: int | None = None):
+    """Per-document BIGRAM FAMILIARITY — a KenLM-free, exactly-
+    reproducible stand-in for LM-based quality scoring (CCNet-style
+    filtering, Wenzek et al. 2020 uses LM perplexity; here the score
+    is corpus-self-trained and integer-exact so the SQL oracle can
+    mirror it bit-for-bit): for each doc,
+
+        fam_nano = sum_i min(corpus_count(bg_i), cap) * 1e9
+                   // n_bigrams,
+
+    where corpus_count is the bigram's frequency across the whole
+    corpus.  Boilerplate-heavy docs score high, gibberish scores ~1e9
+    * its self-support.  All stages distributed:
+
+    1. pair rows via ``doc_bigram_rows`` (materialized — feeds both
+       the count and the join below);
+    2. corpus counts: ``coarse_agg`` on the bg string (map-side Arrow
+       value_counts combine);
+    3. counts re-attached to pair rows by a co-grouped string-keyed
+       Arrow join (hash64 partition tag) — the count table never
+       lands on the driver;
+    4. per-doc sums via ``coarse_agg`` on doc_id; docs with < 2
+       tokens re-enter with fam_nano = 0 through a final co-grouped
+       left join against the doc_id universe.
+
+    int64 bound: fam sums stay < 2^63 while cap * n_bigrams < 9.2e9
+    — i.e. up to ~9.2M bigrams per doc at the default cap (longer
+    docs should be length-split upstream first).
+
+    Returns Dataset ``(doc_id, n_bigrams, fam_nano)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..context import derive_num_groups
+    from .agg import coarse_agg
+    from .ids import hash64
+
+    pairs = docs_ds.map_batches(doc_bigram_rows,
+                                batch_format="pyarrow").materialize()
+    if num_groups is None:
+        num_groups = derive_num_groups(pairs)
+    G = num_groups
+    counts = coarse_agg(pairs, ["bg"], [("bg", "count", "cnt")],
+                        num_groups=G)
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"part": pa.array(hash64(b["bg"]) % G, pa.int64()),
+                         "doc_id": b["doc_id"], "bg": b["bg"],
+                         "cnt": pa.nulls(b.num_rows, pa.int64())})
+
+    def tag_counts(b: pa.Table) -> pa.Table:
+        return pa.table({"part": pa.array(hash64(b["bg"]) % G, pa.int64()),
+                         "doc_id": pa.nulls(b.num_rows, pa.int64()),
+                         "bg": b["bg"], "cnt": b["cnt"]})
+
+    both = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        counts.map_batches(tag_counts, batch_format="pyarrow"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        have = pc.is_valid(t["cnt"])
+        cnt = t.filter(have).select(["bg", "cnt"])
+        p = t.filter(pc.invert(have)).select(["doc_id", "bg"])
+        if p.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        j = p.join(cnt, keys=["bg"], join_type="inner")
+        c = np.minimum(j["cnt"].to_numpy(zero_copy_only=False),
+                       np.int64(cap))
+        part = pa.table({"doc_id": j["doc_id"],
+                         "s": pa.array(c, pa.int64())})
+        g = part.group_by("doc_id").aggregate(
+            [("s", "sum"), ("s", "count")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "s": g["s_sum"].cast(pa.int64()),
+                         "nb": g["s_count"].cast(pa.int64())})
+
+    per_doc = coarse_agg(
+        both.groupby("part").map_groups(attach, batch_format="pyarrow"),
+        ["doc_id"], [("s", "sum", "s"), ("nb", "sum", "nb")],
+        num_groups=G,
+    )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": pa.array(ids % G, pa.int64()),
+                         "doc_id": b["doc_id"],
+                         "s": pa.nulls(b.num_rows, pa.int64()),
+                         "nb": pa.nulls(b.num_rows, pa.int64())})
+
+    def tag_scores(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": pa.array(ids % G, pa.int64()),
+                         "doc_id": b["doc_id"], "s": b["s"],
+                         "nb": b["nb"]})
+
+    universe = docs_ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"]}),
+        batch_format="pyarrow")
+    allrows = universe.map_batches(tag_docs, batch_format="pyarrow").union(
+        per_doc.map_batches(tag_scores, batch_format="pyarrow"))
+
+    def fill(t: pa.Table) -> pa.Table:
+        have = pc.is_valid(t["nb"])
+        scored = t.filter(have)
+        docs = t.filter(pc.invert(have)).select(["doc_id"])
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        sid = scored["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sid, kind="stable")
+        sid = sid[order]
+        s = scored["s"].to_numpy(zero_copy_only=False)[order]
+        nb = scored["nb"].to_numpy(zero_copy_only=False)[order]
+        i = np.clip(np.searchsorted(sid, ids), 0, max(len(sid) - 1, 0))
+        hit = (sid[i] == ids if len(sid)
+               else np.zeros(len(ids), dtype=bool))
+        nbo = np.zeros(len(ids), dtype=np.int64)
+        fam = np.zeros(len(ids), dtype=np.int64)
+        nbo[hit] = nb[i[hit]]
+        fam[hit] = (s[i[hit]] * np.int64(1_000_000_000)) // nb[i[hit]]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_bigrams": pa.array(nbo, pa.int64()),
+                         "fam_nano": pa.array(fam, pa.int64())})
+
+    return allrows.groupby("part").map_groups(fill, batch_format="pyarrow")
+
+
+def postings_for_terms(docs_ds, terms: list[str],
+                       text_col: str = "text",
+                       num_groups: int | None = None):
+    """Inverted-index POSTING LISTS for a fixed vocabulary: rows
+    ``(term, doc_id, tf)`` for every document containing a vocabulary
+    term.  The vocabulary ships in the task closure (callers pass a
+    bounded set — e.g. ``top_terms``'s output); per batch the token
+    stream filters through one vectorized ``is_in`` before any
+    grouping, so the full vocabulary never shuffles.  The full-corpus
+    index (unbounded vocabulary) is the same pipeline with the
+    ``is_in`` filter removed and the final ``coarse_agg`` keyed on
+    term — each term bucket then writes one partitioned-parquet
+    posting file."""
+    import pyarrow.compute as pc
+
+    from .agg import coarse_agg
+
+    vocab = pa.array(sorted(set(terms)), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(text),
+                                       pattern=r"\W+")
+        if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        counts = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        keep = pc.is_in(flat, value_set=vocab).to_numpy(
+            zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({"term": flat,
+                      "doc_id": pa.array(ids[docidx[keep]], pa.int64())})
+        g = t.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "doc_id": g["doc_id"],
+                         "tf": g["count_all"].cast(pa.int64())})
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow")
+    return coarse_agg(partials, ["term", "doc_id"],
+                      [("tf", "sum", "tf")], num_groups=num_groups)

@@ -124,3 +124,63 @@ def test_count_regex_matches_python_re():
         assert got_p.tolist() == exp_p.tolist()
 
     check()
+
+
+def test_doc_bigram_rows_known(ray_session):
+    import pyarrow as pa
+
+    from dxa_pagerank_ray.stages.textops import doc_bigram_rows
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["Hello,  world foo", "one", "", None],
+                         pa.string()),
+    })
+    got = doc_bigram_rows(t)
+    assert got["doc_id"].to_pylist() == [1, 1]
+    assert got["bg"].to_pylist() == ["hello world", "world foo"]
+    # pairing never crosses a document boundary
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["a b", "c d"], pa.string())})
+    got2 = doc_bigram_rows(t2)
+    assert got2["bg"].to_pylist() == ["a b", "c d"]
+
+
+def test_bigram_familiarity_small_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import bigram_familiarity
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat sat",          # bigrams: the cat, cat sat
+            "the cat ran",          # the cat, cat ran
+            "solo",                 # none
+            "the cat sat down",     # the cat, cat sat, sat down
+        ], pa.string()),
+    })
+    got = bigram_familiarity(rd.from_arrow(docs), num_groups=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # corpus counts: the cat=3, cat sat=2, cat ran=1, sat down=1
+    assert got["n_bigrams"].tolist() == [2, 2, 0, 3]
+    B = 1_000_000_000
+    assert got["fam_nano"].tolist() == [
+        (3 + 2) * B // 2, (3 + 1) * B // 2, 0, (3 + 2 + 1) * B // 3]
+
+
+def test_postings_for_terms_small(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import postings_for_terms
+
+    docs = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["a b a c", "b b d"], pa.string()),
+    })
+    got = postings_for_terms(rd.from_arrow(docs), ["a", "b"],
+                             num_groups=2).to_pandas()
+    rows = sorted(map(tuple, got[["term", "doc_id", "tf"]].values.tolist()))
+    assert rows == [("a", 7, 2), ("b", 7, 1), ("b", 8, 2)]
