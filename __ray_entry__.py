@@ -138,6 +138,35 @@ ORDER BY t.term, t.doc_id
 """
 
 
+def _q_tfidf_top3(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import tfidf_top_terms_per_doc
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms_per_doc(docs, k=3)
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\W+')) AS term
+  FROM documents
+),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+sc AS (SELECT doc_id, tfs.term,
+              tf * ((SELECT c FROM n) * 1000000000 // df)
+                AS tfidf_nano
+       FROM tfs JOIN dfs ON dfs.term = tfs.term),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY doc_id ORDER BY tfidf_nano DESC, term ASC) AS r
+       FROM sc)
+SELECT doc_id, term, tfidf_nano FROM rk WHERE r <= 3
+ORDER BY doc_id, tfidf_nano DESC, term
+"""
+
+
 def _q_docs_sample(sf_dir: str):
     from dxa_pagerank_ray.stages.sampling import hash_sample
 
@@ -1095,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_top20": tg.q_cocitation_top20,
         "coupling_top20": tg.q_coupling_top20,
         "link_prediction_top20": tg.q_link_prediction_top20,
+        "resource_allocation_top20": tg.q_resource_allocation_top20,
         "scc_ids": tg.q_scc_ids,
         "jaccard_related_top20": tg.q_jaccard_related_top20,
         "degree_assortativity": tg.q_degree_assortativity,
@@ -1113,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "doc_bigram_familiarity": _q_doc_bigram_familiarity,
         "postings_top25": _q_postings_top25,
+        "tfidf_top3_per_doc": _q_tfidf_top3,
         "docs_exact_dedup": _q_docs_exact_dedup,
         # r4-CHANGED code paths stay inside the gate window: minhash's
         # downstream fast-path width, near_dup_clusters' keeper
@@ -1143,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "doc_length_quantiles": rel.doc_length_quantiles,
         "events_hourly": rel.events_hourly,
+        "events_funnel": rel.events_funnel,
         "events_sessions": rel.events_sessions,
         "events_running_totals": rel.events_running_totals,
         "events_asof_last_error": rel.events_asof_last_error,
@@ -1516,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation_top20": tg.SQL["cocitation_top20"],
         "coupling_top20": tg.SQL["coupling_top20"],
         "link_prediction_top20": tg.SQL["link_prediction_top20"],
+        "resource_allocation_top20": tg.SQL["resource_allocation_top20"],
         "scc_ids": tg.SQL["scc_ids"],
         "jaccard_related_top20": tg.SQL["jaccard_related_top20"],
         "degree_assortativity": tg.SQL["degree_assortativity"],
@@ -1564,6 +1597,7 @@ GROUP BY d.doc_id
         "doc_length_quantiles": rel.DOC_LENGTH_QUANTILES_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "events_funnel": rel.EVENTS_FUNNEL_SQL,
         "events_sessions": rel.EVENTS_SESSIONS_SQL,
         "events_running_totals": rel.EVENTS_RUNNING_SQL,
         "events_asof_last_error": rel.EVENTS_ASOF_SQL,
@@ -1613,6 +1647,7 @@ GROUP BY d.doc_id
         "top_terms": _TOP_TERMS_SQL,
         "doc_bigram_familiarity": _BIGRAM_FAM_SQL,
         "postings_top25": _POSTINGS_SQL,
+        "tfidf_top3_per_doc": _TFIDF_SQL,
         "docs_sample": _docs_sample_oracle_sql(),
         "docs_stratified_sample": _docs_stratified_oracle_sql(),
         "docs_split_counts": _docs_split_oracle_sql(),

@@ -47,12 +47,16 @@ _log = logging.getLogger(__name__)
 DEFAULT_MAX_OUTDEG = 4096
 
 
-def _cocite_sweep(t: pa.Table, max_outdeg: int) -> pa.Table:
+def _cocite_sweep(t: pa.Table, max_outdeg: int,
+                  ra_nano: bool = False) -> pa.Table:
     """One coarse partition of (src, dst) rows -> co-cited pairs
     (a, b), a < b, one row per (source, pair) incidence.  Expects
     DEDUPLICATED edges (distinct dst per src -> strict a < b).  Pure
     function (module-level so tests can assert the hub bound
-    directly)."""
+    directly).  With ``ra_nano`` each pair row carries
+    ``w = 1e9 // outdeg(src)`` — the resource-allocation weight (Zhou,
+    Lü & Zhang 2009); the coarse ``src`` partition holds ALL of a
+    source's rows, so the group size IS the global degree."""
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
     order = np.lexsort((dst, src))
@@ -69,23 +73,34 @@ def _cocite_sweep(t: pa.Table, max_outdeg: int) -> pa.Table:
             "sources are not counted — raise max_outdeg to include them",
             len(hubs), int(sizes[hubs].sum()), max_outdeg,
         )
-    a_out, b_out = [], []
+    a_out, b_out, w_out = [], [], []
     for g in cand[sizes[cand] <= max_outdeg]:
+        w = np.int64(1_000_000_000) // np.int64(sizes[g])
         for ii, jj in _tile_pairs(int(starts[g]), int(ends[g])):
             a_out.append(dst[ii])  # dst sorted per src -> a < b
             b_out.append(dst[jj])
+            if ra_nano:
+                w_out.append(np.full(len(ii), w, dtype=np.int64))
+    cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    if ra_nano:
+        cols["w"] = pa.array([], pa.int64())
     if not a_out:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
-    return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
-                     "b": pa.array(np.concatenate(b_out), pa.int64())})
+        return pa.table(cols)
+    cols = {"a": pa.array(np.concatenate(a_out), pa.int64()),
+            "b": pa.array(np.concatenate(b_out), pa.int64())}
+    if ra_nano:
+        cols["w"] = pa.array(np.concatenate(w_out), pa.int64())
+    return pa.table(cols)
 
 
 def cocitation_counts(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
-                      num_groups: int | None = None):
+                      num_groups: int | None = None,
+                      ra_nano: bool = False):
     """(a, b, n) co-citation counts over a DEDUPLICATED directed edge
     Dataset — n = number of distinct sources linking to both a and b,
-    counting only sources with out-degree <= ``max_outdeg``."""
+    counting only sources with out-degree <= ``max_outdeg``.  With
+    ``ra_nano``: (a, b, ra_nano) resource-allocation sums instead
+    (sum over common sources u of ``1e9 // outdeg(u)``)."""
     if num_groups is None:
         num_groups = derive_num_groups(edges_ds)
 
@@ -110,9 +125,12 @@ def cocitation_counts(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
     pairs = (
         edges_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(functools.partial(_cocite_sweep, max_outdeg=max_outdeg),
+        .map_groups(functools.partial(_cocite_sweep, max_outdeg=max_outdeg,
+                                      ra_nano=ra_nano),
                     batch_format="pyarrow")
     ).materialize()
+    if ra_nano:
+        return coarse_agg(pairs, ["a", "b"], [("w", "sum", "ra_nano")])
     return coarse_agg(pairs, ["a", "b"], [("a", "count", "n")])
 
 
@@ -254,10 +272,16 @@ def cocitation_topk(edges_ds, k: int = 20,
 
 def link_prediction_topk(edges_ds, k: int = 20,
                          max_degree: int = DEFAULT_MAX_OUTDEG,
-                         num_groups: int | None = None):
+                         num_groups: int | None = None,
+                         score: str = "cn"):
     """Common-neighbors LINK PREDICTION (Liben-Nowell & Kleinberg 2003,
     "The Link Prediction Problem for Social Networks"): top-k NON-edge
     pairs (a < b) by ``|N(a) ∩ N(b)|`` over the UNDIRECTED graph.
+    ``score="ra"`` ranks by the RESOURCE-ALLOCATION index instead
+    (Zhou, Lü & Zhang 2009: sum over common neighbors u of
+    ``1e9 // deg(u)`` in integer nano — degree-discounted common
+    neighbors, the strongest of the local similarity indices in their
+    benchmark); output column becomes ``ra_nano``.
 
     Pipeline = three reuses of existing shapes:
 
@@ -277,6 +301,9 @@ def link_prediction_topk(edges_ds, k: int = 20,
     """
     from ..stages.agg import coarse_distinct
 
+    if score not in ("cn", "ra"):
+        raise ValueError(f"link_prediction_topk: bad score={score!r}")
+    nc = "n" if score == "cn" else "ra_nano"
     if num_groups is None:
         num_groups = derive_num_groups(edges_ds)
 
@@ -296,14 +323,15 @@ def link_prediction_topk(edges_ds, k: int = 20,
     ).materialize()
 
     counts = cocitation_counts(und, max_outdeg=max_degree,
-                               num_groups=num_groups)
+                               num_groups=num_groups,
+                               ra_nano=(score == "ra"))
 
     G = num_groups
 
     def tag_pairs(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
         return pa.table({"part": pa.array(a % G, pa.int64()),
-                         "a": b["a"], "b": b["b"], "n": b["n"]})
+                         "a": b["a"], "b": b["b"], nc: b[nc]})
 
     def tag_edges(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)
@@ -313,7 +341,7 @@ def link_prediction_topk(edges_ds, k: int = 20,
         return pa.table({"part": pa.array(lo % G, pa.int64()),
                          "a": pa.array(lo, pa.int64()),
                          "b": pa.array(hi, pa.int64()),
-                         "n": pa.nulls(len(lo), pa.int64())})
+                         nc: pa.nulls(len(lo), pa.int64())})
 
     both = counts.map_batches(tag_pairs, batch_format="pyarrow").union(
         und.map_batches(tag_edges, batch_format="pyarrow"))
@@ -321,8 +349,8 @@ def link_prediction_topk(edges_ds, k: int = 20,
     def minus_edges(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        have = pc.is_valid(t["n"])
-        cand = t.filter(have).select(["a", "b", "n"])
+        have = pc.is_valid(t[nc])
+        cand = t.filter(have).select(["a", "b", nc])
         edges = t.filter(pc.invert(have)).select(["a", "b"])
         if edges.num_rows == 0 or cand.num_rows == 0:
             return cand
@@ -332,17 +360,17 @@ def link_prediction_topk(edges_ds, k: int = 20,
                                               batch_format="pyarrow")
 
     def local_topk(t: pa.Table) -> pa.Table:
-        n = t["n"].to_numpy(zero_copy_only=False)
+        n = t[nc].to_numpy(zero_copy_only=False)
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         sel = np.lexsort((b, a, -n))[:k]
         return t.take(pa.array(sel, pa.int64()))
 
     pruned = nonedge.map_batches(local_topk, batch_format="pyarrow")
-    rows = pruned.sort(["n", "a", "b"],
+    rows = pruned.sort([nc, "a", "b"],
                        descending=[True, False, False]).limit(k).take_all()
     return pa.table({
         "a": pa.array([r["a"] for r in rows], pa.int64()),
         "b": pa.array([r["b"] for r in rows], pa.int64()),
-        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        nc: pa.array([r[nc] for r in rows], pa.int64()),
     })

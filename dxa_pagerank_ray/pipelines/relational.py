@@ -614,6 +614,84 @@ FROM g GROUP BY user_id, session_id
 """
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def events_funnel(sf_dir: str, stages: list[str] | None = None,
+                  num_groups: int | None = None):
+    """Ordered FUNNEL analysis over the events stream: per user, stage
+    i is reached when an event of type ``stages[i]`` occurs STRICTLY
+    after the user's stage-(i-1) completion time (min qualifying ts,
+    the standard strict-sequence funnel).  Output: one row per stage
+    with the number of users reaching at least that stage.
+
+    Same partitioning assumption as sessionization: all of a user's
+    events co-located via the coarse ``user_id % G`` key; inside a
+    partition, each stage is one masked ``minimum.reduceat`` sweep
+    over the user-sorted timestamps — no per-user Python loop, no
+    whole-table sort.  The per-partition output is ``len(stages)``
+    partial counts, so the final aggregate is driver-sized."""
+    from ..context import derive_num_groups
+    from ..stages.agg import coarse_agg
+
+    stages = FUNNEL_STAGES if stages is None else stages
+    src = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    G = num_groups or derive_num_groups(src)
+    INF = np.iinfo(np.int64).max
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["user_id"].to_numpy(zero_copy_only=False) % G
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def funnel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist())
+        order = np.lexsort((ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        b = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[b, len(uid)])
+        prev = np.full(len(b), np.int64(-(1 << 62)), dtype=np.int64)
+        counts = []
+        for s in stages:
+            mask = (et == s) & (ts > np.repeat(prev, sizes))
+            masked = np.where(mask, ts, INF)
+            cur = (np.minimum.reduceat(masked, b) if len(b)
+                   else np.array([], dtype=np.int64))
+            counts.append(int(np.sum(cur < INF)))
+            prev = cur
+        return pa.table({
+            "stage": pa.array(np.arange(1, len(stages) + 1), pa.int64()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    parts = src.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(funnel, batch_format="pyarrow")
+    agg = coarse_agg(parts, ["stage"], [("n_users", "sum", "n_users")])
+    out = pa.concat_tables(
+        [pa.table({"stage": pa.array([], pa.int64()),
+                   "n_users": pa.array([], pa.int64())})]
+        + list(agg.iter_batches(batch_size=1 << 20,
+                                batch_format="pyarrow")))
+    return out.sort_by("stage")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 1 AS stage, (SELECT count(*) FROM v) AS n_users
+UNION ALL SELECT 2, (SELECT count(*) FROM c)
+UNION ALL SELECT 3, (SELECT count(*) FROM p)
+ORDER BY stage
+"""
+
+
 def events_running_totals(sf_dir: str, num_groups: int | None = None):
     """Per-user running (cumulative) value total in event-time order —
     the classic ordered window function, row-per-event output.  Same

@@ -550,6 +550,19 @@ def q_link_prediction_top20(sf_dir: str):
     return link_prediction_topk(edges, k=20, max_degree=COCITE_MAX_OUTDEG)
 
 
+def q_resource_allocation_top20(sf_dir: str):
+    """Top-20 predicted links by the RESOURCE-ALLOCATION index (Zhou,
+    Lü & Zhang 2009): sum over common undirected neighbors u of
+    ``1e9 // deg(u)`` — degree-discounted common neighbors; same
+    anti-join + hub-cap contract as ``link_prediction_top20``."""
+    from .cocitation import link_prediction_topk
+
+    edges = customer_edges(sf_dir).materialize()
+    return link_prediction_topk(edges, k=20,
+                                max_degree=COCITE_MAX_OUTDEG,
+                                score="ra")
+
+
 def q_coupling_top20(sf_dir: str):
     """Top-20 bibliographically COUPLED pairs (count of common
     out-neighbors, Kessler 1963) — co-citation over the reversed edge
@@ -951,6 +964,27 @@ SQL = {
         "SELECT c.a, c.b, c.n FROM cnt c ANTI JOIN ex "
         "ON ex.a = c.a AND ex.b = c.b "
         "ORDER BY n DESC, a, b LIMIT 20"
+    ),
+    # resource-allocation link prediction: degree-discounted common
+    # neighbors in integer nano (1e9 // deg floor division both sides)
+    "resource_allocation_top20": (
+        "WITH raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD}), "
+        "und AS (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM raw "
+        "UNION ALL SELECT dst, src FROM raw)), "
+        "deg AS (SELECT u, count(*) AS d FROM und GROUP BY u), "
+        "p AS (SELECT n1.v AS a, n2.v AS b, 1000000000 // deg.d AS w "
+        "FROM und n1 JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v "
+        f"JOIN deg ON deg.u = n1.u WHERE deg.d <= {COCITE_MAX_OUTDEG}), "
+        "cnt AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS ra_nano "
+        "FROM p GROUP BY a, b), "
+        "ex AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw) "
+        "SELECT c.a, c.b, c.ra_nano FROM cnt c ANTI JOIN ex "
+        "ON ex.a = c.a AND ex.b = c.b "
+        "ORDER BY ra_nano DESC, a, b LIMIT 20"
     ),
     "triangle_count": (
         "WITH raw AS (SELECT DISTINCT o_custkey AS src, "

@@ -696,3 +696,122 @@ def postings_for_terms(docs_ds, terms: list[str],
     partials = docs_ds.map_batches(partial, batch_format="pyarrow")
     return coarse_agg(partials, ["term", "doc_id"],
                       [("tf", "sum", "tf")], num_groups=num_groups)
+
+
+def tfidf_top_terms_per_doc(docs_ds, k: int = 3,
+                            text_col: str = "text",
+                            num_groups: int | None = None):
+    """Per-document TOP-``k`` terms by integer tf-idf — the classic
+    keyword-extraction pass, with a log-free idf so the score is
+    bit-exact in both engines:
+
+        tfidf_nano(term, doc) = tf * (N * 1e9 // df(term))
+
+    (idf as the rational N/df in nano units — same ordering as
+    1/df for fixed N, no float log).  Pipeline:
+
+    1. tf rows ``(term, doc_id, tf)`` — per-batch Arrow hash-agg
+       partial, ``coarse_agg`` keyed on term;
+    2. df = ``coarse_agg`` count over the tf rows per term (presence
+       count, not occurrence count);
+    3. df re-attached to tf rows by the string-keyed co-grouped Arrow
+       join (``hash64(term)`` tag — vocabulary never broadcast);
+    4. per-doc top-k: rows re-partition on ``doc_id`` and one
+       vectorized lexsort sweep cuts k per doc under the total order
+       (tfidf desc, term asc).
+
+    Returns Dataset ``(doc_id, term, tfidf_nano)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..context import derive_num_groups
+    from .agg import coarse_agg
+    from .ids import hash64
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(text),
+                                       pattern=r"\W+")
+        if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        counts = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({"term": flat,
+                      "doc_id": pa.array(ids[docidx[keep]], pa.int64())})
+        g = t.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "doc_id": g["doc_id"],
+                         "tf": g["count_all"].cast(pa.int64())})
+
+    n_docs = docs_ds.count()
+    tfs = coarse_agg(
+        docs_ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["term", "doc_id"], [("tf", "sum", "tf")],
+        num_groups=num_groups,
+    ).materialize()
+    if num_groups is None:
+        num_groups = derive_num_groups(tfs)
+    G = num_groups
+    dfs = coarse_agg(tfs, ["term"], [("term", "count", "df")],
+                     num_groups=G)
+
+    def tag_tfs(b: pa.Table) -> pa.Table:
+        return pa.table({"part": pa.array(hash64(b["term"]) % G, pa.int64()),
+                         "term": b["term"], "doc_id": b["doc_id"],
+                         "tf": b["tf"],
+                         "df": pa.nulls(b.num_rows, pa.int64())})
+
+    def tag_dfs(b: pa.Table) -> pa.Table:
+        return pa.table({"part": pa.array(hash64(b["term"]) % G, pa.int64()),
+                         "term": b["term"],
+                         "doc_id": pa.nulls(b.num_rows, pa.int64()),
+                         "tf": pa.nulls(b.num_rows, pa.int64()),
+                         "df": b["df"]})
+
+    both = tfs.map_batches(tag_tfs, batch_format="pyarrow").union(
+        dfs.map_batches(tag_dfs, batch_format="pyarrow"))
+    scale = np.int64(n_docs) * np.int64(1_000_000_000)
+
+    def score(t: pa.Table) -> pa.Table:
+        have = pc.is_valid(t["df"])
+        d = t.filter(have).select(["term", "df"])
+        f = t.filter(pc.invert(have)).select(["term", "doc_id", "tf"])
+        if f.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tfidf_nano": pa.array([], pa.int64())})
+        j = f.join(d, keys=["term"], join_type="inner")
+        tf = j["tf"].to_numpy(zero_copy_only=False)
+        df = j["df"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": j["doc_id"], "term": j["term"],
+                         "tfidf_nano": pa.array(tf * (scale // df),
+                                                pa.int64())})
+
+    scored = both.groupby("part").map_groups(score, batch_format="pyarrow")
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("dpart", pa.array(ids % G, pa.int64()))
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sc = t["tfidf_nano"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(t["term"].to_pylist())
+        order = np.lexsort((terms, -sc, ids))
+        ids_o = ids[order]
+        b = np.flatnonzero(np.r_[True, ids_o[1:] != ids_o[:-1]])
+        within = np.arange(len(ids_o)) - np.repeat(b, np.diff(
+            np.r_[b, len(ids_o)]))
+        sel = order[within < k]
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(sel, pa.int64())),
+            "term": t["term"].take(pa.array(sel, pa.int64())),
+            "tfidf_nano": t["tfidf_nano"].take(pa.array(sel, pa.int64())),
+        })
+
+    return scored.map_batches(tag_doc, batch_format="pyarrow") \
+        .groupby("dpart").map_groups(topk, batch_format="pyarrow")
