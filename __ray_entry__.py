@@ -1108,6 +1108,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficients": tg.q_clustering_coefficients,
         "global_clustering": tg.q_global_clustering,
         "trustrank_fixed4": tg.q_trustrank_fixed4,
+        "doc_bigram_familiarity": _q_doc_bigram_familiarity,
+        "postings_top25": _q_postings_top25,
+        "tfidf_top3_per_doc": _q_tfidf_top3,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "doc_length_quantiles": rel.doc_length_quantiles,
+        "events_funnel": rel.events_funnel,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -1141,9 +1148,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_repetition": _q_doc_repetition,
         "top_terms": _q_top_terms,
-        "doc_bigram_familiarity": _q_doc_bigram_familiarity,
-        "postings_top25": _q_postings_top25,
-        "tfidf_top3_per_doc": _q_tfidf_top3,
         "docs_exact_dedup": _q_docs_exact_dedup,
         # r4-CHANGED code paths stay inside the gate window: minhash's
         # downstream fast-path width, near_dup_clusters' keeper
@@ -1170,11 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "anchor_texts": _q_anchor_texts,
         "q1_pricing_summary": rel.q1_pricing_summary,
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "doc_length_quantiles": rel.doc_length_quantiles,
         "events_hourly": rel.events_hourly,
-        "events_funnel": rel.events_funnel,
         "events_sessions": rel.events_sessions,
         "events_running_totals": rel.events_running_totals,
         "events_asof_last_error": rel.events_asof_last_error,
