@@ -184,6 +184,33 @@ def cmd_labelprop(args) -> None:
     _run_label_alg(args, "label_propagation")
 
 
+def cmd_scc(args) -> None:
+    """Strongly connected components over the DIRECTED edge set
+    (forward-backward coloring with trim); per-partition (v, label=
+    scc id) Parquet under labels/."""
+    from .pipelines.labels_csr import LabelCSR
+
+    edges, n, _, input_time = _load_graph(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    eng = LabelCSR(edges, n, num_partitions=args.partitions)
+    res = eng.strongly_connected_components(collect_state=False)
+    labs, _sizes = eng.label_sizes()
+    eng.write_labels(os.path.join(args.out, "labels"))
+    eng.shutdown()
+    exec_time = time.perf_counter() - t0
+    _statistics(args.out, {
+        "ALGORITHM": "strongly_connected_components", "NUM_VERTICES": n,
+        "NUM_LABELS": int(len(labs)),
+        "NUM_OUTER_ROUNDS": res.rounds,
+        "INPUT_TIME_S": round(input_time, 3),
+        "EXECUTION_TIME_S": round(exec_time, 3),
+        "ASSIGNED_PER_ROUND": res.changed_per_round,
+    })
+    print(json.dumps({"out": args.out, "rounds": res.rounds,
+                      "num_labels": int(len(labs))}))
+
+
 def cmd_kcore(args) -> None:
     _run_label_alg(args, "core_decomposition")
 
@@ -614,6 +641,11 @@ def build_parser() -> argparse.ArgumentParser:
                        "(distributed h-index iteration)")
     add_common(p)
     p.set_defaults(fn=cmd_kcore)
+
+    p = sub.add_parser("scc", help="strongly connected components "
+                       "(forward-backward coloring with trim)")
+    add_common(p)
+    p.set_defaults(fn=cmd_scc)
 
     p = sub.add_parser("labelprop", help="synchronous label propagation")
     add_common(p)

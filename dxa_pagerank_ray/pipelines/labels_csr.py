@@ -713,8 +713,11 @@ def _make_label_actor_cls():
         def scc_remaining(self) -> int:
             return int(np.sum(self.scc < 0))
 
-        def scc_state(self):
-            return self.lo, self.scc
+        def scc_finalize_labels(self) -> None:
+            """Copy scc ids into ``labels`` so the engine's standard
+            sinks (``write_labels``, ``label_sizes``, checkpoints)
+            serve SCC results unchanged."""
+            self.labels = self.scc.copy()
 
         def get_state(self):
             return self.lo, self.labels
@@ -1247,14 +1250,10 @@ class LabelCSR:
             hist.append(assigned)
         from .components import ComponentsResult
 
-        labels = None
-        if collect_state:
-            labels = np.empty(self.n, dtype=np.int64)
-            for lo, sl in ray.get(
-                    [a.scc_state.remote() for a in self.actors]):
-                labels[lo : lo + len(sl)] = sl
-        return ComponentsResult(labels=labels, rounds=outer,
-                                changed_per_round=hist)
+        ray.get([a.scc_finalize_labels.remote() for a in self.actors])
+        return ComponentsResult(
+            labels=self._collect() if collect_state else None,
+            rounds=outer, changed_per_round=hist)
 
     def write_hyperball(self, out_dir: str) -> list[dict]:
         """Distributed register sink after ``hyperball()``: every shard
