@@ -1115,6 +1115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "doc_length_quantiles": rel.doc_length_quantiles,
         "events_funnel": rel.events_funnel,
+        "customers_order_stats": rel.customers_order_stats,
+        "events_type_daily_rollup": rel.events_type_daily_rollup,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -1595,6 +1597,8 @@ GROUP BY d.doc_id
         "q3_shipping_priority": rel.Q3_SQL,
         "q6_forecast_revenue": rel.Q6_SQL,
         "doc_length_quantiles": rel.DOC_LENGTH_QUANTILES_SQL,
+        "customers_order_stats": rel.CUSTOMERS_ORDER_STATS_SQL,
+        "events_type_daily_rollup": rel.EVENTS_ROLLUP_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,

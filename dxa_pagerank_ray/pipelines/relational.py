@@ -468,6 +468,91 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
+def customers_order_stats(sf_dir: str, num_groups: int | None = None):
+    """LEFT OUTER join shape: every customer with order count and
+    total spend in integer cents — customers without orders appear
+    with zeros (the half of join semantics ``q3``'s semi/anti and
+    ``top_customers``'s inner paths don't cover).  Per-custkey partial
+    aggregate first (map-side combine), then one co-grouped zero-fill
+    join against the customer universe — neither table is broadcast or
+    driver-collected."""
+    from ..context import derive_num_groups
+    from ..stages.agg import coarse_agg
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    G = num_groups or derive_num_groups(orders)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": b["o_custkey"],
+                      "spend_cents": pa.array(_cents(b["o_totalprice"]),
+                                              pa.int64())})
+        g = t.group_by("c_custkey").aggregate(
+            [("spend_cents", "sum"), ("spend_cents", "count")])
+        return pa.table({
+            "c_custkey": g["c_custkey"],
+            "spend_cents": g["spend_cents_sum"].cast(pa.int64()),
+            "n_orders": g["spend_cents_count"].cast(pa.int64()),
+        })
+
+    per_cust = coarse_agg(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["c_custkey"], [("spend_cents", "sum", "spend_cents"),
+                        ("n_orders", "sum", "n_orders")],
+        num_groups=G)
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        ids = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": pa.array(ids % G, pa.int64()),
+                         "c_custkey": b["c_custkey"],
+                         "spend_cents": pa.nulls(b.num_rows, pa.int64()),
+                         "n_orders": pa.nulls(b.num_rows, pa.int64())})
+
+    def tag_stats(b: pa.Table) -> pa.Table:
+        ids = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": pa.array(ids % G, pa.int64()),
+                         "c_custkey": b["c_custkey"],
+                         "spend_cents": b["spend_cents"],
+                         "n_orders": b["n_orders"]})
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        per_cust.map_batches(tag_stats, batch_format="pyarrow"))
+
+    def fill(t: pa.Table) -> pa.Table:
+        have = pc.is_valid(t["n_orders"])
+        stats = t.filter(have)
+        base = t.filter(pc.invert(have))
+        ids = base["c_custkey"].to_numpy(zero_copy_only=False)
+        sid = stats["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sid, kind="stable")
+        sid = sid[order]
+        sp = stats["spend_cents"].to_numpy(zero_copy_only=False)[order]
+        no = stats["n_orders"].to_numpy(zero_copy_only=False)[order]
+        i = np.clip(np.searchsorted(sid, ids), 0, max(len(sid) - 1, 0))
+        hit = (sid[i] == ids if len(sid)
+               else np.zeros(len(ids), dtype=bool))
+        spo = np.zeros(len(ids), dtype=np.int64)
+        noo = np.zeros(len(ids), dtype=np.int64)
+        spo[hit] = sp[i[hit]]
+        noo[hit] = no[i[hit]]
+        return pa.table({"c_custkey": pa.array(ids, pa.int64()),
+                         "n_orders": pa.array(noo, pa.int64()),
+                         "spend_cents": pa.array(spo, pa.int64())})
+
+    return both.groupby("part").map_groups(fill, batch_format="pyarrow")
+
+
+CUSTOMERS_ORDER_STATS_SQL = """
+SELECT c.c_custkey,
+       CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS spend_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
 QUANTILE_PCTS = [1, 25, 50, 75, 99]
 
 
@@ -689,6 +774,80 @@ SELECT 1 AS stage, (SELECT count(*) FROM v) AS n_users
 UNION ALL SELECT 2, (SELECT count(*) FROM c)
 UNION ALL SELECT 3, (SELECT count(*) FROM p)
 ORDER BY stage
+"""
+
+
+ROLLUP_ALL = "__all__"
+
+
+def events_type_daily_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day) over the events stream —
+    computed the scalable way: ONE aggregate at the finest grain
+    (type, day), then the two coarser levels re-aggregate the (small)
+    result instead of rescanning the input.  Rollup slots use the
+    explicit ``'__all__'`` / day ``-1`` sentinels rather than NULLs so
+    the driver's value-hash compare stays total-ordered."""
+    from ..stages.agg import coarse_agg
+
+    src = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b["event_type"],
+                      "day": pa.array(ts // DAY_US, pa.int64()),
+                      "value_cents": pa.array(_cents(b["value"]),
+                                              pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")])
+        return pa.table({
+            "event_type": g["event_type"], "day": g["day"],
+            "sum_cents": g["value_cents_sum"].cast(pa.int64()),
+            "n": g["value_cents_count"].cast(pa.int64()),
+        })
+
+    fine = coarse_agg(
+        src.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("sum_cents", "sum", "sum_cents"), ("n", "sum", "n")],
+    ).materialize()
+
+    def lift_type(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "day": pa.array(
+                             np.full(b.num_rows, -1, dtype=np.int64),
+                             pa.int64()),
+                         "sum_cents": b["sum_cents"], "n": b["n"]})
+
+    def lift_all(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": pa.array(
+                             [ROLLUP_ALL] * b.num_rows, pa.string()),
+                         "day": pa.array(
+                             np.full(b.num_rows, -1, dtype=np.int64),
+                             pa.int64()),
+                         "sum_cents": b["sum_cents"], "n": b["n"]})
+
+    per_type = coarse_agg(
+        fine.map_batches(lift_type, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("sum_cents", "sum", "sum_cents"), ("n", "sum", "n")])
+    total = coarse_agg(
+        fine.map_batches(lift_all, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("sum_cents", "sum", "sum_cents"), ("n", "sum", "n")])
+    return fine.union(per_type).union(total)
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT coalesce(event_type, '__all__') AS event_type,
+       CAST(CASE WHEN grouping(d) = 1 THEN -1 ELSE d END AS BIGINT)
+         AS day,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS d, value
+      FROM events)
+GROUP BY ROLLUP(event_type, d)
 """
 
 
