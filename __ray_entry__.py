@@ -167,6 +167,29 @@ ORDER BY doc_id, tfidf_nano DESC, term
 """
 
 
+def _q_vocab_stats(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import vocab_stats
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_stats(docs)
+
+
+_VOCAB_STATS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, count(*) AS n FROM toks WHERE term <> ''
+        GROUP BY term)
+SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+       CAST(count(*) * 1000000000 // sum(n) AS BIGINT)
+         AS type_token_ratio_nano
+FROM cnt
+"""
+
+
 def _q_docs_sample(sf_dir: str):
     from dxa_pagerank_ray.stages.sampling import hash_sample
 
@@ -1117,6 +1140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": rel.events_funnel,
         "customers_order_stats": rel.customers_order_stats,
         "events_type_daily_rollup": rel.events_type_daily_rollup,
+        "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
+        "vocab_stats": _q_vocab_stats,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -1599,6 +1624,8 @@ GROUP BY d.doc_id
         "doc_length_quantiles": rel.DOC_LENGTH_QUANTILES_SQL,
         "customers_order_stats": rel.CUSTOMERS_ORDER_STATS_SQL,
         "events_type_daily_rollup": rel.EVENTS_ROLLUP_SQL,
+        "doc_length_quantiles_by_lang": rel.DOC_LENGTH_QUANTILES_BY_LANG_SQL,
+        "vocab_stats": _VOCAB_STATS_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,

@@ -159,7 +159,13 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "jaccard_related_top20",
                  "minhash_dup_pairs", "top_terms", "docs_sample",
                  "training_corpus", "semantic_dedup_keepers",
-                 "paragraph_dedup", "pii_scrub", "doc_oov_counts"]:
+                 "paragraph_dedup", "pii_scrub", "doc_oov_counts",
+                 "trustrank_fixed4", "scc_ids", "link_prediction_top20",
+                 "resource_allocation_top20", "q3_shipping_priority",
+                 "q6_forecast_revenue", "doc_length_quantiles",
+                 "events_funnel", "doc_bigram_familiarity",
+                 "postings_top25", "tfidf_top3_per_doc",
+                 "customers_order_stats", "events_type_daily_rollup"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):

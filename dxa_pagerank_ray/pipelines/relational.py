@@ -567,6 +567,32 @@ def doc_length_quantiles(sf_dir: str):
     return exact_quantiles(docs, "n_chars", QUANTILE_PCTS)
 
 
+def doc_length_quantiles_by_lang(sf_dir: str):
+    """Per-language exact length percentiles — the grouped form of
+    ``doc_length_quantiles`` (one (value, lang) histogram pass,
+    driver rank scan per language)."""
+    from ..stages.agg import exact_quantiles_by_group
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return exact_quantiles_by_group(docs, "lang", "n_chars",
+                                    QUANTILE_PCTS)
+
+
+DOC_LENGTH_QUANTILES_BY_LANG_SQL = f"""
+WITH ranked AS (SELECT lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars) AS r
+                FROM documents),
+cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+p(pct) AS (VALUES {", ".join(f"({p})" for p in QUANTILE_PCTS)})
+SELECT c.lang, p.pct AS pct, rk.n_chars AS value
+FROM cnt c CROSS JOIN p JOIN ranked rk
+  ON rk.lang = c.lang
+ AND rk.r = greatest(1, (p.pct * c.c + 99) // 100)
+ORDER BY c.lang, p.pct
+"""
+
+
 DOC_LENGTH_QUANTILES_SQL = f"""
 WITH ranked AS (SELECT n_chars,
                        row_number() OVER (ORDER BY n_chars) AS r

@@ -172,3 +172,47 @@ def exact_quantiles(ds, col: str, pcts: list[int],
         out_v.append(int(vals[i]))
     return pa.table({"pct": pa.array(out_p, pa.int64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def exact_quantiles_by_group(ds, group_col: str, col: str,
+                             pcts: list[int],
+                             num_groups: int | None = None) -> pa.Table:
+    """``exact_quantiles`` per group: one distributed (group, value)
+    count pass, then the per-group cumsum rank scan on the driver.
+    Same bounded-domain contract as the ungrouped form — the histogram
+    is |groups| x |distinct values|, not the row count.  Returns
+    ``(group_col, pct, value)`` sorted by (group, pct)."""
+    # value column FIRST in the key list: the coarse partition hashes
+    # keys[0], and the group column (e.g. lang) is low-cardinality —
+    # partitioning on it would cap parallelism at |groups|
+    hist_ds = coarse_agg(ds, [col, group_col], [(col, "count", "cnt")],
+                         num_groups=num_groups)
+    parts = [b for b in hist_ds.iter_batches(batch_size=1 << 20,
+                                             batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "pct": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.int64())})
+    hist = pa.concat_tables(parts)
+    keys = np.asarray(hist[group_col].to_pylist())
+    vals = hist[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = hist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((vals, keys))
+    keys, vals, cnts = keys[order], vals[order], cnts[order]
+    b = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    ends = np.r_[b[1:], len(keys)]
+    out_g, out_p, out_v = [], [], []
+    for gi in range(len(b)):
+        lo, hi = int(b[gi]), int(ends[gi])
+        cum = np.cumsum(cnts[lo:hi])
+        n = int(cum[-1])
+        for p in pcts:
+            rank = max(1, (p * n + 99) // 100)
+            i = int(np.searchsorted(cum, rank))
+            out_g.append(keys[lo])
+            out_p.append(int(p))
+            out_v.append(int(vals[lo + i]))
+    return pa.table({group_col: pa.array(out_g, pa.string()),
+                     "pct": pa.array(out_p, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})

@@ -815,3 +815,37 @@ def tfidf_top_terms_per_doc(docs_ds, k: int = 3,
 
     return scored.map_batches(tag_doc, batch_format="pyarrow") \
         .groupby("dpart").map_groups(topk, batch_format="pyarrow")
+
+
+def vocab_stats(docs_ds, text_col: str = "text"):
+    """Corpus vocabulary statistics in one row: total token count,
+    distinct types, hapax legomena (frequency-1 types) and the
+    type/token ratio in integer nano — the Zipf-tail health check a
+    corpus build runs after dedup.  One distributed term-frequency
+    pass (``term_frequencies``), then a map-side 3-scalar partial per
+    block and a driver-sized final sum."""
+    freqs = term_frequencies(docs_ds, text_col=text_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_types": pa.array([len(n)], pa.int64()),
+            "n_tokens": pa.array([int(n.sum())], pa.int64()),
+            "n_hapax": pa.array([int((n == 1).sum())], pa.int64()),
+        })
+
+    parts = [b for b in freqs.map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow") if b.num_rows]
+    tot = {k: 0 for k in ("n_types", "n_tokens", "n_hapax")}
+    for b in parts:
+        for k in tot:
+            tot[k] += int(b[k][0].as_py())
+    ttr = (tot["n_types"] * 1_000_000_000 // tot["n_tokens"]
+           if tot["n_tokens"] else 0)
+    return pa.table({
+        "n_tokens": pa.array([tot["n_tokens"]], pa.int64()),
+        "n_types": pa.array([tot["n_types"]], pa.int64()),
+        "n_hapax": pa.array([tot["n_hapax"]], pa.int64()),
+        "type_token_ratio_nano": pa.array([ttr], pa.int64()),
+    })
