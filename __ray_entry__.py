@@ -190,6 +190,72 @@ FROM cnt
 """
 
 
+def _q_dup_cluster_histogram(sf_dir: str):
+    """Exact-duplicate cluster-size histogram: (cluster_size,
+    n_clusters) over blake2b content hashes — the dedup health report
+    (how much of the corpus is copies).  Two chained coarse_agg
+    passes; raw text never shuffles (hash-only rows after the first
+    map)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from dxa_pagerank_ray.stages.agg import coarse_agg
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.blake2b((t or "").encode("utf-8"),
+                              digest_size=16).hexdigest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({"content_hash": pa.array(hs, pa.string())})
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+    per_hash = coarse_agg(hashed, ["content_hash"],
+                          [("content_hash", "count", "cluster_size")])
+    return coarse_agg(per_hash.select_columns(["cluster_size"]),
+                      ["cluster_size"],
+                      [("cluster_size", "count", "n_clusters")])
+
+
+_DUP_HISTOGRAM_SQL = """
+WITH h AS (SELECT md5(coalesce(text, '')) AS ch, count(*) AS cluster_size
+           FROM documents GROUP BY ch)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM h GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+def _q_distinct_users_daily(sf_dir: str):
+    """COUNT(DISTINCT user) per day over the events stream — exact
+    distributed distinct (coarse pre-distinct per batch, one shuffle
+    on user) followed by a per-day count."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dxa_pagerank_ray.stages.agg import coarse_agg, coarse_distinct
+
+    ev = _rpq(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    DAY_US = 86_400_000_000
+
+    def to_day(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "day": pa.array(ts // DAY_US, pa.int64())})
+
+    pairs = coarse_distinct(ev.map_batches(to_day, batch_format="pyarrow"),
+                            ["user_id", "day"])
+    return coarse_agg(pairs.select_columns(["day"]), ["day"],
+                      [("day", "count", "n_users")])
+
+
+_DISTINCT_USERS_SQL = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY day ORDER BY day
+"""
+
+
 def _q_docs_sample(sf_dir: str):
     from dxa_pagerank_ray.stages.sampling import hash_sample
 
@@ -1142,6 +1208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_daily_rollup": rel.events_type_daily_rollup,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
         "vocab_stats": _q_vocab_stats,
+        "dup_cluster_histogram": _q_dup_cluster_histogram,
+        "distinct_users_daily": _q_distinct_users_daily,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
         "out_degrees": tg.q_out_degrees,
@@ -1626,6 +1694,8 @@ GROUP BY d.doc_id
         "events_type_daily_rollup": rel.EVENTS_ROLLUP_SQL,
         "doc_length_quantiles_by_lang": rel.DOC_LENGTH_QUANTILES_BY_LANG_SQL,
         "vocab_stats": _VOCAB_STATS_SQL,
+        "dup_cluster_histogram": _DUP_HISTOGRAM_SQL,
+        "distinct_users_daily": _DISTINCT_USERS_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,
