@@ -194,7 +194,10 @@ def cmd_scc(args) -> None:
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
     eng = LabelCSR(edges, n, num_partitions=args.partitions)
-    res = eng.strongly_connected_components(collect_state=False)
+    res = eng.strongly_connected_components(
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume,
+        collect_state=False)
     labs, _sizes = eng.label_sizes()
     eng.write_labels(os.path.join(args.out, "labels"))
     eng.shutdown()

@@ -719,6 +719,20 @@ def _make_label_actor_cls():
             serve SCC results unchanged."""
             self.labels = self.scc.copy()
 
+        def scc_restore_identity(self) -> None:
+            """Undo ``scc_finalize_labels`` mid-run (labels must be
+            identity at the top of every outer coloring round)."""
+            self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
+
+        def scc_from_labels(self) -> None:
+            """Resume init: a checkpoint written at an outer-round
+            boundary holds the scc array in the labels column (marks
+            are zero and labels identity at every boundary, so scc IS
+            the complete algorithm state)."""
+            self.scc = self.labels.copy()
+            self.mark = np.zeros(self.size, dtype=bool)
+            self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
+
         def get_state(self):
             return self.lo, self.labels
 
@@ -1199,6 +1213,9 @@ class LabelCSR:
 
     def strongly_connected_components(self, max_outer: int = 10_000,
                                       trim_rounds: int = 64,
+                                      checkpoint_dir: str | None = None,
+                                      checkpoint_every: int = 0,
+                                      resume: bool = False,
                                       collect_state: bool = True):
         """Per-vertex SCC ids (= the minimum member of each SCC) via
         distributed forward-backward COLORING with trim — see the
@@ -1211,13 +1228,21 @@ class LabelCSR:
         degree-dangling singleton chains first, so round count tracks
         the graph's SCC condensation depth, not the SCC count.  Each
         inner fixpoint is the engine's standard 2A-object packed
-        exchange."""
+        exchange.
+
+        Checkpoints are written at OUTER-round boundaries, where the
+        scc array is the complete algorithm state (marks zero, labels
+        identity) — so the standard one-column label checkpoint
+        carries SCC unchanged, and resume works at any shard count
+        like every other algorithm on this pool."""
         import ray
 
         self.build_reverse()
-        ray.get([a.scc_init.remote() for a in self.actors])
-        hist: list[int] = []
-        outer = 0
+        outer, hist = self._resume(checkpoint_dir, resume,
+                                   init_name="scc_init")
+        if outer:
+            # the checkpointed labels column holds the scc array
+            ray.get([a.scc_from_labels.remote() for a in self.actors])
         while True:
             remaining = sum(ray.get(
                 [a.scc_remaining.remote() for a in self.actors]))
@@ -1248,6 +1273,13 @@ class LabelCSR:
             assigned = sum(ray.get(
                 [a.scc_assign.remote() for a in self.actors]))
             hist.append(assigned)
+            if (checkpoint_dir is not None and checkpoint_every > 0
+                    and outer % checkpoint_every == 0):
+                ray.get([a.scc_finalize_labels.remote()
+                         for a in self.actors])
+                self._checkpoint(checkpoint_dir, outer, hist)
+                ray.get([a.scc_restore_identity.remote()
+                         for a in self.actors])
         from .components import ComponentsResult
 
         ray.get([a.scc_finalize_labels.remote() for a in self.actors])

@@ -547,3 +547,35 @@ def test_csr_scc_cycle_chain_structures():
     assert got.labels[0] == got.labels[1] == got.labels[2] == 0
     assert got.labels[4] == got.labels[5] == got.labels[6] == 4
     assert got.labels[3] == 3 and got.labels[7] == 7
+
+
+def test_csr_scc_checkpoint_resume(tmp_path):
+    """Checkpoint per outer round, keep only the round-1 checkpoint
+    (simulated interruption), rebuild at a different shard count,
+    resume — identical scc ids and outer-round count."""
+    import shutil
+
+    # two 3-cycles bridged 0->3: two outer coloring rounds by
+    # construction (cycle B shares cycle A's color until A retires)
+    src = np.array([0, 1, 2, 3, 4, 5, 0])
+    dst = np.array([1, 2, 0, 4, 5, 3, 3])
+    n = 6
+    ds = _ds(src, dst)
+    eng = LabelCSR(ds, n, num_partitions=4, num_actors=2)
+    full = eng.strongly_connected_components()
+    eng.shutdown()
+    assert full.rounds == 2
+    ck = str(tmp_path / "scc")
+    eng = LabelCSR(ds, n, num_partitions=4, num_actors=2)
+    eng.strongly_connected_components(checkpoint_dir=ck,
+                                      checkpoint_every=1)
+    eng.shutdown()
+    shutil.rmtree(f"{ck}/iter=00002")
+    eng = LabelCSR(ds, n, num_partitions=4, num_actors=4)
+    resumed = eng.strongly_connected_components(checkpoint_dir=ck,
+                                                resume=True)
+    eng.shutdown()
+    np.testing.assert_array_equal(resumed.labels, full.labels)
+    assert resumed.rounds == full.rounds
+    exp = oracle.strongly_connected_components(src, dst, n)
+    np.testing.assert_array_equal(full.labels, exp)
