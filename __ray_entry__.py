@@ -1228,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_top20": tg.q_link_prediction_top20,
         "resource_allocation_top20": tg.q_resource_allocation_top20,
         "scc_ids": tg.q_scc_ids,
+        "scc_condensation_edges": tg.q_scc_condensation_edges,
         "jaccard_related_top20": tg.q_jaccard_related_top20,
         "degree_assortativity": tg.q_degree_assortativity,
         "edge_reciprocity": tg.q_edge_reciprocity,
@@ -1645,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_top20": tg.SQL["link_prediction_top20"],
         "resource_allocation_top20": tg.SQL["resource_allocation_top20"],
         "scc_ids": tg.SQL["scc_ids"],
+        "scc_condensation_edges": tg.SQL["scc_condensation_edges"],
         "jaccard_related_top20": tg.SQL["jaccard_related_top20"],
         "degree_assortativity": tg.SQL["degree_assortativity"],
         "edge_reciprocity": tg.SQL["edge_reciprocity"],

@@ -63,6 +63,30 @@ def customer_edges(sf_dir: str):
     return dedup_edges(raw)
 
 
+SPARSE_MOD = 5
+
+
+def customer_edges_sparse(sf_dir: str):
+    """The customer graph thinned to orders with ``o_orderkey % 5 ==
+    0`` — ~20% of the edges.  The full graph is one giant SCC at gate
+    scale (every condensation query would be vacuously empty); the
+    thinned graph has a real component DAG (sf0.01: 1296 SCCs, 1797
+    condensation edges)."""
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        src = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        dst = ok % CUSTOMER_MOD
+        keep = (src != dst) & (ok % SPARSE_MOD == 0)
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    raw = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        mk, batch_format="pyarrow"
+    )
+    return dedup_edges(raw)
+
+
 def customer_edges_weighted(sf_dir: str):
     """``(src, dst, w)`` customer edges with an integer "link count"
     weight: w = SUM over the pair's raw order rows of
@@ -539,6 +563,41 @@ def q_scc_ids(sf_dir: str):
     })
 
 
+def q_scc_condensation_edges(sf_dir: str):
+    """The SCC CONDENSATION DAG: distinct (scc(src), scc(dst)) pairs
+    with different endpoints — the graph-of-components a crawl
+    scheduler or bow-tie analysis runs on after SCC.  Runs on the
+    THINNED customer graph (``customer_edges_sparse``) — the full one
+    is a single giant SCC, whose condensation is vacuously empty.
+    The collected scc vector rides a ``ray.put`` broadcast into the
+    edge remap at gate scale; at 1e12 vertices the remap is two
+    ``cogroup_attach`` joins (src then dst) against the engine's
+    partitioned label parquet."""
+    import ray
+
+    from ..stages.agg import coarse_distinct
+    from .labels_csr import LabelCSR
+
+    edges = customer_edges_sparse(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = LabelCSR(edges, n, num_partitions=8)
+    res = eng.strongly_connected_components()
+    eng.shutdown()
+    scc_ref = ray.put(res.labels)
+
+    def remap(b: pa.Table) -> pa.Table:
+        scc = ray.get(scc_ref)
+        s = scc[b["src"].to_numpy(zero_copy_only=False)]
+        d = scc[b["dst"].to_numpy(zero_copy_only=False)]
+        keep = s != d
+        return pa.table({"scc_src": pa.array(s[keep], pa.int64()),
+                         "scc_dst": pa.array(d[keep], pa.int64())})
+
+    return coarse_distinct(
+        edges.map_batches(remap, batch_format="pyarrow"),
+        ["scc_src", "scc_dst"])
+
+
 def q_link_prediction_top20(sf_dir: str):
     """Top-20 predicted links: common-neighbor count over the
     UNDIRECTED customer graph, existing edges anti-joined out
@@ -942,6 +1001,22 @@ SQL = {
         "SELECT r1.a AS v, min(r1.b) AS scc_id FROM reach r1 "
         "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a "
         "GROUP BY r1.a ORDER BY v"
+    ),
+    "scc_condensation_edges": (
+        "WITH RECURSIVE raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD} "
+        f"AND o_orderkey % {SPARSE_MOD} = 0), "
+        "verts AS (SELECT unnest(range(0, "
+        "(SELECT max(greatest(src, dst)) + 1 FROM raw))) AS v), "
+        "reach(a, b) AS (SELECT v, v FROM verts UNION "
+        "SELECT r.a, e.dst FROM reach r JOIN raw e ON e.src = r.b), "
+        "scc AS (SELECT r1.a AS v, min(r1.b) AS scc_id FROM reach r1 "
+        "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a) "
+        "SELECT DISTINCT s1.scc_id AS scc_src, s2.scc_id AS scc_dst "
+        "FROM raw JOIN scc s1 ON s1.v = raw.src "
+        "JOIN scc s2 ON s2.v = raw.dst "
+        "WHERE s1.scc_id <> s2.scc_id ORDER BY scc_src, scc_dst"
     ),
     # link prediction: common neighbors over the undirected graph,
     # existing (canonical) edges anti-joined out; degree cap mirrors
