@@ -529,11 +529,23 @@ WHERE l.lang_pred IN ('en', 'es')
   AND len(regexp_extract_all(d.text, '[^\w\s]'))
       <= 0.2 * greatest(length(d.text), 1)
 """
-    mh = _minhash_oracle_sql(src="surv")
+    # The minhash runs over the full `documents` PARQUET VIEW, not the
+    # surv CTE, with the pair set semi-joined to survivors afterwards:
+    # signatures and band buckets are per-document, so survivor-pair
+    # results are identical — but DuckDB parallelizes a parquet scan
+    # while a materialized-CTE source pins the whole 64-permutation
+    # pipeline to one thread (measured 39 s vs 6 s at sf0.01).
+    # MATERIALIZED on surv/mhp keeps the lang-id + regex scans and the
+    # pair set single-evaluation (multi-referenced; default inlining
+    # re-ran them per reference — 86 s before both fixes, ~8 s after).
+    mh = _minhash_oracle_sql()
     return f"""
 WITH RECURSIVE
-surv AS ({surv}),
-mhp AS (SELECT a, b FROM ({mh}) q),
+surv AS MATERIALIZED ({surv}),
+mhp AS MATERIALIZED (
+  SELECT q.a, q.b FROM ({mh}) q
+  JOIN surv sa ON sa.doc_id = q.a
+  JOIN surv sb ON sb.doc_id = q.b),
 und AS (SELECT a AS src, b AS dst FROM mhp UNION SELECT b, a FROM mhp),
 r AS (
   SELECT doc_id AS v, doc_id AS lbl FROM surv
@@ -1402,12 +1414,12 @@ h3 AS (SELECT doc_id, {xs('h', 27)} AS h FROM h2),
 h4 AS (SELECT doc_id, {mm('h', C2)} AS h FROM h3),
 hv AS (SELECT doc_id, {xs('h', 31)} AS x FROM h4),
 perm(p, pa, pb) AS (VALUES {perms}),
-m AS (SELECT doc_id, p, min(({mm('x', 'pa')} + pb) % {M64}) AS mv
+m AS MATERIALIZED (SELECT doc_id, p, min(({mm('x', 'pa')} + pb) % {M64}) AS mv
       FROM hv CROSS JOIN perm GROUP BY doc_id, p
       UNION ALL
       SELECT d.doc_id, perm.p, 0::HUGEINT AS mv
       FROM {src} d CROSS JOIN perm WHERE length(d.text) = 0),
-chunk AS (SELECT doc_id, p // {rpb} AS band, array_agg(mv ORDER BY p) AS c
+chunk AS MATERIALIZED (SELECT doc_id, p // {rpb} AS band, array_agg(mv ORDER BY p) AS c
           FROM m GROUP BY doc_id, p // {rpb}),
 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          FROM chunk x JOIN chunk y ON y.band = x.band AND y.c = x.c
