@@ -1221,6 +1221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
         "vocab_stats": _q_vocab_stats,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
+        "link_prediction_top20": tg.q_link_prediction_top20,
+        "resource_allocation_top20": tg.q_resource_allocation_top20,
+        "scc_ids": tg.q_scc_ids,
+        "scc_condensation_edges": tg.q_scc_condensation_edges,
         "distinct_users_daily": _q_distinct_users_daily,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
@@ -1237,10 +1241,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_regions": tg.q_bowtie_regions,
         "cocitation_top20": tg.q_cocitation_top20,
         "coupling_top20": tg.q_coupling_top20,
-        "link_prediction_top20": tg.q_link_prediction_top20,
-        "resource_allocation_top20": tg.q_resource_allocation_top20,
-        "scc_ids": tg.q_scc_ids,
-        "scc_condensation_edges": tg.q_scc_condensation_edges,
         "jaccard_related_top20": tg.q_jaccard_related_top20,
         "degree_assortativity": tg.q_degree_assortativity,
         "edge_reciprocity": tg.q_edge_reciprocity,
