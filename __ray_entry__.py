@@ -1225,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resource_allocation_top20": tg.q_resource_allocation_top20,
         "scc_ids": tg.q_scc_ids,
         "scc_condensation_edges": tg.q_scc_condensation_edges,
+        "dag_levels": tg.q_dag_levels,
         "distinct_users_daily": _q_distinct_users_daily,
         # graph family (SURVEY.md §2)
         "edges_dedup": tg.q_edges_dedup,
@@ -1659,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "resource_allocation_top20": tg.SQL["resource_allocation_top20"],
         "scc_ids": tg.SQL["scc_ids"],
         "scc_condensation_edges": tg.SQL["scc_condensation_edges"],
+        "dag_levels": tg.SQL["dag_levels"],
         "jaccard_related_top20": tg.SQL["jaccard_related_top20"],
         "degree_assortativity": tg.SQL["degree_assortativity"],
         "edge_reciprocity": tg.SQL["edge_reciprocity"],

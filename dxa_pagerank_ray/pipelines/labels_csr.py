@@ -713,6 +713,25 @@ def _make_label_actor_cls():
         def scc_remaining(self) -> int:
             return int(np.sum(self.scc < 0))
 
+        # ---- DAG longest-path levels (max-plus over forward edges;
+        # level(v) = 1 + max over in-neighbors, 0 at sources —
+        # topological depth / critical-path length) ----
+        def reset_labels_zero(self) -> None:
+            self.labels = np.zeros(self.size, dtype=np.int64)
+
+        def level_compute(self):
+            return self._gather_reduce(self.blocks, self.labels,
+                                       np.maximum)
+
+        def level_apply(self, *packed) -> int:
+            merged = self._merge_partials(packed, np.maximum)
+            if merged is None:
+                return 0
+            tgt, vals = merged
+            upd = vals + 1 > self.labels[tgt]
+            self.labels[tgt[upd]] = vals[upd] + 1
+            return int(upd.sum())
+
         def scc_finalize_labels(self) -> None:
             """Copy scc ids into ``labels`` so the engine's standard
             sinks (``write_labels``, ``label_sizes``, checkpoints)
@@ -1286,6 +1305,38 @@ class LabelCSR:
         return ComponentsResult(
             labels=self._collect() if collect_state else None,
             rounds=outer, changed_per_round=hist)
+
+    def dag_levels(self, max_rounds: int = 10_000,
+                   collect_state: bool = True):
+        """Longest-path LEVEL per vertex of a DAG (topological depth /
+        critical-path length): level(v) = 1 + max over in-neighbors'
+        levels, 0 at sources — the scheduling pass a crawl planner or
+        build system runs on a condensation DAG.  Max-plus fixpoint on
+        the standard packed exchange; converges in exactly
+        longest-path-length rounds.  Raises past ``max_rounds``
+        (the input contained a cycle — levels diverge there), so a
+        non-DAG input fails loudly instead of looping."""
+        import ray
+
+        ray.get([a.reset_labels_zero.remote() for a in self.actors])
+        rounds = 0
+        hist: list[int] = []
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"dag_levels: no fixpoint in {max_rounds} rounds — "
+                    "input has a cycle or depth exceeds the bound"
+                )
+            changed = self._superstep("level_compute", "level_apply")
+            hist.append(changed)
+            if changed == 0:
+                break
+        from .components import ComponentsResult
+
+        return ComponentsResult(
+            labels=self._collect() if collect_state else None,
+            rounds=rounds, changed_per_round=hist)
 
     def write_hyperball(self, out_dir: str) -> list[dict]:
         """Distributed register sink after ``hyperball()``: every shard

@@ -598,6 +598,43 @@ def q_scc_condensation_edges(sf_dir: str):
         ["scc_src", "scc_dst"])
 
 
+def q_dag_levels(sf_dir: str):
+    """Topological DEPTH (longest-path level) per component of the SCC
+    condensation DAG — scc + condensation + a max-plus fixpoint
+    (``LabelCSR.dag_levels``), the scheduling pass over the component
+    graph.  Sparse customer graph (the full one condenses to a
+    point)."""
+    import ray
+
+    from ..stages.agg import coarse_distinct
+    from .labels_csr import LabelCSR
+
+    edges = customer_edges_sparse(sf_dir).materialize()
+    n = _num_vertices(edges)
+    eng = LabelCSR(edges, n, num_partitions=8)
+    res = eng.strongly_connected_components()
+    eng.shutdown()
+    scc_ref = ray.put(res.labels)
+
+    def remap(b: pa.Table) -> pa.Table:
+        scc = ray.get(scc_ref)
+        s = scc[b["src"].to_numpy(zero_copy_only=False)]
+        d = scc[b["dst"].to_numpy(zero_copy_only=False)]
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    cond = coarse_distinct(
+        edges.map_batches(remap, batch_format="pyarrow"),
+        ["src", "dst"]).materialize()
+    eng = LabelCSR(cond, n, num_partitions=8)
+    lev = eng.dag_levels()
+    eng.shutdown()
+    ids = np.unique(res.labels)
+    return pa.table({"scc": pa.array(ids, pa.int64()),
+                     "level": pa.array(lev.labels[ids], pa.int64())})
+
+
 def q_link_prediction_top20(sf_dir: str):
     """Top-20 predicted links: common-neighbor count over the
     UNDIRECTED customer graph, existing edges anti-joined out
@@ -1017,6 +1054,34 @@ SQL = {
         "FROM raw JOIN scc s1 ON s1.v = raw.src "
         "JOIN scc s2 ON s2.v = raw.dst "
         "WHERE s1.scc_id <> s2.scc_id ORDER BY scc_src, scc_dst"
+    ),
+    # topological depth of the condensation DAG: recursive longest
+    # path from the level-0 components (finite — the condensation is
+    # acyclic, so (v, l) pairs are bounded by V x depth); scc/cond
+    # MATERIALIZED — each is multi-referenced and sits on top of the
+    # recursive closure
+    "dag_levels": (
+        "WITH RECURSIVE raw AS (SELECT DISTINCT o_custkey AS src, "
+        f"o_orderkey % {CUSTOMER_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {CUSTOMER_MOD} "
+        f"AND o_orderkey % {SPARSE_MOD} = 0), "
+        "verts AS (SELECT unnest(range(0, "
+        "(SELECT max(greatest(src, dst)) + 1 FROM raw))) AS v), "
+        "reach(a, b) AS (SELECT v, v FROM verts UNION "
+        "SELECT r.a, e.dst FROM reach r JOIN raw e ON e.src = r.b), "
+        "scc AS MATERIALIZED (SELECT r1.a AS v, min(r1.b) AS scc_id "
+        "FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a "
+        "GROUP BY r1.a), "
+        "cond AS MATERIALIZED (SELECT DISTINCT s1.scc_id AS scc_src, "
+        "s2.scc_id AS scc_dst FROM raw "
+        "JOIN scc s1 ON s1.v = raw.src JOIN scc s2 ON s2.v = raw.dst "
+        "WHERE s1.scc_id <> s2.scc_id), "
+        "nodes AS (SELECT DISTINCT scc_id FROM scc), "
+        "lp(v, l) AS (SELECT scc_id, 0 FROM nodes UNION "
+        "SELECT c.scc_dst, lp.l + 1 FROM lp "
+        "JOIN cond c ON c.scc_src = lp.v) "
+        "SELECT v AS scc, CAST(max(l) AS BIGINT) AS level FROM lp "
+        "GROUP BY v ORDER BY scc"
     ),
     # link prediction: common neighbors over the undirected graph,
     # existing (canonical) edges anti-joined out; degree cap mirrors

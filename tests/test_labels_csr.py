@@ -579,3 +579,21 @@ def test_csr_scc_checkpoint_resume(tmp_path):
     assert resumed.rounds == full.rounds
     exp = oracle.strongly_connected_components(src, dst, n)
     np.testing.assert_array_equal(full.labels, exp)
+
+
+def test_dag_levels_known_and_cycle_guard():
+    # diamond DAG 0->{1,2}->3->4 with extra 0->3: levels 0,1,1,2,3
+    src = np.array([0, 0, 1, 2, 3, 0])
+    dst = np.array([1, 2, 3, 3, 4, 3])
+    n = 5
+    eng = LabelCSR(_ds(src, dst), n, num_partitions=3)
+    got = eng.dag_levels()
+    eng.shutdown()
+    assert got.labels.tolist() == [0, 1, 1, 2, 3]
+    assert got.rounds == 4  # 3 productive + the fixpoint-confirming round
+    # cycle input fails loudly instead of looping
+    eng = LabelCSR(_ds(np.array([0, 1]), np.array([1, 0])), 2,
+                   num_partitions=2)
+    with pytest.raises(RuntimeError, match="cycle"):
+        eng.dag_levels(max_rounds=20)
+    eng.shutdown()
