@@ -165,7 +165,10 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "q6_forecast_revenue", "doc_length_quantiles",
                  "events_funnel", "doc_bigram_familiarity",
                  "postings_top25", "tfidf_top3_per_doc",
-                 "customers_order_stats", "events_type_daily_rollup"]:
+                 "customers_order_stats", "events_type_daily_rollup",
+                 "doc_length_quantiles_by_lang", "vocab_stats",
+                 "dup_cluster_histogram", "distinct_users_daily",
+                 "scc_condensation_edges", "dag_levels"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):
