@@ -1,0 +1,106 @@
+"""Gate-rotation invariants (r4 verdict items 1-2).
+
+The driver's correctness gate checks only the first ``GATE_WINDOW``
+registry entries, so the ordering IS the evidence policy.  These tests
+parse the committed ``CORRECTNESS_r*.json`` history and
+``GATE_FINGERPRINTS.json`` and assert, on the actual ``queries()``
+dict, that the least-proven queries occupy the window — in particular
+the judge's r4 requirement: every query whose implementation changed
+since its last driver-green row sits inside the first 50.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import __ray_entry__ as entry  # noqa: E402
+from dxa_pagerank_ray import gate  # noqa: E402
+
+
+def _state():
+    registry = entry._registry()
+    oracles = entry.oracle_sql()
+    order = list(entry.queries())
+    changed = gate.changed_queries(registry, oracles, ROOT)
+    last, newest = gate.gate_history(ROOT)
+    return registry, order, changed, last, newest
+
+
+def test_registry_and_gate_order_same_queries():
+    registry, order, _, _, _ = _state()
+    assert set(order) == set(registry)
+    assert len(order) == len(registry)
+
+
+def test_fingerprints_cover_every_query():
+    registry = entry._registry()
+    rec = gate.recorded_fingerprints(ROOT)
+    missing = set(registry) - set(rec)
+    assert not missing, (
+        f"queries with no recorded fingerprint {sorted(missing)}: run "
+        "tools/refresh_gate.py (they count as changed until recorded)"
+    )
+
+
+def test_changed_queries_inside_gate_window():
+    """The r4 verdict's exact requirement: every query whose
+    implementation changed since its last green row sits inside the
+    first GATE_WINDOW positions."""
+    _, order, changed, _, _ = _state()
+    pos = {q: i for i, q in enumerate(order)}
+    outside = {q for q in changed if pos[q] >= gate.GATE_WINDOW}
+    assert not outside, (
+        f"changed-since-green queries outside the {gate.GATE_WINDOW}-"
+        f"slot driver window: {sorted(outside)}"
+    )
+    assert len(changed) <= gate.GATE_WINDOW, (
+        "more changed queries than gate slots — this round touched too "
+        "much shared code to re-prove in one driver pass; split the "
+        "change or accept explicitly by raising this bound"
+    )
+
+
+def test_changed_queries_form_a_prefix():
+    _, order, changed, _, _ = _state()
+    n = len(changed)
+    assert set(order[:n]) == changed
+
+
+def test_tiers_monotone():
+    """Never-green before older-green before newer-green (after the
+    changed prefix); within the last-green tier, rounds ascend."""
+    _, order, changed, last, _ = _state()
+    tail = [q for q in order if q not in changed]
+    tiers = [(0 if q not in last else 1, last.get(q, 0)) for q in tail]
+    assert tiers == sorted(tiers)
+
+
+def test_stale_queries_reach_the_window():
+    """Every query not proven green in the last two committed rounds
+    must sit inside the window (unless the window is saturated by
+    strictly-less-proven queries, which the prefix/tier tests cover)."""
+    _, order, changed, last, newest = _state()
+    pos = {q: i for i, q in enumerate(order)}
+    stale = [q for q in order
+             if q in changed or last.get(q, 0) < newest - 1]
+    violations = [q for q in stale if pos[q] >= gate.GATE_WINDOW]
+    if violations:
+        # saturation escape: only acceptable if every window slot holds
+        # a stale query already
+        window = order[:gate.GATE_WINDOW]
+        assert all(q in stale for q in window), (
+            f"stale queries outside the window while fresher ones sit "
+            f"inside: {violations[:10]}"
+        )
+
+
+def test_history_parses_and_matches_known_rounds():
+    _, _, _, last, newest = _state()
+    assert newest >= 4
+    # spot checks against the committed r4 file
+    assert last["pagerank_fixed4"] >= 4
+    assert last["training_corpus"] >= 4
