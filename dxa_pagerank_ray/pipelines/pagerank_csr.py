@@ -310,27 +310,20 @@ def _make_actor_cls():
                 total += self.add_edges(pq.read_table(d, columns=cols))
             return total
 
-        def seal(self) -> int:
-            """Build the pinned per-(p, q) CSR blocks: edges bucketed by
-            (source partition p, target partition q), each block sorted
-            by dst — the partial for (p, q) is then one reduceat,
-            independent of how partitions are dealt onto shards."""
-            if self.size >= (1 << 31):
-                raise NotImplementedError(
-                    "shard slices must stay < 2^31 vertices for int32 "
-                    "locals; raise num_partitions/num_actors"
-                )
-            src = (np.concatenate(self._edge_src)
-                   if self._edge_src else np.array([], dtype=np.int64))
-            dst = (np.concatenate(self._edge_dst)
-                   if self._edge_dst else np.array([], dtype=np.int64))
-            w = (np.concatenate(self._edge_w)
-                 if self._edge_w else np.array([], dtype=np.float64))
-            self._edge_src = self._edge_dst = self._edge_w = []
-            self._seen_keys = set()
+        def _build_csr(self, src: np.ndarray, dst: np.ndarray,
+                       w: np.ndarray):
+            """Build per-(p, q) CSR blocks from raw global edge arrays
+            (src owned by this shard): edges bucketed by (source
+            partition p, target partition q), each block sorted by dst
+            — the partial for (p, q) is then one reduceat, independent
+            of how partitions are dealt onto shards.  Returns
+            ``(blocks, outdeg, inv_or_wsum, nondangling, n_edges)``
+            — shared by the forward ``seal`` and the reverse-direction
+            ``seal_reverse`` so both directions are bit-identically
+            constructed."""
             src_local = src - self.lo
-            self.outdeg = np.bincount(src_local,
-                                      minlength=self.size).astype(np.int64)
+            outdeg = np.bincount(src_local,
+                                 minlength=self.size).astype(np.int64)
             sp = np.searchsorted(self.bounds, src, side="right") - 1
             tp = np.searchsorted(self.bounds, dst, side="right") - 1
             key = sp * self.P + tp
@@ -339,7 +332,7 @@ def _make_actor_cls():
             if self.weighted:
                 w = w[order]
             # block index: (p, q) -> slice
-            self.blocks: dict[tuple[int, int], tuple] = {}
+            blocks: dict[tuple[int, int], tuple] = {}
             starts = (np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
                       if len(key) else np.array([], dtype=np.int64))
             ends = np.r_[starts[1:], len(key)] if len(starts) else starts
@@ -354,18 +347,115 @@ def _make_actor_cls():
                 )
                 if self.weighted:
                     block = block + (w[s:e],)
-                self.blocks[(p, q)] = block
+                blocks[(p, q)] = block
             if self.weighted:
                 # out-STRENGTH: contributions distribute as w/W(u)
-                self.wsum = np.bincount(src_local, weights=w,
-                                        minlength=self.size)
-                self.nondangling = self.wsum > 0
+                inv_or_wsum = np.bincount(src_local, weights=w,
+                                          minlength=self.size)
+                nondangling = inv_or_wsum > 0
             else:
-                self.inv_outdeg = np.where(
-                    self.outdeg > 0, 1.0 / np.maximum(self.outdeg, 1), 0.0
+                inv_or_wsum = np.where(
+                    outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0
                 )
-                self.nondangling = self.outdeg > 0
-            return int(len(dst))
+                nondangling = outdeg > 0
+            return blocks, outdeg, inv_or_wsum, nondangling, int(len(dst))
+
+        def _install(self, built) -> int:
+            blocks, outdeg, inv_or_wsum, nondangling, n_edges = built
+            self.blocks = blocks
+            self.outdeg = outdeg
+            if self.weighted:
+                self.wsum = inv_or_wsum
+            else:
+                self.inv_outdeg = inv_or_wsum
+            self.nondangling = nondangling
+            return n_edges
+
+        def seal(self) -> int:
+            if self.size >= (1 << 31):
+                raise NotImplementedError(
+                    "shard slices must stay < 2^31 vertices for int32 "
+                    "locals; raise num_partitions/num_actors"
+                )
+            src = (np.concatenate(self._edge_src)
+                   if self._edge_src else np.array([], dtype=np.int64))
+            dst = (np.concatenate(self._edge_dst)
+                   if self._edge_dst else np.array([], dtype=np.int64))
+            w = (np.concatenate(self._edge_w)
+                 if self._edge_w else np.array([], dtype=np.float64))
+            self._edge_src = self._edge_dst = self._edge_w = []
+            self._seen_keys = set()
+            return self._install(self._build_csr(src, dst, w))
+
+        # ---- reverse-direction blocks (the ``hits_csr.HitsShard``
+        # stage/pull/seal exchange) — one routed pool serves PageRank
+        # on BOTH edge directions, so inverse-PageRank composites
+        # (TrustRank seed scoring) skip a second engine build ----
+        def stage_reverse(self) -> None:
+            """Reconstruct this shard's raw edges from the sealed
+            forward blocks, reverse them, and group by the shard owning
+            the new src (the original dst) for the pull exchange."""
+            if self.weighted:
+                raise NotImplementedError(
+                    "reverse-direction blocks are unweighted-only "
+                    "(reversing redistributes by IN-strength, which no "
+                    "current caller defines)")
+            srcs, dsts = [], []
+            for (p, q), block in sorted(self.blocks.items()):
+                src_l, dst_l = block[0], block[1]
+                srcs.append(src_l.astype(np.int64) + self.lo)
+                dsts.append(np.add(dst_l, int(self.bounds[q]),
+                                   dtype=np.int64))
+            src = (np.concatenate(srcs)
+                   if srcs else np.array([], dtype=np.int64))
+            dst = (np.concatenate(dsts)
+                   if dsts else np.array([], dtype=np.int64))
+            shard_lo = self.bounds[self.sp[:-1]]
+            owner = np.searchsorted(shard_lo, dst, side="right") - 1
+            order = np.argsort(owner, kind="stable")
+            self._rev_src = dst[order]  # reversed: dst -> src
+            self._rev_dst = src[order]
+            self._rev_owner = owner[order]
+
+        def rev_slice(self, a: int):
+            lo = int(np.searchsorted(self._rev_owner, a))
+            hi = int(np.searchsorted(self._rev_owner, a, side="right"))
+            return self._rev_src[lo:hi], self._rev_dst[lo:hi]
+
+        def seal_reverse(self, *slices) -> int:
+            src = (np.concatenate([s[0] for s in slices])
+                   if slices else np.array([], dtype=np.int64))
+            dst = (np.concatenate([s[1] for s in slices])
+                   if slices else np.array([], dtype=np.int64))
+            self._alt = self._build_csr(
+                src, dst, np.array([], dtype=np.float64))
+            self._alt_is_rev = True
+            return self._alt[4]
+
+        def drop_staged(self) -> None:
+            del self._rev_src, self._rev_dst, self._rev_owner
+
+        def set_direction(self, rev: bool) -> int:
+            """Swap the ACTIVE block set between forward and reverse
+            (requires ``seal_reverse``), re-initialize pr to 1/N and
+            clear any teleport vector; returns this shard's
+            active-direction dangling count."""
+            if not hasattr(self, "_alt"):
+                raise ValueError("set_direction needs seal_reverse first")
+            if rev == self._alt_is_rev:  # the wanted set is inactive
+                current = (self.blocks, self.outdeg, self.inv_outdeg,
+                           self.nondangling, -1)
+                self._install(self._alt)
+                self._alt = current
+                self._alt_is_rev = not rev
+            self.reset_state()
+            return int((~self.nondangling).sum())
+
+        def reset_state(self) -> None:
+            """Back to the 1/N uniform start with no teleport — run a
+            fresh PageRank variant on the same sealed pool."""
+            self.pr = np.full(self.size, 1.0 / self.n, dtype=np.float64)
+            self.tv = None
 
         def compute(self):
             """Phase 1: ONE packed message buffer for the whole shard —
@@ -641,7 +731,55 @@ class PageRankCSR:
         self.num_dangling = sum(
             ray.get([a.num_dangling.remote() for a in self.actors])
         )
+        self.weighted = weighted
+        self._has_reverse = False
         self._init_dangling_pr: float | None = None
+
+    def build_reverse(self) -> None:
+        """Build REVERSED-edge blocks on the same shard pool via a
+        staged pull exchange (each shard reconstructs + regroups its
+        sealed edges once, every shard pulls its slice) — one routed
+        engine then serves PageRank on both edge directions, so
+        composites needing inverse PageRank (TrustRank seed scoring,
+        Gyongyi et al. 2004) skip a second construction + edge routing
+        entirely.  Idempotent; unweighted engines only."""
+        import ray
+
+        if self._has_reverse:
+            return
+        if self.weighted:
+            raise NotImplementedError(
+                "build_reverse is unweighted-only (see stage_reverse)")
+        ray.get([a.stage_reverse.remote() for a in self.actors])
+        ray.get([
+            self.actors[b].seal_reverse.remote(
+                *[a.rev_slice.remote(b) for a in self.actors])
+            for b in range(self.A)
+        ])
+        ray.get([a.drop_staged.remote() for a in self.actors])
+        self._has_reverse = True
+
+    def set_direction(self, direction: str) -> None:
+        """Activate ``"fwd"`` or ``"rev"`` blocks on every shard
+        (requires ``build_reverse``); resets rank state to the uniform
+        1/N start, clears any teleport, and refreshes the engine's
+        dangling count for the active direction."""
+        import ray
+
+        rev = {"fwd": False, "rev": True}[direction]
+        parts = ray.get([a.set_direction.remote(rev)
+                         for a in self.actors])
+        self.num_dangling = int(sum(parts))
+        self._init_dangling_pr = None
+
+    def reset(self) -> None:
+        """Re-initialize rank state (pr = 1/N, no teleport) without
+        touching the sealed blocks — run another PageRank variant on
+        the same pool (call ``personalize`` after, if needed)."""
+        import ray
+
+        ray.get([a.reset_state.remote() for a in self.actors])
+        self._init_dangling_pr = None
 
     def personalize(self, seeds) -> None:
         """Switch the engine to PERSONALIZED PageRank: teleport mass

@@ -417,8 +417,8 @@ FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = '{Q3_SEGMENT}'
-  AND o_orderdate < TIMESTAMP '1998-06-15'
-  AND l_shipdate > TIMESTAMP '1998-06-15'
+  AND o_orderdate < TIMESTAMP '{"%04d-%02d-%02d" % Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{"%04d-%02d-%02d" % Q3_CUTOFF}'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue_c4 DESC, o_orderdate ASC, l_orderkey ASC
 LIMIT 10

@@ -126,30 +126,155 @@ def coarse_distinct(ds, keys: list[str], num_groups: int | None = None):
     return partials.groupby("part").map_groups(combine, batch_format="pyarrow")
 
 
+# driver-side histogram bound for ``exact_quantiles``: value-counts
+# results above this row count switch to the iterative range-narrowing
+# tier instead of collecting an unbounded histogram on the driver.
+QUANTILE_HIST_LIMIT = 1 << 20
+
+# buckets per narrowing pass: log_B(2^63) passes bound the scan count
+# (4096 -> <= 6 full passes over the column for any int64 range).
+_NARROW_BUCKETS = 4096
+
+
+def _check_pcts(pcts: list[int]) -> None:
+    bad = [p for p in pcts if not (1 <= int(p) <= 100)]
+    if bad:
+        raise ValueError(f"percentiles must be integers in [1, 100], "
+                         f"got {bad}")
+
+
+def _quantiles_narrowing(ds, col: str, pcts: list[int]) -> pa.Table:
+    """Range-narrowing exact quantiles for UNBOUNDED-cardinality int64
+    columns: no per-value histogram ever exists — each pass buckets
+    the active range of every percentile into ``_NARROW_BUCKETS``
+    equal-width buckets, one distributed count pass serves all
+    percentiles at once, and each percentile recurses into the bucket
+    containing its rank.  Width-1 buckets terminate (the bucket index
+    IS the value), so any int64 column finishes in <= ~6 scans.
+    Driver state per pass: ``len(pcts) * _NARROW_BUCKETS`` counts."""
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"mn": pa.array([int(v.min())], pa.int64()),
+                         "mx": pa.array([int(v.max())], pa.int64()),
+                         "n": pa.array([len(v)], pa.int64())})
+
+    mn, mx, n = None, None, 0
+    for b in ds.map_batches(mm_partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            mn = (int(b["mn"][i].as_py()) if mn is None
+                  else min(mn, int(b["mn"][i].as_py())))
+            mx = (int(b["mx"][i].as_py()) if mx is None
+                  else max(mx, int(b["mx"][i].as_py())))
+            n += int(b["n"][i].as_py())
+    if n == 0:
+        return pa.table({"pct": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.int64())})
+    if mx - mn >= (1 << 62):
+        raise NotImplementedError(
+            "range-narrowing quantiles need the value span < 2^62 "
+            "(int64 bucket arithmetic); rescale the column first")
+    K = len(pcts)
+    ranks = [min(n, max(1, (int(p) * n + 99) // 100)) for p in pcts]
+    lo = [mn] * K          # per-pct active range [lo, hi]
+    hi = [mx] * K
+    below = [0] * K        # count of rows < lo[k]
+    value = [None] * K
+    while any(v is None for v in value):
+        active = [k for k in range(K) if value[k] is None]
+        edges = []  # (k, lo, width) — shipped in the task closure
+        for k in active:
+            rng = hi[k] - lo[k] + 1
+            width = -(-rng // _NARROW_BUCKETS)  # ceil
+            edges.append((k, lo[k], hi[k], width))
+
+        def bucket_partial(batch: pa.Table, edges=tuple(edges)) -> pa.Table:
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ks, bs, cs = [], [], []
+            for k, lo_k, hi_k, width in edges:
+                sel = v[(v >= lo_k) & (v <= hi_k)]
+                if len(sel) == 0:
+                    continue
+                bkt = (sel - lo_k) // width
+                cnt = np.bincount(bkt)
+                nz = np.flatnonzero(cnt)
+                ks.append(np.full(len(nz), k, dtype=np.int64))
+                bs.append(nz.astype(np.int64))
+                cs.append(cnt[nz].astype(np.int64))
+            if not ks:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({"k": pa.array(np.concatenate(ks), pa.int64()),
+                             "b": pa.array(np.concatenate(bs), pa.int64()),
+                             "c": pa.array(np.concatenate(cs), pa.int64())})
+
+        counts = {(k, 0): 0 for k in active}
+        for t in ds.map_batches(bucket_partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            kk = t["k"].to_numpy(zero_copy_only=False)
+            bb = t["b"].to_numpy(zero_copy_only=False)
+            cc = t["c"].to_numpy(zero_copy_only=False)
+            for i in range(len(kk)):
+                key = (int(kk[i]), int(bb[i]))
+                counts[key] = counts.get(key, 0) + int(cc[i])
+        for k, lo_k, hi_k, width in edges:
+            need = ranks[k] - below[k]
+            acc = 0
+            nb = (hi_k - lo_k) // width + 1
+            for j in range(nb):
+                c = counts.get((k, j), 0)
+                if acc + c >= need:
+                    below[k] += acc
+                    lo[k] = lo_k + j * width
+                    hi[k] = min(hi_k, lo_k + (j + 1) * width - 1)
+                    if width == 1:
+                        value[k] = lo[k]
+                    break
+                acc += c
+            else:  # pragma: no cover - rank always lands in a bucket
+                raise AssertionError("rank not found in bucket scan")
+    return pa.table({"pct": pa.array([int(p) for p in pcts], pa.int64()),
+                     "value": pa.array([int(v) for v in value],
+                                       pa.int64())})
+
+
 def exact_quantiles(ds, col: str, pcts: list[int],
-                    num_groups: int | None = None) -> pa.Table:
+                    num_groups: int | None = None,
+                    hist_limit: int = QUANTILE_HIST_LIMIT) -> pa.Table:
     """EXACT order statistics of an int64 column, distributed: the
-    value at 1-based rank ``(p*n + 99) // 100`` (integer-ceil of
-    p/100*n — pure integer arithmetic, so the definition is
+    value at 1-based rank ``min(n, (p*n + 99) // 100)`` (integer-ceil
+    of p/100*n — pure integer arithmetic, so the definition is
     bit-identical in numpy and SQL; no float rounding at exact
-    boundaries).
+    boundaries).  ``pcts`` must lie in [1, 100] (validated — rank is
+    additionally clamped to n as belt-and-braces).
 
     Shape: one distributed value-counts pass (``coarse_agg`` count per
     value — map-side combine first, so each block ships at most its
     DISTINCT values), then the (value, count) histogram collects on
     the driver for a cumsum rank scan.  The histogram is bounded by
     the column's distinct-value count, not the row count — for
-    bounded-domain columns (lengths, scores, degrees: the intended
-    targets) that is thousands of rows at any data scale.  For
-    genuinely unbounded-cardinality columns the scale path is
-    iterative range-narrowing (histogram over value buckets, recurse
-    into the bucket holding the rank); not wired — every current
-    caller is bounded-domain.
+    bounded-domain columns (lengths, scores, degrees) that is
+    thousands of rows at any data scale.  A column whose distinct
+    count exceeds ``hist_limit`` (guard: the histogram's own
+    distributed count, checked BEFORE anything lands on the driver)
+    switches to the iterative range-narrowing tier
+    (``_quantiles_narrowing``): <= ~6 additional full scans, O(1)
+    driver memory, same exact semantics — so an unbounded-cardinality
+    column can never collect an unbounded histogram.
 
     Returns ``(pct:int64, value:int64)`` sorted by pct.
     """
+    _check_pcts(pcts)
     hist_ds = coarse_agg(ds, [col], [(col, "count", "cnt")],
-                         num_groups=num_groups)
+                         num_groups=num_groups).materialize()
+    if hist_ds.count() > hist_limit:
+        return _quantiles_narrowing(ds, col, pcts)
     empty = pa.table({col: pa.array([], pa.int64()),
                       "cnt": pa.array([], pa.int64())})
     hist = pa.concat_tables(
@@ -166,7 +291,7 @@ def exact_quantiles(ds, col: str, pcts: list[int],
     for p in pcts:
         if n == 0:
             continue
-        rank = max(1, (p * n + 99) // 100)
+        rank = min(n, max(1, (p * n + 99) // 100))
         i = int(np.searchsorted(cum, rank))
         out_p.append(int(p))
         out_v.append(int(vals[i]))
@@ -180,8 +305,12 @@ def exact_quantiles_by_group(ds, group_col: str, col: str,
     """``exact_quantiles`` per group: one distributed (group, value)
     count pass, then the per-group cumsum rank scan on the driver.
     Same bounded-domain contract as the ungrouped form — the histogram
-    is |groups| x |distinct values|, not the row count.  Returns
-    ``(group_col, pct, value)`` sorted by (group, pct)."""
+    is |groups| x |distinct values|, not the row count.  Group keys
+    must be NON-NULL (validated loudly: a None key would become an
+    object array and break the lexsort) and ``pcts`` must lie in
+    [1, 100].  Returns ``(group_col, pct, value)`` sorted by
+    (group, pct)."""
+    _check_pcts(pcts)
     # value column FIRST in the key list: the coarse partition hashes
     # keys[0], and the group column (e.g. lang) is low-cardinality —
     # partitioning on it would cap parallelism at |groups|
@@ -195,6 +324,10 @@ def exact_quantiles_by_group(ds, group_col: str, col: str,
                          "pct": pa.array([], pa.int64()),
                          "value": pa.array([], pa.int64())})
     hist = pa.concat_tables(parts)
+    if hist[group_col].null_count:
+        raise ValueError(
+            f"exact_quantiles_by_group: NULL values in group column "
+            f"{group_col!r} — fill or filter them first")
     keys = np.asarray(hist[group_col].to_pylist())
     vals = hist[col].to_numpy(zero_copy_only=False).astype(np.int64)
     cnts = hist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -208,7 +341,7 @@ def exact_quantiles_by_group(ds, group_col: str, col: str,
         cum = np.cumsum(cnts[lo:hi])
         n = int(cum[-1])
         for p in pcts:
-            rank = max(1, (p * n + 99) // 100)
+            rank = min(n, max(1, (p * n + 99) // 100))
             i = int(np.searchsorted(cum, rank))
             out_g.append(keys[lo])
             out_p.append(int(p))

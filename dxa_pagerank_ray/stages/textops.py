@@ -720,6 +720,15 @@ def tfidf_top_terms_per_doc(docs_ds, k: int = 3,
        vectorized lexsort sweep cuts k per doc under the total order
        (tfidf desc, term asc).
 
+    int64 bound (same contract style as ``bigram_familiarity`` /
+    ``clustering_coefficients``): scores need
+    ``tf * (N * 1e9 // df) < 2^63`` — e.g. a hapax term (df=1) in a
+    1e9-doc corpus overflows at tf >= 10.  Rows exceeding the bound
+    RAISE (vectorized per-partition check) instead of wrapping
+    silently; corpora near the bound should bucket-shard the doc space
+    first (tf-idf per shard with shard-local N — the standard sharded-
+    index practice).
+
     Returns Dataset ``(doc_id, term, tfidf_nano)``.
     """
     import pyarrow.compute as pc
@@ -787,9 +796,16 @@ def tfidf_top_terms_per_doc(docs_ds, k: int = 3,
         j = f.join(d, keys=["term"], join_type="inner")
         tf = j["tf"].to_numpy(zero_copy_only=False)
         df = j["df"].to_numpy(zero_copy_only=False)
+        idf = scale // df
+        over = tf > np.int64(np.iinfo(np.int64).max) // np.maximum(idf, 1)
+        if over.any():
+            raise OverflowError(
+                "tfidf_top_terms_per_doc: tf * (N*1e9 // df) exceeds "
+                "int64 for some rows (hapax-heavy corpus too large for "
+                "the nano scale) — shard the doc space first"
+            )
         return pa.table({"doc_id": j["doc_id"], "term": j["term"],
-                         "tfidf_nano": pa.array(tf * (scale // df),
-                                                pa.int64())})
+                         "tfidf_nano": pa.array(tf * idf, pa.int64())})
 
     scored = both.groupby("part").map_groups(score, batch_format="pyarrow")
 

@@ -98,3 +98,58 @@ def test_exact_quantiles_empty_and_single(ray_session):
     one = rd.from_arrow(pa.table({"x": pa.array([9], pa.int64())}))
     got = exact_quantiles(one, "x", [1, 50, 100])
     assert got["value"].to_pylist() == [9, 9, 9]
+
+
+def test_exact_quantiles_narrowing_tier_matches_histogram_path(ray_session):
+    """High-cardinality guard (r4 verdict item 8): forcing hist_limit
+    below the distinct count switches to the range-narrowing tier,
+    which must return the SAME exact order statistics (incl. negative
+    values, duplicates, a huge-span outlier, and pct=100)."""
+    from dxa_pagerank_ray.stages.agg import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.integers(-10**12, 10**12, 5000),
+        np.repeat(rng.integers(-100, 100, 10), 50),
+        np.array([np.iinfo(np.int64).min // 4, np.iinfo(np.int64).max // 4]),
+    ]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})) \
+        .repartition(4).materialize()
+    pcts = [1, 7, 50, 93, 100]
+    hist = exact_quantiles(ds, "x", pcts, num_groups=4)
+    narrow = exact_quantiles(ds, "x", pcts, num_groups=4, hist_limit=10)
+    assert hist.to_pydict() == narrow.to_pydict()
+    s = np.sort(vals)
+    n = len(s)
+    for p, v in zip(narrow["pct"].to_pylist(), narrow["value"].to_pylist()):
+        assert v == int(s[min(n, max(1, (p * n + 99) // 100)) - 1])
+
+
+def test_exact_quantiles_narrowing_empty(ray_session):
+    from dxa_pagerank_ray.stages.agg import exact_quantiles
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert exact_quantiles(empty, "x", [50], hist_limit=0).num_rows == 0
+
+
+def test_exact_quantiles_validates_pcts(ray_session):
+    import pytest
+
+    from dxa_pagerank_ray.stages.agg import exact_quantiles
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], pa.int64())}))
+    with pytest.raises(ValueError, match="percentiles"):
+        exact_quantiles(ds, "x", [0])
+    with pytest.raises(ValueError, match="percentiles"):
+        exact_quantiles(ds, "x", [101])
+
+
+def test_exact_quantiles_by_group_rejects_null_groups(ray_session):
+    import pytest
+
+    from dxa_pagerank_ray.stages.agg import exact_quantiles_by_group
+
+    t = pa.table({"g": pa.array(["a", None, "b"], pa.string()),
+                  "x": pa.array([1, 2, 3], pa.int64())})
+    with pytest.raises(ValueError, match="NULL"):
+        exact_quantiles_by_group(rd.from_arrow(t), "g", "x", [50])

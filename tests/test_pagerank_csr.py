@@ -350,3 +350,77 @@ def test_csr_partitioned_parquet_load_bit_identical(tmp_path, ray_session):
         PageRankCSR(None, n, num_partitions=16, edges_path=out)
     with pytest.raises(ValueError, match="_edges_meta"):
         PageRankCSR(None, n, num_partitions=8, edges_path=str(tmp_path))
+
+
+def test_csr_bidirectional_pool_matches_fresh_engines():
+    """One bidirectional pool (build_reverse + set_direction + reset)
+    must reproduce three FRESH engines' results exactly: reverse-run pr
+    == a fresh engine built on the reversed Dataset (nano-identical —
+    only the within-block arrival order of equal-dst edges differs,
+    absorbed by nano rounding), and the forward re-runs (plain +
+    personalized) bit-equal fresh forward engines."""
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = rd.from_arrow(pages_table(64, seed=7)).repartition(4)
+    g = build_link_graph(pages, num_partitions=4)
+    edges = g.edges.materialize()
+    n = g.num_vertices
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    redges = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    fresh = {}
+    eng = PageRankCSR(redges, n, num_partitions=8, num_actors=2)
+    fresh["rev"] = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    eng = PageRankCSR(edges, n, num_partitions=8, num_actors=2)
+    fresh["fwd"] = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+    seeds = np.arange(0, n, 5, dtype=np.int64)
+    eng = PageRankCSR(edges, n, num_partitions=8, num_actors=2)
+    eng.personalize(seeds)
+    fresh["ppr"] = eng.run(threshold=0.0, max_rounds=4)
+    eng.shutdown()
+
+    pool = PageRankCSR(edges, n, num_partitions=8, num_actors=2)
+    pool.build_reverse()
+    pool.set_direction("rev")
+    got_rev = pool.run(threshold=0.0, max_rounds=4)
+    pool.set_direction("fwd")
+    got_fwd = pool.run(threshold=0.0, max_rounds=4)
+    pool.reset()
+    pool.personalize(seeds)
+    got_ppr = pool.run(threshold=0.0, max_rounds=4)
+    pool.shutdown()
+
+    def nano(x):
+        return np.floor(x * 1e9 + 0.5).astype(np.int64)
+
+    np.testing.assert_array_equal(nano(got_rev.pr), nano(fresh["rev"].pr))
+    np.testing.assert_allclose(got_rev.pr, fresh["rev"].pr, rtol=1e-12)
+    np.testing.assert_array_equal(got_fwd.pr, fresh["fwd"].pr)
+    np.testing.assert_array_equal(got_ppr.pr, fresh["ppr"].pr)
+
+
+def test_csr_set_direction_requires_reverse():
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    pages = rd.from_arrow(pages_table(16, seed=7)).repartition(2)
+    g = build_link_graph(pages, num_partitions=2)
+    eng = PageRankCSR(g.edges, g.num_vertices, num_partitions=4,
+                      num_actors=1)
+    with pytest.raises(Exception, match="seal_reverse"):
+        eng.set_direction("rev")
+    eng.shutdown()
+
+
+def test_csr_build_reverse_rejects_weighted():
+    from dxa_pagerank_ray.pipelines.pagerank_csr import PageRankCSR
+
+    ds, _, _, _ = _weighted_ds(3, 20, 60)
+    eng = PageRankCSR(ds, 20, num_partitions=4, num_actors=1,
+                      weighted=True)
+    with pytest.raises(NotImplementedError):
+        eng.build_reverse()
+    eng.shutdown()
