@@ -12,8 +12,9 @@ Scale shape (same discipline as the LSH pair sweeps in
 1. ONE coarse hash-partition shuffle on ``src`` — all out-edges of a
    source land in one partition;
 2. per partition: one vectorized lexsort + boundary sweep over every
-   source, per-source pair enumeration in bounded ``_tile_pairs`` tiles
-   (never an O(outdeg²) allocation);
+   source, then ONE repeat/arange pair enumeration across ALL sub-cap
+   sources at once — no per-source Python loop (the output is
+   pair-volume-sized either way; the enumeration now is too);
 3. hub sources above ``max_outdeg`` are DROPPED + logged — the cap is
    part of the operator contract, not a silent truncation: a
    navigation/boilerplate page linking to m pages alone implies
@@ -37,7 +38,6 @@ import pyarrow as pa
 
 from ..context import derive_num_groups
 from ..stages.agg import coarse_agg
-from ..stages.dedup import _tile_pairs
 
 _log = logging.getLogger(__name__)
 
@@ -56,7 +56,16 @@ def _cocite_sweep(t: pa.Table, max_outdeg: int,
     directly).  With ``ra_nano`` each pair row carries
     ``w = 1e9 // outdeg(src)`` — the resource-allocation weight (Zhou,
     Lü & Zhang 2009); the coarse ``src`` partition holds ALL of a
-    source's rows, so the group size IS the global degree."""
+    source's rows, so the group size IS the global degree.
+
+    Pair enumeration is ONE vectorized two-level repeat/arange expansion
+    across every sub-cap source at once (no per-source Python loop —
+    that loop was the measured constant behind the r4
+    link-prediction/resource-allocation timings): level 1 expands one
+    row per (source, i) left-member slot, level 2 expands each slot to
+    its ``size-1-i`` right members.  Peak memory is a small constant ×
+    the pair volume — the same asymptotic footprint the tiled loop had,
+    since the output table itself is pair-volume-sized."""
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
     order = np.lexsort((dst, src))
@@ -73,23 +82,34 @@ def _cocite_sweep(t: pa.Table, max_outdeg: int,
             "sources are not counted — raise max_outdeg to include them",
             len(hubs), int(sizes[hubs].sum()), max_outdeg,
         )
-    a_out, b_out, w_out = [], [], []
-    for g in cand[sizes[cand] <= max_outdeg]:
-        w = np.int64(1_000_000_000) // np.int64(sizes[g])
-        for ii, jj in _tile_pairs(int(starts[g]), int(ends[g])):
-            a_out.append(dst[ii])  # dst sorted per src -> a < b
-            b_out.append(dst[jj])
-            if ra_nano:
-                w_out.append(np.full(len(ii), w, dtype=np.int64))
-    cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    keep = cand[sizes[cand] <= max_outdeg]
+    empty = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
     if ra_nano:
-        cols["w"] = pa.array([], pa.int64())
-    if not a_out:
-        return pa.table(cols)
-    cols = {"a": pa.array(np.concatenate(a_out), pa.int64()),
-            "b": pa.array(np.concatenate(b_out), pa.int64())}
+        empty["w"] = pa.array([], pa.int64())
+    if not len(keep):
+        return pa.table(empty)
+    m = sizes[keep].astype(np.int64)   # per-source out-degree
+    st = starts[keep].astype(np.int64)
+    # level 1: one row per (source, i), i = left-member local index in
+    # [0, m-1); each row owns cnt = m-1-i right members.
+    ni = m - 1
+    tot_i = int(ni.sum())
+    g_of = np.repeat(np.arange(len(keep), dtype=np.int64), ni)
+    i_loc = np.arange(tot_i, dtype=np.int64) - np.repeat(
+        np.cumsum(ni) - ni, ni)
+    cnt = m[g_of] - 1 - i_loc
+    i_glob = st[g_of] + i_loc
+    # level 2: expand each slot to its right members j = i+1 .. end-1.
+    tot_p = int(cnt.sum())
+    j_rel = np.arange(tot_p, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt)
+    ii = np.repeat(i_glob, cnt)
+    jj = ii + 1 + j_rel
+    cols = {"a": pa.array(dst[ii], pa.int64()),   # dst sorted per src
+            "b": pa.array(dst[jj], pa.int64())}   # -> a < b
     if ra_nano:
-        cols["w"] = pa.array(np.concatenate(w_out), pa.int64())
+        w = np.int64(1_000_000_000) // m
+        cols["w"] = pa.array(np.repeat(w[g_of], cnt), pa.int64())
     return pa.table(cols)
 
 

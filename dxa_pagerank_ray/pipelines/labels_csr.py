@@ -87,6 +87,23 @@ def hll_estimates(regs_table: pa.Table, num_vertices: int,
     return est
 
 
+def _unique_pairs(s: np.ndarray, d: np.ndarray,
+                  n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (s, d) rows, both int64 in [0, n).  Packed-key unique
+    while ``s * n + d`` fits int64 (n < ~3e9), lexsort boundary sweep
+    beyond that."""
+    if len(s) == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy()
+    if n <= (1 << 31):
+        key = np.unique(s * np.int64(n) + d)
+        return key // n, key % n
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+    return s[keep], d[keep]
+
+
 def _make_label_actor_cls():
     import ray
 
@@ -163,6 +180,17 @@ def _make_label_actor_cls():
 
         def reset_labels(self) -> None:
             self.labels = np.arange(self.lo, self.hi, dtype=np.int64)
+
+        def reset_edges(self) -> None:
+            """Drop every sealed/staged edge structure so a NEW edge
+            set can be routed onto the same pool (``reload_edges``) —
+            actor spawn, vertex bounds and label state survive."""
+            self._edge_src, self._edge_dst, self._edge_w = [], [], []
+            self._seen_keys = set()
+            for attr in ("blocks", "wblocks", "rev_blocks",
+                         "_rev_src", "_rev_dst", "_rev_owner"):
+                if hasattr(self, attr):
+                    delattr(self, attr)
 
         def seed_distances(self, seeds: np.ndarray, sentinel: int) -> None:
             """BFS init: 0 for seed vertices owned by this shard,
@@ -836,6 +864,33 @@ def _make_label_actor_cls():
             u, c = np.unique(self.labels, return_counts=True)
             return u, c
 
+        def condensation_pairs(self, labels_full: np.ndarray):
+            """DISTINCT ``(labels[src], labels[dst])`` pairs with
+            different endpoints over this shard's sealed edges — the
+            shard-local partial of the SCC condensation DAG.
+            ``labels_full`` rides a driver ``ray.put`` broadcast (gate
+            tier; the 1e12-vertex path remaps via co-grouped
+            label-parquet joins instead).  Runs as an ACTOR task so
+            the pool computes its own condensation with zero extra
+            CPUs: the pool may hold every CPU in the cluster (e.g.
+            the 4-CPU test session), where a driver-launched Ray Data
+            remap job could never schedule and the caller would
+            deadlock."""
+            ss, dd = [], []
+            for b in range(self.A):
+                src_l, dst_l = self.blocks[b]
+                s = labels_full[src_l.astype(np.int64) + self.lo]
+                d = labels_full[dst_l.astype(np.int64)
+                                + int(self.shard_lo[b])]
+                keep = s != d
+                ss.append(s[keep])
+                dd.append(d[keep])
+            s = (np.concatenate(ss)
+                 if ss else np.array([], dtype=np.int64))
+            d = (np.concatenate(dd)
+                 if dd else np.array([], dtype=np.int64))
+            return _unique_pairs(s, d, len(labels_full))
+
     return LabelShard
 
 
@@ -863,6 +918,64 @@ class LabelCSR:
         distribute_edges(und_edges_ds, self.actors, shard_lo)
         self.num_edges = sum(ray.get([a.seal.remote() for a in self.actors]))
         self._has_reverse = False
+
+    def reload_edges(self, edges) -> None:
+        """Swap in a NEW edge set on the SAME shard pool (same vertex
+        space, partition bounds and actors): drop sealed/staged edge
+        state, route the new edges, re-seal forward.  The SCC ->
+        condensation -> dag-levels chain runs all passes on one pool
+        instead of spawning and routing a second engine for the
+        condensation DAG (r4 verdict item 3).  Reverse blocks are
+        dropped (rebuild on demand via ``build_reverse``).
+
+        ``edges`` is either a Dataset (routed via ``distribute_edges``
+        — needs at least one spare CPU beyond the pool: even
+        ``ray.data.from_arrow`` launches a 1-CPU metadata task, which
+        DEADLOCKS when the pool holds every CPU, as observed at the
+        4-CPU test session) or a driver-side ``pa.Table`` with
+        ``src``/``dst`` columns — sliced by owning shard and pushed
+        straight into the actors with plain actor calls, safe at any
+        CPU occupancy.  Use the table form for driver-sized edge sets
+        (e.g. a condensation DAG), the Dataset form for big ones."""
+        import ray
+
+        shard_lo = self.bounds[self.sp[:-1]]
+        ray.get([a.reset_edges.remote() for a in self.actors])
+        if isinstance(edges, pa.Table):
+            src = edges["src"].to_numpy(zero_copy_only=False)
+            owner = np.searchsorted(shard_lo, src, side="right") - 1
+            order = np.argsort(owner, kind="stable")
+            t = edges.take(pa.array(order, pa.int64()))
+            owner = owner[order]
+            starts = np.searchsorted(owner, np.arange(self.A))
+            ends = np.searchsorted(owner, np.arange(self.A),
+                                   side="right")
+            ray.get([
+                self.actors[a].add_edges.remote(
+                    t.slice(starts[a], ends[a] - starts[a]))
+                for a in range(self.A) if ends[a] > starts[a]
+            ])
+        else:
+            distribute_edges(edges, self.actors, shard_lo)
+        self.num_edges = sum(ray.get([a.seal.remote()
+                                      for a in self.actors]))
+        self._has_reverse = False
+
+    def condensation_edges(self, labels_ref):
+        """Distinct ``(label[src], label[dst])`` pairs (endpoints
+        differing) over the pool's sealed edges — the SCC condensation
+        DAG, computed ON the pool via actor tasks (see
+        ``LabelShard.condensation_pairs`` for why no Ray Data job may
+        run here).  ``labels_ref``: a ``ray.put`` of the full labels
+        vector.  The driver union is condensation-DAG-sized (distinct
+        inter-component pairs, already per-shard-deduped)."""
+        import ray
+
+        parts = ray.get([a.condensation_pairs.remote(labels_ref)
+                         for a in self.actors])
+        s = np.concatenate([p[0] for p in parts])
+        d = np.concatenate([p[1] for p in parts])
+        return _unique_pairs(s, d, self.n)
 
     def build_reverse(self) -> None:
         """Build REVERSED-edge blocks on the same shard pool via a

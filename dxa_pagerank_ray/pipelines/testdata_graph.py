@@ -607,31 +607,25 @@ def q_dag_levels(sf_dir: str):
     condensation DAG — scc + condensation + a max-plus fixpoint
     (``LabelCSR.dag_levels``), the scheduling pass over the component
     graph.  Sparse customer graph (the full one condenses to a
-    point)."""
+    point).  The condensation runs entirely ON the SCC's shard pool
+    (r4 verdict item 3): ``condensation_edges`` remaps + dedups the
+    sealed edges via actor tasks, and ``reload_edges`` pushes the
+    (driver-sized) condensation DAG straight back into the same
+    actors — NO Ray Data job touches the live pool, which may hold
+    every CPU (both a driver-launched remap job and even
+    ``from_arrow`` deadlocked at the 4-CPU test session).  One actor
+    spawn + one vertex space for all three stages."""
     import ray
 
-    from ..stages.agg import coarse_distinct
     from .labels_csr import LabelCSR
 
     edges = customer_edges_sparse(sf_dir).materialize()
     n = _num_vertices(edges)
     eng = LabelCSR(edges, n, num_partitions=8)
     res = eng.strongly_connected_components()
-    eng.shutdown()
-    scc_ref = ray.put(res.labels)
-
-    def remap(b: pa.Table) -> pa.Table:
-        scc = ray.get(scc_ref)
-        s = scc[b["src"].to_numpy(zero_copy_only=False)]
-        d = scc[b["dst"].to_numpy(zero_copy_only=False)]
-        keep = s != d
-        return pa.table({"src": pa.array(s[keep], pa.int64()),
-                         "dst": pa.array(d[keep], pa.int64())})
-
-    cond = coarse_distinct(
-        edges.map_batches(remap, batch_format="pyarrow"),
-        ["src", "dst"]).materialize()
-    eng = LabelCSR(cond, n, num_partitions=8)
+    cs, cd = eng.condensation_edges(ray.put(res.labels))
+    eng.reload_edges(pa.table({"src": pa.array(cs, pa.int64()),
+                               "dst": pa.array(cd, pa.int64())}))
     lev = eng.dag_levels()
     eng.shutdown()
     ids = np.unique(res.labels)

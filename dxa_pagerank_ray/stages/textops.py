@@ -540,18 +540,24 @@ def bigram_familiarity(docs_ds, cap: int = BIGRAM_COUNT_CAP,
 
     where corpus_count is the bigram's frequency across the whole
     corpus.  Boilerplate-heavy docs score high, gibberish scores ~1e9
-    * its self-support.  All stages distributed:
+    * its self-support.  All stages distributed, and the bigram
+    STRINGS cross the wire exactly ONCE (r4 verdict item 6 — this was
+    the slowest suite query at 13.3 s, cost = string-shuffle volume):
 
-    1. pair rows via ``doc_bigram_rows`` (materialized — feeds both
-       the count and the join below);
-    2. corpus counts: ``coarse_agg`` on the bg string (map-side Arrow
-       value_counts combine);
-    3. counts re-attached to pair rows by a co-grouped string-keyed
-       Arrow join (hash64 partition tag) — the count table never
-       lands on the driver;
-    4. per-doc sums via ``coarse_agg`` on doc_id; docs with < 2
-       tokens re-enter with fam_nano = 0 through a final co-grouped
-       left join against the doc_id universe.
+    1. per-batch emission: ``doc_bigram_rows`` + a map-side
+       ``(doc_id, bg)`` multiplicity combine — a doc repeating a
+       bigram k times ships ONE row ``(doc_id, bg, k)``, not k rows;
+    2. ONE coarse shuffle on ``hash64(bg) % G``.  The partition key
+       is a pure function of the bigram value, so every occurrence of
+       a bigram lands in one partition — the within-partition sum of
+       ``k`` IS the exact global corpus count.  That makes the old
+       separate count aggregate (a second full string shuffle) and
+       the union + co-grouped count join redundant: each partition
+       self-counts and attaches locally (collisions of ``hash64``
+       don't matter — the in-partition grouping is by the STRING);
+    3. per-doc sums via ``coarse_agg`` on doc_id (int columns only);
+       docs with < 2 tokens re-enter with fam_nano = 0 through a
+       final co-grouped left join against the doc_id universe.
 
     int64 bound: fam sums stay < 2^63 while cap * n_bigrams < 9.2e9
     — i.e. up to ~9.2M bigrams per doc at the default cap (longer
@@ -565,48 +571,45 @@ def bigram_familiarity(docs_ds, cap: int = BIGRAM_COUNT_CAP,
     from .agg import coarse_agg
     from .ids import hash64
 
-    pairs = docs_ds.map_batches(doc_bigram_rows,
-                                batch_format="pyarrow").materialize()
-    if num_groups is None:
-        num_groups = derive_num_groups(pairs)
-    G = num_groups
-    counts = coarse_agg(pairs, ["bg"], [("bg", "count", "cnt")],
-                        num_groups=G)
+    def emit(batch: pa.Table) -> pa.Table:
+        t = doc_bigram_rows(batch)
+        g = t.group_by(["doc_id", "bg"]).aggregate([("bg", "count")])
+        return pa.table({"doc_id": g["doc_id"], "bg": g["bg"],
+                         "k": g["bg_count"].cast(pa.int64())})
 
-    def tag_pairs(b: pa.Table) -> pa.Table:
+    comb = docs_ds.map_batches(emit, batch_format="pyarrow").materialize()
+    if num_groups is None:
+        num_groups = derive_num_groups(comb)
+    G = num_groups
+
+    def tag(b: pa.Table) -> pa.Table:
         return pa.table({"part": pa.array(hash64(b["bg"]) % G, pa.int64()),
                          "doc_id": b["doc_id"], "bg": b["bg"],
-                         "cnt": pa.nulls(b.num_rows, pa.int64())})
-
-    def tag_counts(b: pa.Table) -> pa.Table:
-        return pa.table({"part": pa.array(hash64(b["bg"]) % G, pa.int64()),
-                         "doc_id": pa.nulls(b.num_rows, pa.int64()),
-                         "bg": b["bg"], "cnt": b["cnt"]})
-
-    both = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
-        counts.map_batches(tag_counts, batch_format="pyarrow"))
+                         "k": b["k"]})
 
     def attach(t: pa.Table) -> pa.Table:
-        have = pc.is_valid(t["cnt"])
-        cnt = t.filter(have).select(["bg", "cnt"])
-        p = t.filter(pc.invert(have)).select(["doc_id", "bg"])
-        if p.num_rows == 0:
+        if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64()),
                              "nb": pa.array([], pa.int64())})
-        j = p.join(cnt, keys=["bg"], join_type="inner")
-        c = np.minimum(j["cnt"].to_numpy(zero_copy_only=False),
+        cnt = t.group_by("bg").aggregate([("k", "sum")])
+        j = t.select(["doc_id", "bg", "k"]).join(
+            cnt, keys=["bg"], join_type="inner")
+        k = j["k"].to_numpy(zero_copy_only=False)
+        c = np.minimum(j["k_sum"].to_numpy(zero_copy_only=False),
                        np.int64(cap))
         part = pa.table({"doc_id": j["doc_id"],
-                         "s": pa.array(c, pa.int64())})
+                         "s": pa.array(k * c, pa.int64()),
+                         "nb": pa.array(k, pa.int64())})
         g = part.group_by("doc_id").aggregate(
-            [("s", "sum"), ("s", "count")])
+            [("s", "sum"), ("nb", "sum")])
         return pa.table({"doc_id": g["doc_id"],
                          "s": g["s_sum"].cast(pa.int64()),
-                         "nb": g["s_count"].cast(pa.int64())})
+                         "nb": g["nb_sum"].cast(pa.int64())})
 
     per_doc = coarse_agg(
-        both.groupby("part").map_groups(attach, batch_format="pyarrow"),
+        comb.map_batches(tag, batch_format="pyarrow")
+        .groupby("part").map_groups(attach, batch_format="pyarrow"),
         ["doc_id"], [("s", "sum", "s"), ("nb", "sum", "nb")],
         num_groups=G,
     )

@@ -597,3 +597,58 @@ def test_dag_levels_known_and_cycle_guard():
     with pytest.raises(RuntimeError, match="cycle"):
         eng.dag_levels(max_rounds=20)
     eng.shutdown()
+
+
+def test_reload_edges_matches_fresh_engine():
+    """reload_edges swaps a NEW edge set onto the same pool: results on
+    the reloaded pool must be identical to a fresh engine built on the
+    new edges — including after an SCC run that built reverse blocks
+    (the dag_levels chain), and reverse blocks must rebuild correctly
+    after a reload."""
+    src_a, dst_a, _ = CASES["two_chains"]
+    src_b, dst_b, _ = CASES["k3_pendant"]
+    n = 7
+
+    # fresh engine first and shut down before the pool spawns — two
+    # live 3-actor pools would exceed the 4-CPU test session
+    fresh = LabelCSR(_ds(src_b, dst_b), n, num_partitions=3)
+    exp_cc = fresh.connected_components()
+    exp_scc = fresh.strongly_connected_components()
+    fresh.shutdown()
+
+    pool = LabelCSR(_ds(src_a, dst_a), n, num_partitions=3)
+    pool.strongly_connected_components()  # dirties labels + reverse
+    pool.reload_edges(_ds(src_b, dst_b))
+    got_cc = pool.connected_components()
+    got_scc = pool.strongly_connected_components()
+    pool.shutdown()
+    np.testing.assert_array_equal(got_cc.labels, exp_cc.labels)
+    np.testing.assert_array_equal(got_scc.labels, exp_scc.labels)
+
+
+def test_reload_edges_dag_levels_chain():
+    """The exact q_dag_levels shape on a micro graph: SCC on a cycle +
+    tail, remap to condensation, reload, max-plus levels."""
+    # 0->1->2->0 (one SCC), 2->3->4 (chain)
+    src = np.array([0, 1, 2, 2, 3])
+    dst = np.array([1, 2, 0, 3, 4])
+    n = 5
+    pool = LabelCSR(_ds(src, dst), n, num_partitions=2)
+    res = pool.strongly_connected_components()
+    scc = res.labels
+    # pool-computed condensation == the driver remap + dedup
+    import ray
+
+    cs, cd = pool.condensation_edges(ray.put(scc))
+    s, d = scc[src], scc[dst]
+    keep = s != d
+    exp = sorted(zip(s[keep].tolist(), d[keep].tolist()))
+    assert sorted(zip(cs.tolist(), cd.tolist())) == sorted(set(exp))
+    # driver-table reload form (the saturated-pool-safe path)
+    pool.reload_edges(pa.table({"src": pa.array(cs, pa.int64()),
+                                "dst": pa.array(cd, pa.int64())}))
+    lev = pool.dag_levels()
+    pool.shutdown()
+    ids = np.unique(scc)
+    got = {int(i): int(lev.labels[i]) for i in ids}
+    assert got == {0: 0, 3: 1, 4: 2}
