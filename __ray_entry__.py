@@ -368,6 +368,59 @@ def _docs_split_oracle_sql() -> str:
             "count(*) AS n FROM documents GROUP BY 1")
 
 
+DOC_CHUNK_WINDOW, DOC_CHUNK_STRIDE = 32, 16
+SHARD_STATS_N, SHARD_STATS_SEED = 16, 13
+
+
+def _q_doc_chunks(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import doc_chunks
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_chunks(docs, window=DOC_CHUNK_WINDOW,
+                      stride=DOC_CHUNK_STRIDE)
+
+
+def _doc_chunks_oracle_sql() -> str:
+    w, s = DOC_CHUNK_WINDOW, DOC_CHUNK_STRIDE
+    return rf"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(coalesce(text, '')), '\W+'),
+    x -> x <> '') AS a
+  FROM documents
+),
+st AS (
+  SELECT doc_id, a, unnest(range(1, len(a) + 1, {s})) AS gs FROM arrs
+)
+SELECT doc_id,
+       CAST((gs - 1) // {s} AS BIGINT) AS chunk_id,
+       CAST(least(gs + {w - 1}, len(a)) - gs + 1 AS BIGINT) AS n_tokens,
+       array_to_string(a[gs:least(gs + {w - 1}, len(a))], ' ') AS chunk
+FROM st
+"""
+
+
+def _q_corpus_shard_stats(sf_dir: str):
+    from dxa_pagerank_ray.stages.agg import coarse_agg
+    from dxa_pagerank_ray.stages.sampling import shard_assign
+    from dxa_pagerank_ray.stages.textops import token_counts
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tagged = shard_assign(token_counts(docs), num_shards=SHARD_STATS_N,
+                          seed=SHARD_STATS_SEED)
+    return coarse_agg(tagged, ["shard"],
+                      [("doc_id", "count", "n_docs"),
+                       ("n_tokens", "sum", "n_tokens")])
+
+
+def _corpus_shard_stats_oracle_sql() -> str:
+    h = _sample_hash_sql("doc_id", SHARD_STATS_SEED)
+    return (rf"SELECT CAST({h} % {SHARD_STATS_N} AS BIGINT) AS shard, "
+            r"count(*) AS n_docs, "
+            r"CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT) "
+            r"AS n_tokens FROM documents GROUP BY 1")
+
+
 def _q_doc_repetition(sf_dir: str):
     from dxa_pagerank_ray.stages.textops import repetition_scores
 
@@ -1298,6 +1351,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_error": rel.events_asof_last_error,
         "docs_sample": _q_docs_sample,
         "docs_split_counts": _q_docs_split_counts,
+        # r5-NEW training-data ops (never-green tier sorts these into
+        # the gate window automatically)
+        "doc_chunks": _q_doc_chunks,
+        "corpus_shard_stats": _q_corpus_shard_stats,
     }
 
 
@@ -1777,6 +1834,8 @@ GROUP BY d.doc_id
         "docs_sample": _docs_sample_oracle_sql(),
         "docs_stratified_sample": _docs_stratified_oracle_sql(),
         "docs_split_counts": _docs_split_oracle_sql(),
+        "doc_chunks": _doc_chunks_oracle_sql(),
+        "corpus_shard_stats": _corpus_shard_stats_oracle_sql(),
         "ann_cosine_top10": f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN ({ann_ids})),

@@ -104,3 +104,46 @@ def stratified_sample(ds, k: int, group_col: str = "source",
     return (ds.map_batches(cut, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(cut, batch_format="pyarrow"))
+
+
+def shard_assign(ds, num_shards: int, seed: int = 0,
+                 id_col: str = "doc_id", out_col: str = "shard"):
+    """Append ``out_col = sample_hash(id, seed) % num_shards`` — the
+    DETERMINISTIC global shard key for training-corpus output.  A pure
+    function of ``(id, seed, num_shards)``: the same document lands in
+    the same shard on any cluster, any partitioning, any run — so a
+    restarted writer can skip finished shards (resumable output), and
+    the splitmix64 draw gives a uniform spread regardless of id
+    clustering (sequential crawl ids stripe evenly).  Streaming map,
+    no shuffle."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    S = np.uint64(num_shards)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        shard = (sample_hash(ids, seed) % S).astype(np.int64)
+        return batch.append_column(out_col, pa.array(shard, pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def write_corpus_shards(ds, out_dir: str, num_shards: int,
+                        seed: int = 0, id_col: str = "doc_id") -> None:
+    """Write a corpus as hive-partitioned Parquet keyed by the
+    deterministic shard (``shard_assign``) — one ``shard=s/``
+    directory per shard, the resumable training-corpus sink (the
+    same idempotent-load protocol as
+    ``pagerank_csr.write_edges_partitioned``: a failed run re-writes
+    whole shard directories instead of appending).  A trainer reads
+    one directory per data-parallel rank; ``num_shards`` should be a
+    multiple of the rank count."""
+    import json
+    import os
+
+    shard_assign(ds, num_shards, seed=seed,
+                 id_col=id_col).write_parquet(
+        out_dir, partition_cols=["shard"])
+    with open(os.path.join(out_dir, "_shards_meta.json"), "w") as f:
+        json.dump({"num_shards": num_shards, "seed": seed,
+                   "id_col": id_col}, f)

@@ -868,3 +868,82 @@ def vocab_stats(docs_ds, text_col: str = "text"):
         "n_hapax": pa.array([tot["n_hapax"]], pa.int64()),
         "type_token_ratio_nano": pa.array([ttr], pa.int64()),
     })
+
+
+def doc_chunks(docs_ds, window: int = 64, stride: int = 32,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Fixed-size TOKEN-WINDOW chunking with overlap — the training-
+    sample prep step that turns documents into model-context-sized
+    pieces (graft-added training-data op; the reference implements
+    only PageRank, ``MainPR.java``).  Chunk ``c`` of a document covers
+    tokens ``[c*stride, min(c*stride + window, n))`` under the
+    corpus-standard tokenizer (lowercased ``\\W+`` split, empties
+    dropped — same contract as ``term_frequencies``, so the SQL
+    mirror is ``list_filter(regexp_split_to_array(...))`` + DuckDB
+    list slicing).  Chunk starts run 0, stride, 2*stride, ... while
+    < n; zero-token documents emit nothing.
+
+    Pure map — no shuffle, perfect streaming at any corpus size; the
+    window overlap duplicates at most ``window/stride`` × the token
+    bytes within one output batch.  All-vectorized: one Arrow
+    tokenize + flatten, a two-level repeat/arange window expansion
+    (the ``_cocite_sweep`` enumeration shape), one ``take`` gather,
+    one ``binary_join`` — no Python loop over tokens or rows.
+
+    Returns rows ``(doc_id, chunk_id, n_tokens, chunk)``.
+    """
+    import pyarrow.compute as pc
+
+    if window < 1 or stride < 1:
+        raise ValueError(
+            f"doc_chunks: window and stride must be >= 1, got "
+            f"window={window} stride={stride}")
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "chunk_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "chunk": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        text = pc.fill_null(batch[text_col].combine_chunks(), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(text),
+                                       pattern=r"\W+")
+        if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        counts = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        docidx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                           counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        docidx = docidx[keep]
+        n = np.bincount(docidx, minlength=len(counts)).astype(np.int64)
+        if n.sum() == 0:
+            return empty
+        doc_start = np.concatenate(
+            ([0], np.cumsum(n)))[:-1]          # offset into flat
+        n_chunks = -(-n // stride) * (n > 0)   # ceil(n/stride), 0 if empty
+        cdoc = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+        cid = (np.arange(int(n_chunks.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+        cstart = cid * np.int64(stride)
+        clen = np.minimum(np.int64(window), n[cdoc] - cstart)
+        tot = int(clen.sum())
+        rel = (np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(clen) - clen, clen))
+        tok_idx = np.repeat(doc_start[cdoc] + cstart, clen) + rel
+        gathered = flat.take(pa.array(tok_idx, pa.int64()))
+        offsets = np.concatenate(([0], np.cumsum(clen)))
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), gathered)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[cdoc], pa.int64()),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "n_tokens": pa.array(clen, pa.int64()),
+            "chunk": pc.binary_join(la, " "),
+        })
+
+    return docs_ds.map_batches(chunk_batch, batch_format="pyarrow")

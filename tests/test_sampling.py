@@ -66,3 +66,45 @@ def test_stratified_sample_partition_independent(ray_session):
     full = docs.to_pandas().groupby("source").size()
     for src_name, n in full.items():
         assert sizes.get(src_name, 0) == min(3, n)
+
+
+def test_shard_assign_deterministic_and_uniform(ray_session):
+    from dxa_pagerank_ray.stages.sampling import shard_assign
+
+    t = pa.table({"doc_id": pa.array(range(4000), pa.int64())})
+
+    def run(parts):
+        df = shard_assign(rd.from_arrow(t).repartition(parts), 16,
+                          seed=13).to_pandas()
+        return df.sort_values("doc_id")["shard"].tolist()
+
+    a, b = run(3), run(11)
+    assert a == b
+    # matches the driver formula exactly
+    ids = np.arange(4000, dtype=np.int64)
+    exp = (sample_hash(ids, 13) % np.uint64(16)).astype(np.int64)
+    assert a == exp.tolist()
+    # uniform-ish: every shard populated, none > 2x the mean
+    counts = np.bincount(exp, minlength=16)
+    assert counts.min() > 0 and counts.max() < 2 * 4000 / 16
+
+
+def test_write_corpus_shards_roundtrip(ray_session, tmp_path):
+    import json
+
+    from dxa_pagerank_ray.stages.sampling import write_corpus_shards
+
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "n_chars": pa.array(range(300), pa.int64())})
+    out = str(tmp_path / "shards")
+    write_corpus_shards(rd.from_arrow(t), out, num_shards=8, seed=2)
+    meta = json.load(open(f"{out}/_shards_meta.json"))
+    assert meta == {"num_shards": 8, "seed": 2, "id_col": "doc_id"}
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 300
+    # shard dirs exist and shard column matches the driver formula
+    ids = back.sort_values("doc_id")["doc_id"].to_numpy()
+    shards = back.sort_values("doc_id")["shard"].to_numpy().astype(np.int64)
+    exp = (sample_hash(np.arange(300, dtype=np.int64), 2)
+           % np.uint64(8)).astype(np.int64)
+    assert (ids == np.arange(300)).all() and (shards == exp).all()

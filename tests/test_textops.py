@@ -184,3 +184,51 @@ def test_postings_for_terms_small(ray_session):
                              num_groups=2).to_pandas()
     rows = sorted(map(tuple, got[["term", "doc_id", "tf"]].values.tolist()))
     assert rows == [("a", 7, 2), ("b", 7, 1), ("b", 8, 2)]
+
+
+def test_doc_chunks_micro(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import doc_chunks
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["Hello, world foo bar baz", "", "one two"],
+                         pa.string()),
+    })
+    got = doc_chunks(rd.from_arrow(docs), window=3, stride=2).to_pandas()
+    got = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    rows = list(map(tuple, got.values.tolist()))
+    # n=5, W=3, S=2 -> starts 0,2,4; empty doc emits nothing
+    assert rows == [
+        (1, 0, 3, "hello world foo"),
+        (1, 1, 3, "foo bar baz"),
+        (1, 2, 1, "baz"),
+        (3, 0, 2, "one two"),
+    ]
+
+
+def test_doc_chunks_partition_independent(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import doc_chunks
+
+    docs = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([" ".join(f"w{i}_{j}" for j in range(i % 11))
+                          for i in range(40)], pa.string()),
+    })
+
+    def run(parts):
+        df = doc_chunks(rd.from_arrow(docs).repartition(parts),
+                        window=4, stride=3).to_pandas()
+        return sorted(map(tuple, df.values.tolist()))
+
+    a, b = run(1), run(7)
+    assert a == b
+    # every token covered; chunk count = ceil(n/stride) per non-empty doc
+    import math
+    exp_chunks = sum(math.ceil((i % 11) / 3) for i in range(40))
+    assert len(a) == exp_chunks

@@ -29,6 +29,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+def _recorded_round(root: str) -> int:
+    """``newest_round_seen`` from the committed fingerprint file, 0 if
+    absent — which CORRECTNESS round the last refresh consumed."""
+    path = os.path.join(root, "GATE_FINGERPRINTS.json")
+    if not os.path.exists(path):
+        return 0
+    return int(json.load(open(path)).get("newest_round_seen", 0))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bootstrap", action="store_true")
@@ -54,12 +63,23 @@ def main() -> None:
             out[q] = gate.STALE
         updated = sorted(out)
     else:
+        # IDEMPOTENCY GUARD: the green-re-record step is only valid
+        # ONCE per round, at round start, while the working tree still
+        # matches the commit the driver verified.  If the recorded
+        # file already saw this round, the source may have been edited
+        # since — re-recording would stamp UNVERIFIED code as green
+        # (observed in r5: a mid-round re-run would have cleared the
+        # changed flag on 14 edited queries).  Then only NEW queries
+        # are added, as STALE.
+        prev_round = _recorded_round(ROOT)
         out = dict(rec)
         updated = []
         for q, fp in cur.items():
-            # record only queries proven green by the NEWEST round —
-            # their current source is the source that round verified
-            if last.get(q) == newest and newest > 0:
+            if (last.get(q) == newest and newest > 0
+                    and prev_round < newest):
+                # proven green by the NEWEST round and this is the
+                # first refresh since — the current source is the
+                # source that round verified
                 if out.get(q) != fp:
                     updated.append(q)
                 out[q] = fp
