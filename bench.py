@@ -168,7 +168,8 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "customers_order_stats", "events_type_daily_rollup",
                  "doc_length_quantiles_by_lang", "vocab_stats",
                  "dup_cluster_histogram", "distinct_users_daily",
-                 "scc_condensation_edges", "dag_levels"]:
+                 "scc_condensation_edges", "dag_levels",
+                 "doc_chunks", "corpus_shard_stats"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):
