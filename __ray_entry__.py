@@ -92,6 +92,44 @@ def _q_doc_bigram_familiarity(sf_dir: str):
     return bigram_familiarity(docs)
 
 
+_DUP_NGRAM_N = 5
+
+
+def _q_duplicated_ngrams(sf_dir: str):
+    from dxa_pagerank_ray.stages.textops import duplicated_ngram_stats
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return duplicated_ngram_stats(docs, n=_DUP_NGRAM_N)
+
+
+# word 5-grams; a[i:i+4] is DuckDB's INCLUSIVE slice = tokens i..i+4
+_DUP_NGRAM_SQL = f"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(coalesce(text, '')), '\\W+'),
+    x -> x <> '') AS a
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(a[i:i+{_DUP_NGRAM_N - 1}], ' ') AS g
+  FROM arrs, unnest(generate_series(1, len(a) - {_DUP_NGRAM_N - 1}))
+       AS t(i)
+  WHERE len(a) >= {_DUP_NGRAM_N}
+),
+nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g),
+per AS (SELECT gr.doc_id, count(*) AS tot,
+               sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS dup
+        FROM grams gr JOIN nd USING (g) GROUP BY gr.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(per.tot, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per.dup, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(per.dup * 1000000000 // per.tot, 0) AS BIGINT)
+         AS dup_frac_nano
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _BIGRAM_FAM_SQL = r"""
 WITH arrs AS (
   SELECT doc_id, list_filter(
@@ -1272,6 +1310,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "global_clustering": tg.q_global_clustering,
         "trustrank_fixed4": tg.q_trustrank_fixed4,
         "doc_bigram_familiarity": _q_doc_bigram_familiarity,
+        "duplicated_ngrams": _q_duplicated_ngrams,
         "postings_top25": _q_postings_top25,
         "tfidf_top3_per_doc": _q_tfidf_top3,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -1829,6 +1868,7 @@ GROUP BY d.doc_id
         ),
         "top_terms": _TOP_TERMS_SQL,
         "doc_bigram_familiarity": _BIGRAM_FAM_SQL,
+        "duplicated_ngrams": _DUP_NGRAM_SQL,
         "postings_top25": _POSTINGS_SQL,
         "tfidf_top3_per_doc": _TFIDF_SQL,
         "docs_sample": _docs_sample_oracle_sql(),

@@ -657,6 +657,172 @@ def bigram_familiarity(docs_ds, cap: int = BIGRAM_COUNT_CAP,
     return allrows.groupby("part").map_groups(fill, batch_format="pyarrow")
 
 
+def doc_ngram_rows(batch: pa.Table, n: int, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, g) rows: consecutive lowercased ``\\W+``-split word
+    n-grams per document, joined by single spaces — the length-``n``
+    generalization of ``doc_bigram_rows`` under the identical
+    tokenizer contract (empty tokens dropped BEFORE windowing, so the
+    SQL mirror is ``list_filter(regexp_split_to_array(...))`` + list
+    slices).  All-Arrow/numpy: flatten once, one window-boundary mask,
+    one n-way vectorized join — no Python loop over tokens."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "g": pa.array([], pa.string())})
+    if batch.num_rows == 0:
+        return empty
+    text = pc.fill_null(batch[text_col].combine_chunks(), "")
+    lists = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\W+")
+    if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    docidx = docidx[keep]
+    L = len(docidx)
+    if L < n:
+        return empty
+    # tokens of one doc are contiguous, so a window starting at i lies
+    # inside one doc iff its first and last tokens share the doc index
+    same = pa.array(docidx[n - 1:] == docidx[:L - n + 1])
+    cols = [flat.slice(j, L - n + 1).filter(same) for j in range(n)]
+    g = pc.binary_join_element_wise(*cols, " ")
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    win_doc = ids[docidx[:L - n + 1][same.to_numpy(zero_copy_only=False)]]
+    return pa.table({id_col: pa.array(win_doc, pa.int64()), "g": g})
+
+
+def duplicated_ngram_stats(docs_ds, n: int = 5,
+                           num_groups: int | None = None):
+    """Per-document DUPLICATED-N-GRAM FRACTION (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    corpus-internal duplication measure behind their NearDup/ExactSubstr
+    analysis, word-n-gram granularity): a length-``n`` word n-gram is
+    *duplicated* iff it occurs in >= 2 DISTINCT documents; per doc,
+
+        dup_frac_nano = n_dup_grams * 1e9 // n_grams   (0 if no grams),
+
+    where ``n_grams`` counts every n-gram occurrence in the doc and
+    ``n_dup_grams`` the occurrences whose gram is duplicated.  Exact
+    integers -> hash-exact SQL oracle.
+
+    Distributed shape = the ``bigram_familiarity`` single-shuffle
+    self-counting design: (1) map-side ``(doc_id, g, k)`` multiplicity
+    combine (a doc is one row, so per-batch combine is globally
+    per-doc); (2) ONE coarse shuffle on ``hash64(g) % G`` — the key is
+    a pure function of the gram, so each partition holds EVERY doc row
+    of its grams and the in-partition row count per gram IS the exact
+    distinct-doc count (grouping is by the string; hash collisions
+    are harmless); (3) per-doc int sums via ``coarse_agg``; (4) docs
+    with < n tokens re-enter with zeros through the co-grouped
+    universe fill.  Gram strings cross the wire exactly once.
+
+    int64 bound: per-doc sums are occurrence counts * 1e9, safe while
+    a single doc holds < 9.2e9 n-grams (length-split longer docs
+    upstream).
+
+    Returns Dataset ``(doc_id, n_grams, n_dup_grams, dup_frac_nano)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..context import derive_num_groups
+    from .agg import coarse_agg
+    from .ids import hash64
+
+    def emit(batch: pa.Table) -> pa.Table:
+        t = doc_ngram_rows(batch, n)
+        g = t.group_by(["doc_id", "g"]).aggregate([("g", "count")])
+        return pa.table({"doc_id": g["doc_id"], "g": g["g"],
+                         "k": g["g_count"].cast(pa.int64())})
+
+    comb = docs_ds.map_batches(emit, batch_format="pyarrow").materialize()
+    if num_groups is None:
+        num_groups = derive_num_groups(comb)
+    G = num_groups
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({"part": pa.array(hash64(b["g"]) % G, pa.int64()),
+                         "doc_id": b["doc_id"], "g": b["g"], "k": b["k"]})
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dup": pa.array([], pa.int64()),
+                             "tot": pa.array([], pa.int64())})
+        # rows are per (doc_id, g), so count(*) per g = distinct docs
+        nd = t.group_by("g").aggregate([("g", "count")])
+        j = t.select(["doc_id", "g", "k"]).join(
+            pa.table({"g": nd["g"],
+                      "nd": nd["g_count"].cast(pa.int64())}),
+            keys=["g"], join_type="inner")
+        k = j["k"].to_numpy(zero_copy_only=False)
+        isdup = j["nd"].to_numpy(zero_copy_only=False) >= 2
+        part = pa.table({"doc_id": j["doc_id"],
+                         "dup": pa.array(np.where(isdup, k, 0), pa.int64()),
+                         "tot": pa.array(k, pa.int64())})
+        g = part.group_by("doc_id").aggregate(
+            [("dup", "sum"), ("tot", "sum")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "dup": g["dup_sum"].cast(pa.int64()),
+                         "tot": g["tot_sum"].cast(pa.int64())})
+
+    per_doc = coarse_agg(
+        comb.map_batches(tag, batch_format="pyarrow")
+        .groupby("part").map_groups(attach, batch_format="pyarrow"),
+        ["doc_id"], [("dup", "sum", "dup"), ("tot", "sum", "tot")],
+        num_groups=G,
+    )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": pa.array(ids % G, pa.int64()),
+                         "doc_id": b["doc_id"],
+                         "dup": pa.nulls(b.num_rows, pa.int64()),
+                         "tot": pa.nulls(b.num_rows, pa.int64())})
+
+    def tag_scores(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": pa.array(ids % G, pa.int64()),
+                         "doc_id": b["doc_id"], "dup": b["dup"],
+                         "tot": b["tot"]})
+
+    universe = docs_ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"]}),
+        batch_format="pyarrow")
+    allrows = universe.map_batches(tag_docs, batch_format="pyarrow").union(
+        per_doc.map_batches(tag_scores, batch_format="pyarrow"))
+
+    def fill(t: pa.Table) -> pa.Table:
+        have = pc.is_valid(t["tot"])
+        scored = t.filter(have)
+        docs = t.filter(pc.invert(have)).select(["doc_id"])
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        sid = scored["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sid, kind="stable")
+        sid = sid[order]
+        dup = scored["dup"].to_numpy(zero_copy_only=False)[order]
+        tot = scored["tot"].to_numpy(zero_copy_only=False)[order]
+        i = np.clip(np.searchsorted(sid, ids), 0, max(len(sid) - 1, 0))
+        hit = (sid[i] == ids if len(sid)
+               else np.zeros(len(ids), dtype=bool))
+        tot_o = np.zeros(len(ids), dtype=np.int64)
+        dup_o = np.zeros(len(ids), dtype=np.int64)
+        frac = np.zeros(len(ids), dtype=np.int64)
+        tot_o[hit] = tot[i[hit]]
+        dup_o[hit] = dup[i[hit]]
+        frac[hit] = (dup_o[hit] * np.int64(1_000_000_000)) // tot_o[hit]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(tot_o, pa.int64()),
+                         "n_dup_grams": pa.array(dup_o, pa.int64()),
+                         "dup_frac_nano": pa.array(frac, pa.int64())})
+
+    return allrows.groupby("part").map_groups(fill, batch_format="pyarrow")
+
+
 def postings_for_terms(docs_ds, terms: list[str],
                        text_col: str = "text",
                        num_groups: int | None = None):

@@ -232,3 +232,55 @@ def test_doc_chunks_partition_independent(ray_session):
     import math
     exp_chunks = sum(math.ceil((i % 11) / 3) for i in range(40))
     assert len(a) == exp_chunks
+
+
+def test_doc_ngram_rows_known(ray_session):
+    import pyarrow as pa
+
+    from dxa_pagerank_ray.stages.textops import doc_ngram_rows
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["Hello,  world foo bar", "one two", "", None],
+                         pa.string()),
+    })
+    got = doc_ngram_rows(t, 3)
+    assert got["doc_id"].to_pylist() == [1, 1]
+    assert got["g"].to_pylist() == ["hello world foo", "world foo bar"]
+    # windows never cross a document boundary
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["a b c", "d e f"], pa.string())})
+    got2 = doc_ngram_rows(t2, 3)
+    assert got2["g"].to_pylist() == ["a b c", "d e f"]
+    # n=2 reduces to the bigram contract
+    from dxa_pagerank_ray.stages.textops import doc_bigram_rows
+    assert doc_ngram_rows(t, 2)["g"].to_pylist() == \
+        doc_bigram_rows(t)["bg"].to_pylist()
+
+
+def test_duplicated_ngram_stats_small_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import duplicated_ngram_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat sat on mat",        # 3 trigrams, all shared w/ doc 3
+            "a dog ran far away fast",   # 4 trigrams, none shared
+            "tiny",                      # no trigram
+            "the cat sat on mat again",  # 4 trigrams: 3 shared + 1 unique
+        ], pa.string()),
+    })
+    got = duplicated_ngram_stats(rd.from_arrow(docs), n=3, num_groups=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["n_grams"].tolist() == [3, 4, 0, 4]
+    assert got["n_dup_grams"].tolist() == [3, 0, 0, 3]
+    B = 1_000_000_000
+    assert got["dup_frac_nano"].tolist() == [B, 0, 0, 3 * B // 4]
+    # partition-count invariance
+    got2 = duplicated_ngram_stats(
+        rd.from_arrow(docs).repartition(3), n=3, num_groups=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got2.equals(got)
