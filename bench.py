@@ -164,6 +164,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "resource_allocation_top20", "q3_shipping_priority",
                  "q6_forecast_revenue", "doc_length_quantiles",
                  "events_funnel", "doc_bigram_familiarity",
+                 "duplicated_ngrams",
                  "postings_top25", "tfidf_top3_per_doc",
                  "customers_order_stats", "events_type_daily_rollup",
                  "doc_length_quantiles_by_lang", "vocab_stats",
