@@ -1048,7 +1048,7 @@ def _media_expected_dir() -> str:
 # oracles below (same pattern as the media family) are materialized
 # from that directory's tables
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
-_SEQ_EXPECTED_V = 5  # bump to invalidate the cached expected dir
+_SEQ_EXPECTED_V = 6  # bump to invalidate the cached expected dir
 _WALK_LEN = 8
 _WALK_SEED = 42
 
@@ -1113,6 +1113,23 @@ def _seq_expected_dir() -> str:
             src, dst, n, np.arange(0, n, 50, dtype=np.int64),
             _WALK_LEN, seed=_WALK_SEED),
     }
+    # sequential replay of HyperBall harmonic centrality (same
+    # registers as the SQL-oracled hyperball_registers query)
+    from dxa_pagerank_ray.oracles.graph_oracles import hyperball_harmonic
+    from dxa_pagerank_ray.pipelines.testdata_graph import (
+        HB_DEPTH,
+        HB_REGISTERS,
+        HB_SEED,
+    )
+
+    hc = hyperball_harmonic(src, dst, n, depth=HB_DEPTH,
+                            num_registers=HB_REGISTERS, seed=HB_SEED)
+    hc_nano = (hc * 1e9).astype(np.int64)
+    top = np.lexsort((np.arange(n, dtype=np.int64), -hc_nano))[:20]
+    tables["harmonic_top20"] = pa.table({
+        "v": pa.array(top.astype(np.int64), pa.int64()),
+        "hc_nano": pa.array(hc_nano[top], pa.int64()),
+    })
     # weighted variant: identical SQL-side weight derivation as
     # customer_edges_weighted (sum of o_orderkey % 7 + 1 per pair)
     wedges = duckdb.connect().execute(f"""
@@ -1347,6 +1364,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": tg.q_degree_assortativity,
         "edge_reciprocity": tg.q_edge_reciprocity,
         "hyperball_registers": tg.q_hyperball_registers,
+        "harmonic_top20": tg.q_harmonic_top20,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
         "degree_distribution": tg.q_degree_distribution,
@@ -1922,6 +1940,10 @@ SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         "pagerank_top20": (
             "SELECT * FROM "
             f"read_parquet('{_seq_expected_dir()}/pagerank_top20.parquet')"
+        ),
+        "harmonic_top20": (
+            "SELECT * FROM "
+            f"read_parquet('{_seq_expected_dir()}/harmonic_top20.parquet')"
         ),
         "kcore_numbers": (
             "SELECT * FROM "

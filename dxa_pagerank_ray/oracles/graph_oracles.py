@@ -339,3 +339,58 @@ def strongly_connected_components(src: np.ndarray, dst: np.ndarray,
     mins = np.full(ncomp, np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(mins, comp, np.arange(n, dtype=np.int64))
     return mins[comp]
+
+
+def hyperball_harmonic(src: np.ndarray, dst: np.ndarray, n: int,
+                       depth: int, num_registers: int,
+                       seed: int) -> np.ndarray:
+    """Sequential single-batch replay of ``LabelCSR.harmonic_centrality``
+    (HyperBall harmonic estimates, Boldi & Vigna 2013/2014): the same
+    splitmix64 register seeding, the same per-round register max-merge
+    along OUT-edges (caller passes the ORIGINAL src/dst; the engine
+    runs on reversed edges, which gathers the same direction), the
+    same shard-local HLL estimate (``_ball_est_dense``, reused — the
+    registers themselves are SQL-oracled by ``hyperball_registers``)
+    and the same (|B(v,d)| - |B(v,d-1)|) / d accumulation — all
+    row-local float64 ops in identical order, so the distributed run
+    must match BIT-FOR-BIT; a hash match proves partition- and
+    execution-order-independence of the register exchange."""
+    from ..pipelines.labels_csr import _ball_est_dense
+    from ..stages.sampling import sample_hash
+
+    R = num_registers
+    ids = np.arange(n, dtype=np.int64)
+    h = sample_hash(ids, seed)
+    bucket = (h % np.uint64(R)).astype(np.int64)
+    x = h // np.uint64(R)
+    low = x & (~x + np.uint64(1))
+    maxrho = 64 - int(np.log2(R)) + 1
+    rho = np.where(
+        x == 0, maxrho,
+        np.log2(np.maximum(low, 1).astype(np.float64)).astype(np.int64)
+        + 1).astype(np.uint8)
+    regs = np.zeros((n, R), dtype=np.uint8)
+    regs[ids, bucket] = rho
+
+    # one sorted out-edge view: for orig edge (s, d), B(s) merges B(d)
+    order = np.argsort(src, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    bd = np.flatnonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]]) \
+        if len(s_sorted) else np.array([], dtype=np.int64)
+    tgt = s_sorted[bd] if len(s_sorted) else s_sorted
+
+    hc = np.zeros(n, dtype=np.float64)
+    prev = _ball_est_dense(regs)
+    for d in range(1, depth + 1):
+        new = regs.copy()
+        if len(tgt):
+            merged = np.maximum.reduceat(regs[d_sorted], bd, axis=0)
+            new[tgt] = np.maximum(new[tgt], merged)
+        changed = int(np.count_nonzero(np.any(new != regs, axis=1)))
+        regs = new
+        cur = _ball_est_dense(regs)
+        hc += (cur - prev) / float(d)
+        prev = cur
+        if changed == 0:
+            break
+    return hc

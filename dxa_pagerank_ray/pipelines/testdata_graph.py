@@ -524,6 +524,39 @@ def q_hyperball_registers(sf_dir: str):
     return t
 
 
+def q_harmonic_top20(sf_dir: str):
+    """Top-20 vertices by HyperBall HARMONIC-CENTRALITY estimate
+    (Boldi & Vigna 2013/2014 — the algorithm's headline application)
+    on the customer graph, outgoing-distance variant (same reversed-
+    edge contract as ``q_hyperball_registers``).  Scores are
+    integer-quantized (``hc * 1e9`` truncated) and the oracle is the
+    sequential single-batch replay ``graph_oracles.hyperball_harmonic``
+    — per-vertex estimates are row-local float64 over registers that
+    are themselves SQL-oracled, so a hash match proves the distributed
+    register exchange is partition-independent.  The O(V) driver
+    collect is the engine's gate-scale return surface; the scale path
+    streams per-shard (``hc_emit`` slices -> partitioned parquet, the
+    ``write_labels`` protocol)."""
+    from .labels_csr import LabelCSR
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    rev_ds = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    eng = LabelCSR(rev_ds, n, num_partitions=8)
+    hc, _, _ = eng.harmonic_centrality(depth=HB_DEPTH,
+                                       num_registers=HB_REGISTERS,
+                                       seed=HB_SEED)
+    eng.shutdown()
+    hc_nano = (hc * 1e9).astype(np.int64)
+    top = np.lexsort((np.arange(n, dtype=np.int64), -hc_nano))[:20]
+    return pa.table({"v": pa.array(top.astype(np.int64), pa.int64()),
+                     "hc_nano": pa.array(hc_nano[top], pa.int64())})
+
+
 def q_cocitation_top20(sf_dir: str):
     """Top-20 co-cited page pairs (count of common in-neighbors) over
     the customer graph — Dean & Henzinger related-pages.  The hub cap

@@ -252,3 +252,22 @@ def test_hyperball_validates_registers():
             eng.hyperball(num_registers=48)  # not a power of two
     finally:
         eng.shutdown()
+
+
+def test_harmonic_engine_matches_sequential_reference():
+    """The distributed HyperBall harmonic run must be BIT-identical to
+    the sequential replay (oracles.graph_oracles.hyperball_harmonic) —
+    the harmonic_top20 oracle contract."""
+    from dxa_pagerank_ray.oracles.graph_oracles import hyperball_harmonic
+
+    rng = np.random.default_rng(7)
+    n = 300
+    src = rng.integers(0, n, 2000).astype(np.int64)
+    dst = rng.integers(0, n, 2000).astype(np.int64)
+    eng = LabelCSR(_rev_ds(src, dst), n, num_partitions=8, num_actors=4)
+    hc, rounds, _ = eng.harmonic_centrality(depth=6, num_registers=R,
+                                            seed=13)
+    eng.shutdown()
+    ref = hyperball_harmonic(src, dst, n, depth=6, num_registers=R,
+                             seed=13)
+    np.testing.assert_array_equal(hc, ref)  # bitwise, not approx
