@@ -1048,7 +1048,7 @@ def _media_expected_dir() -> str:
 # oracles below (same pattern as the media family) are materialized
 # from that directory's tables
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
-_SEQ_EXPECTED_V = 6  # bump to invalidate the cached expected dir
+_SEQ_EXPECTED_V = 7  # bump to invalidate the cached expected dir
 _WALK_LEN = 8
 _WALK_SEED = 42
 
@@ -1129,6 +1129,20 @@ def _seq_expected_dir() -> str:
     tables["harmonic_top20"] = pa.table({
         "v": pa.array(top.astype(np.int64), pa.int64()),
         "hc_nano": pa.array(hc_nano[top], pa.int64()),
+    })
+    from dxa_pagerank_ray.oracles.graph_oracles import hyperball_nf
+    from dxa_pagerank_ray.pipelines.labels_csr import (
+        effective_diameter_nano,
+    )
+    from dxa_pagerank_ray.pipelines.testdata_graph import NF_DEPTH
+
+    nf, nf_rounds = hyperball_nf(src, dst, n, depth=NF_DEPTH,
+                                 num_registers=HB_REGISTERS, seed=HB_SEED)
+    tables["effective_diameter"] = pa.table({
+        "eff_diameter_nano": pa.array([effective_diameter_nano(nf)],
+                                      pa.int64()),
+        "rounds": pa.array([nf_rounds], pa.int64()),
+        "nf_final_micro": pa.array([nf[-1]], pa.int64()),
     })
     # weighted variant: identical SQL-side weight derivation as
     # customer_edges_weighted (sum of o_orderkey % 7 + 1 per pair)
@@ -1365,6 +1379,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "edge_reciprocity": tg.q_edge_reciprocity,
         "hyperball_registers": tg.q_hyperball_registers,
         "harmonic_top20": tg.q_harmonic_top20,
+        "effective_diameter": tg.q_effective_diameter,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
         "degree_distribution": tg.q_degree_distribution,
@@ -1944,6 +1959,10 @@ SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         "harmonic_top20": (
             "SELECT * FROM "
             f"read_parquet('{_seq_expected_dir()}/harmonic_top20.parquet')"
+        ),
+        "effective_diameter": (
+            "SELECT * FROM read_parquet("
+            f"'{_seq_expected_dir()}/effective_diameter.parquet')"
         ),
         "kcore_numbers": (
             "SELECT * FROM "

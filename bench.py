@@ -153,7 +153,8 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "cc_sizes_star", "random_walks", "bfs_depths",
                  "cocitation_top20", "coupling_top20",
                  "degree_assortativity", "edge_reciprocity",
-                 "hyperball_registers", "harmonic_top20", "salsa_fixed4",
+                 "hyperball_registers", "harmonic_top20",
+                 "effective_diameter", "salsa_fixed4",
                  "random_walks_weighted", "doc_repetition",
                  "doc_contamination", "sssp_costs", "bowtie_regions",
                  "jaccard_related_top20",

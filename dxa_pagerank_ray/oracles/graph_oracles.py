@@ -394,3 +394,55 @@ def hyperball_harmonic(src: np.ndarray, dst: np.ndarray, n: int,
         if changed == 0:
             break
     return hc
+
+
+def hyperball_nf(src: np.ndarray, dst: np.ndarray, n: int,
+                 depth: int, num_registers: int,
+                 seed: int) -> tuple[list, int]:
+    """Sequential replay of ``LabelCSR.neighborhood_function``
+    (HyperANF, Boldi, Rosa & Vigna 2011): identical register evolution
+    to ``hyperball_harmonic`` with per-depth integer-micro-quantized
+    estimate sums — integer addition is order-free, so the full-array
+    sum here equals the engine's shard-partial + driver sum exactly.
+    Returns (nf_micro list for depth 0..rounds, rounds)."""
+    from ..pipelines.labels_csr import _ball_est_dense
+    from ..stages.sampling import sample_hash
+
+    R = num_registers
+    ids = np.arange(n, dtype=np.int64)
+    h = sample_hash(ids, seed)
+    bucket = (h % np.uint64(R)).astype(np.int64)
+    x = h // np.uint64(R)
+    low = x & (~x + np.uint64(1))
+    maxrho = 64 - int(np.log2(R)) + 1
+    rho = np.where(
+        x == 0, maxrho,
+        np.log2(np.maximum(low, 1).astype(np.float64)).astype(np.int64)
+        + 1).astype(np.uint8)
+    regs = np.zeros((n, R), dtype=np.uint8)
+    regs[ids, bucket] = rho
+
+    order = np.argsort(src, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    bd = np.flatnonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]]) \
+        if len(s_sorted) else np.array([], dtype=np.int64)
+    tgt = s_sorted[bd] if len(s_sorted) else s_sorted
+
+    def nf_micro() -> int:
+        return int(np.sum((_ball_est_dense(regs) * 1e6)
+                          .astype(np.int64)))
+
+    nf = [nf_micro()]
+    rounds = 0
+    for d in range(1, depth + 1):
+        new = regs.copy()
+        if len(tgt):
+            merged = np.maximum.reduceat(regs[d_sorted], bd, axis=0)
+            new[tgt] = np.maximum(new[tgt], merged)
+        changed = int(np.count_nonzero(np.any(new != regs, axis=1)))
+        regs = new
+        rounds = d
+        nf.append(nf_micro())
+        if changed == 0:
+            break
+    return nf, rounds

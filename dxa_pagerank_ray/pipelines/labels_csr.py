@@ -87,6 +87,23 @@ def hll_estimates(regs_table: pa.Table, num_vertices: int,
     return est
 
 
+def effective_diameter_nano(nf: list[int]) -> int:
+    """90% effective diameter from a HyperANF neighborhood-function
+    curve (integer-micro N(d) values, ``neighborhood_function``):
+    the smallest d where N(d) reaches 90% of N(max), linearly
+    interpolated inside the crossing step and nano-quantized — pure
+    Python-int arithmetic, so engine and sequential oracle agree
+    bit-for-bit.  den > 0 is guaranteed: d is the FIRST crossing, so
+    10*N(d-1) < 9*N(max) <= 10*N(d)."""
+    target = 9 * nf[-1]  # compare 10 * nf[d] >= 9 * nf[-1]
+    d = next(i for i, v in enumerate(nf) if 10 * v >= target)
+    if d == 0:
+        return 0
+    num = target - 10 * nf[d - 1]
+    den = 10 * (nf[d] - nf[d - 1])
+    return (d - 1) * 1_000_000_000 + num * 1_000_000_000 // den
+
+
 def _unique_pairs(s: np.ndarray, d: np.ndarray,
                   n: int) -> tuple[np.ndarray, np.ndarray]:
     """Distinct (s, d) rows, both int64 in [0, n).  Packed-key unique
@@ -502,6 +519,17 @@ def _make_label_actor_cls():
 
         def hc_emit(self):
             return self.lo, self.hc
+
+        def nf_partial(self) -> int:
+            """Shard partial of the HyperANF neighborhood function
+            N(d) = sum_v |B(v, d)|: per-vertex HLL estimates quantized
+            to MICRO int64 BEFORE summing (est <= V <= ~1e9 keeps
+            est * 1e6 < 2^63), summed as Python ints — integer sums
+            are associative, so shard partials + driver sum equal any
+            sequential order bit-for-bit (the oracle contract; float
+            partials would not be)."""
+            est = _ball_est_dense(self.regs)
+            return int(np.sum((est * 1e6).astype(np.int64)))
 
         def hll_write(self, out_dir: str) -> list[dict]:
             """Scale-path register sink: one Parquet file of long-form
@@ -1262,6 +1290,40 @@ class LabelCSR:
         return pa.table({"v": pa.array(v.astype(np.int64), pa.int64()),
                          "bucket": pa.array(bkt.astype(np.int64), pa.int64()),
                          "rho": pa.array(rho.astype(np.int64), pa.int64())})
+
+    def neighborhood_function(self, depth: int = 8,
+                              num_registers: int = 64, seed: int = 13):
+        """HyperANF (Boldi, Rosa & Vigna 2011, "HyperANF:
+        approximating the neighbourhood function of very large graphs
+        on a budget"): N(d) = sum_v |B(v, d)| estimated per depth from
+        the HyperBall registers.  Per-depth totals are integer-micro
+        quantized shard partials summed on the driver (order-free by
+        integer associativity — see ``nf_partial``), so the result is
+        partition- and execution-order-independent and replayable by a
+        sequential oracle.  Same reversed-edge contract as
+        ``hyperball``.
+
+        Returns (list nf_micro per depth 0..rounds, rounds,
+        changed_per_round)."""
+        import ray
+
+        if num_registers < 2 or num_registers > 256 or \
+                (num_registers & (num_registers - 1)):
+            raise ValueError("num_registers must be a power of two in "
+                             "[2, 256]")
+        ray.get([a.hll_seed.remote(num_registers, seed)
+                 for a in self.actors])
+        nf = [sum(ray.get([a.nf_partial.remote() for a in self.actors]))]
+        rounds, hist = 0, []
+        while rounds < depth:
+            rounds += 1
+            changed = self._superstep("hll_compute", "hll_apply")
+            nf.append(sum(ray.get([a.nf_partial.remote()
+                                   for a in self.actors])))
+            hist.append(changed)
+            if changed == 0:
+                break
+        return nf, rounds, hist
 
     def harmonic_centrality(self, depth: int = 8, num_registers: int = 64,
                             seed: int = 13):

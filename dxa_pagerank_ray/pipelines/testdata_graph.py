@@ -557,6 +557,39 @@ def q_harmonic_top20(sf_dir: str):
                      "hc_nano": pa.array(hc_nano[top], pa.int64())})
 
 
+NF_DEPTH = 16  # HyperANF depth cap; the run stops at convergence
+
+
+def q_effective_diameter(sf_dir: str):
+    """HyperANF 90% EFFECTIVE DIAMETER of the customer graph (Boldi,
+    Rosa & Vigna 2011 — the "four degrees of separation" measurement):
+    the neighborhood function N(d) per depth from the HyperBall
+    registers, integer-micro quantized (order-free sums), then the
+    interpolated depth where N reaches 90% of N(max), nano-quantized.
+    Oracle = the sequential replay ``graph_oracles.hyperball_nf`` +
+    the SAME ``effective_diameter_nano`` integer arithmetic.  One
+    driver row; everything heavy is the register superstep loop."""
+    from .labels_csr import LabelCSR, effective_diameter_nano
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    rev_ds = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    eng = LabelCSR(rev_ds, n, num_partitions=8)
+    nf, rounds, _ = eng.neighborhood_function(
+        depth=NF_DEPTH, num_registers=HB_REGISTERS, seed=HB_SEED)
+    eng.shutdown()
+    return pa.table({
+        "eff_diameter_nano": pa.array([effective_diameter_nano(nf)],
+                                      pa.int64()),
+        "rounds": pa.array([rounds], pa.int64()),
+        "nf_final_micro": pa.array([nf[-1]], pa.int64()),
+    })
+
+
 def q_cocitation_top20(sf_dir: str):
     """Top-20 co-cited page pairs (count of common in-neighbors) over
     the customer graph — Dean & Henzinger related-pages.  The hub cap

@@ -271,3 +271,33 @@ def test_harmonic_engine_matches_sequential_reference():
     ref = hyperball_harmonic(src, dst, n, depth=6, num_registers=R,
                              seed=13)
     np.testing.assert_array_equal(hc, ref)  # bitwise, not approx
+
+
+def test_neighborhood_function_matches_sequential_reference():
+    """Engine HyperANF N(d) curve (integer-micro, shard partials) must
+    equal the sequential replay exactly, at any actor count — the
+    effective_diameter oracle contract."""
+    from dxa_pagerank_ray.oracles.graph_oracles import hyperball_nf
+    from dxa_pagerank_ray.pipelines.labels_csr import (
+        effective_diameter_nano,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 250
+    src = rng.integers(0, n, 1500).astype(np.int64)
+    dst = rng.integers(0, n, 1500).astype(np.int64)
+    ref_nf, ref_rounds = hyperball_nf(src, dst, n, depth=16,
+                                      num_registers=R, seed=13)
+    for a in (1, 3):
+        eng = LabelCSR(_rev_ds(src, dst), n, num_partitions=8,
+                       num_actors=a)
+        nf, rounds, _ = eng.neighborhood_function(depth=16,
+                                                  num_registers=R,
+                                                  seed=13)
+        eng.shutdown()
+        assert nf == ref_nf and rounds == ref_rounds
+    # the diameter arithmetic is deterministic int math on the curve
+    d = effective_diameter_nano(ref_nf)
+    assert 0 <= d <= ref_rounds * 1_000_000_000
+    # flat curve (single isolated vertex): crossing at depth 0
+    assert effective_diameter_nano([1_000_000]) == 0
