@@ -1350,6 +1350,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_funnel": rel.events_funnel,
         "customers_order_stats": rel.customers_order_stats,
         "events_type_daily_rollup": rel.events_type_daily_rollup,
+        "events_retention": rel.events_retention,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
         "vocab_stats": _q_vocab_stats,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
@@ -1850,6 +1851,7 @@ GROUP BY d.doc_id
         "vocab_stats": _VOCAB_STATS_SQL,
         "dup_cluster_histogram": _DUP_HISTOGRAM_SQL,
         "distinct_users_daily": _DISTINCT_USERS_SQL,
+        "events_retention": rel.EVENTS_RETENTION_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,

@@ -1039,3 +1039,78 @@ SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(*) AS n_docs,
 FROM documents
 GROUP BY lang
 """
+
+
+def events_retention(sf_dir: str):
+    """COHORT RETENTION TRIANGLE over the events stream — the classic
+    product-analytics rollup: cohort_day = a user's FIRST active day,
+    and for every later active day the user counts once toward
+    (cohort_day, day_offset = active_day - cohort_day).  Output rows
+    (cohort_day, day_offset, n_users), all exact int64.
+
+    Scale shape: (1) ``coarse_distinct`` collapses the event stream to
+    distinct (user_id, day) pairs (map-side pre-distinct, one shuffle);
+    (2) one shuffle on ``user_id % G`` co-locates every day of a user,
+    so the cohort min and the offsets are partition-local vectorized
+    numpy (lexsort + boundary sweep, no per-user Python); (3) the
+    per-partition (cohort, offset) count partials meet in a final
+    small ``coarse_agg``.  Nothing is O(users) on the driver."""
+    from ..context import derive_num_groups
+    from ..stages.agg import coarse_agg, coarse_distinct
+
+    src = _read(sf_dir, "events", ["ts", "user_id"])
+    DAY_US = 86_400_000_000
+
+    def to_day(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "day": pa.array(ts // DAY_US, pa.int64())})
+
+    pairs = coarse_distinct(
+        src.map_batches(to_day, batch_format="pyarrow"),
+        ["user_id", "day"]).materialize()
+    G = derive_num_groups(pairs)
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("upart",
+                               pa.array(uid % G, pa.int64()))
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        starts = np.r_[True, u[1:] != u[:-1]] if len(u) else \
+            np.array([], dtype=bool)
+        cohort = d[np.flatnonzero(starts)]
+        cid = np.cumsum(starts) - 1
+        coh = cohort[cid]
+        tt = pa.table({"cohort_day": pa.array(coh, pa.int64()),
+                       "day_offset": pa.array(d - coh, pa.int64())})
+        g = tt.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("day_offset", "count")])
+        return pa.table({
+            "cohort_day": g["cohort_day"],
+            "day_offset": g["day_offset"],
+            "n_users": g["day_offset_count"].cast(pa.int64()),
+        })
+
+    return coarse_agg(
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("upart").map_groups(per_user, batch_format="pyarrow"),
+        ["cohort_day", "day_offset"], [("n_users", "sum", "n_users")],
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+coh AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY user_id)
+SELECT c.cohort AS cohort_day, d.day - c.cohort AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM days d JOIN coh c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
