@@ -340,22 +340,17 @@ def strongly_connected_components(src: np.ndarray, dst: np.ndarray,
     np.minimum.at(mins, comp, np.arange(n, dtype=np.int64))
     return mins[comp]
 
-
-def hyperball_harmonic(src: np.ndarray, dst: np.ndarray, n: int,
-                       depth: int, num_registers: int,
-                       seed: int) -> np.ndarray:
-    """Sequential single-batch replay of ``LabelCSR.harmonic_centrality``
-    (HyperBall harmonic estimates, Boldi & Vigna 2013/2014): the same
-    splitmix64 register seeding, the same per-round register max-merge
-    along OUT-edges (caller passes the ORIGINAL src/dst; the engine
-    runs on reversed edges, which gathers the same direction), the
-    same shard-local HLL estimate (``_ball_est_dense``, reused — the
-    registers themselves are SQL-oracled by ``hyperball_registers``)
-    and the same (|B(v,d)| - |B(v,d-1)|) / d accumulation — all
-    row-local float64 ops in identical order, so the distributed run
-    must match BIT-FOR-BIT; a hash match proves partition- and
-    execution-order-independence of the register exchange."""
-    from ..pipelines.labels_csr import _ball_est_dense
+def _hyperball_replay(src: np.ndarray, dst: np.ndarray, n: int,
+                      depth: int, num_registers: int, seed: int):
+    """Shared sequential register evolution behind the HyperBall
+    oracles (``hyperball_harmonic`` / ``hyperball_nf``): the engine's
+    exact ``hll_seed`` splitmix64 seeding and per-round register
+    max-merge along OUT-edges (caller passes ORIGINAL src/dst; the
+    engine runs on reversed edges, which gathers the same direction).
+    Yields (d, regs, changed) for d = 0 (seeded state, changed = -1)
+    then each round 1..depth, stopping AFTER the first changed == 0
+    round — one definition of the register contract for every oracle,
+    mirroring ``LabelCSR`` bit-for-bit."""
     from ..stages.sampling import sample_hash
 
     R = num_registers
@@ -379,8 +374,7 @@ def hyperball_harmonic(src: np.ndarray, dst: np.ndarray, n: int,
         if len(s_sorted) else np.array([], dtype=np.int64)
     tgt = s_sorted[bd] if len(s_sorted) else s_sorted
 
-    hc = np.zeros(n, dtype=np.float64)
-    prev = _ball_est_dense(regs)
+    yield 0, regs, -1
     for d in range(1, depth + 1):
         new = regs.copy()
         if len(tgt):
@@ -388,61 +382,53 @@ def hyperball_harmonic(src: np.ndarray, dst: np.ndarray, n: int,
             new[tgt] = np.maximum(new[tgt], merged)
         changed = int(np.count_nonzero(np.any(new != regs, axis=1)))
         regs = new
-        cur = _ball_est_dense(regs)
-        hc += (cur - prev) / float(d)
-        prev = cur
+        yield d, regs, changed
         if changed == 0:
             break
+
+
+def hyperball_harmonic(src: np.ndarray, dst: np.ndarray, n: int,
+                       depth: int, num_registers: int,
+                       seed: int) -> np.ndarray:
+    """Sequential single-batch replay of ``LabelCSR.harmonic_centrality``
+    (HyperBall harmonic estimates, Boldi & Vigna 2013/2014): the same
+    register evolution (``_hyperball_replay``), the same shard-local
+    HLL estimate (``_ball_est_dense``, reused — the registers
+    themselves are SQL-oracled by ``hyperball_registers``) and the
+    same (|B(v,d)| - |B(v,d-1)|) / d accumulation — all row-local
+    float64 ops in identical order, so the distributed run must match
+    BIT-FOR-BIT; a hash match proves partition- and execution-order-
+    independence of the register exchange."""
+    from ..pipelines.labels_csr import _ball_est_dense
+
+    hc = np.zeros(n, dtype=np.float64)
+    prev = None
+    for d, regs, changed in _hyperball_replay(src, dst, n, depth,
+                                              num_registers, seed):
+        cur = _ball_est_dense(regs)
+        if d > 0:
+            hc += (cur - prev) / float(d)
+        prev = cur
     return hc
 
 
 def hyperball_nf(src: np.ndarray, dst: np.ndarray, n: int,
                  depth: int, num_registers: int,
-                 seed: int) -> tuple[list, int]:
+                 seed: int) -> tuple:
     """Sequential replay of ``LabelCSR.neighborhood_function``
-    (HyperANF, Boldi, Rosa & Vigna 2011): identical register evolution
-    to ``hyperball_harmonic`` with per-depth integer-micro-quantized
-    estimate sums — integer addition is order-free, so the full-array
-    sum here equals the engine's shard-partial + driver sum exactly.
+    (HyperANF, Boldi, Rosa & Vigna 2011): the shared register
+    evolution with per-depth integer-micro-quantized estimate sums —
+    exact Python-int sums (``int_sum_exact``, the engine's helper) are
+    order-free, so the full-array sum here equals the engine's
+    shard-partial + driver sum exactly at ANY scale (a wrapping int64
+    sum would break that, and wrap differently per partitioning).
     Returns (nf_micro list for depth 0..rounds, rounds)."""
-    from ..pipelines.labels_csr import _ball_est_dense
-    from ..stages.sampling import sample_hash
+    from ..pipelines.labels_csr import _ball_est_dense, int_sum_exact
 
-    R = num_registers
-    ids = np.arange(n, dtype=np.int64)
-    h = sample_hash(ids, seed)
-    bucket = (h % np.uint64(R)).astype(np.int64)
-    x = h // np.uint64(R)
-    low = x & (~x + np.uint64(1))
-    maxrho = 64 - int(np.log2(R)) + 1
-    rho = np.where(
-        x == 0, maxrho,
-        np.log2(np.maximum(low, 1).astype(np.float64)).astype(np.int64)
-        + 1).astype(np.uint8)
-    regs = np.zeros((n, R), dtype=np.uint8)
-    regs[ids, bucket] = rho
-
-    order = np.argsort(src, kind="stable")
-    s_sorted, d_sorted = src[order], dst[order]
-    bd = np.flatnonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]]) \
-        if len(s_sorted) else np.array([], dtype=np.int64)
-    tgt = s_sorted[bd] if len(s_sorted) else s_sorted
-
-    def nf_micro() -> int:
-        return int(np.sum((_ball_est_dense(regs) * 1e6)
-                          .astype(np.int64)))
-
-    nf = [nf_micro()]
-    rounds = 0
-    for d in range(1, depth + 1):
-        new = regs.copy()
-        if len(tgt):
-            merged = np.maximum.reduceat(regs[d_sorted], bd, axis=0)
-            new[tgt] = np.maximum(new[tgt], merged)
-        changed = int(np.count_nonzero(np.any(new != regs, axis=1)))
-        regs = new
+    nf, rounds = [], 0
+    for d, regs, changed in _hyperball_replay(src, dst, n, depth,
+                                              num_registers, seed):
+        nf.append(int_sum_exact(
+            (_ball_est_dense(regs) * 1e6).astype(np.int64)))
         rounds = d
-        nf.append(nf_micro())
-        if changed == 0:
-            break
     return nf, rounds

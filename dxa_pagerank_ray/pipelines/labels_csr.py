@@ -87,6 +87,21 @@ def hll_estimates(regs_table: pa.Table, num_vertices: int,
     return est
 
 
+def int_sum_exact(arr: np.ndarray) -> int:
+    """Exact Python-int sum of a non-negative int64 array via a
+    hi/lo split: each half's np.sum stays below 2^63 while
+    len(arr) < 2^33 and elements < 2^60, so no wrap — unlike a plain
+    ``np.sum`` (which wraps silently) and much faster than
+    ``dtype=object``.  Used where shard partials must equal a
+    sequential full-array sum bit-for-bit at ANY scale."""
+    if len(arr) == 0:
+        return 0
+    assert len(arr) < (1 << 33)
+    lo = int(np.sum(arr & np.int64((1 << 30) - 1)))
+    hi = int(np.sum(arr >> np.int64(30)))
+    return (hi << 30) + lo
+
+
 def effective_diameter_nano(nf: list[int]) -> int:
     """90% effective diameter from a HyperANF neighborhood-function
     curve (integer-micro N(d) values, ``neighborhood_function``):
@@ -524,12 +539,14 @@ def _make_label_actor_cls():
             """Shard partial of the HyperANF neighborhood function
             N(d) = sum_v |B(v, d)|: per-vertex HLL estimates quantized
             to MICRO int64 BEFORE summing (est <= V <= ~1e9 keeps
-            est * 1e6 < 2^63), summed as Python ints — integer sums
-            are associative, so shard partials + driver sum equal any
-            sequential order bit-for-bit (the oracle contract; float
-            partials would not be)."""
+            est * 1e6 < 2^60 per element), summed EXACTLY as Python
+            ints (``int_sum_exact`` — a plain np.sum would wrap int64
+            once the shard's ball mass passes ~9.2e12, and wrap
+            DIFFERENTLY from the sequential oracle's full-array sum).
+            Integer sums are associative, so shard partials + driver
+            sum equal any sequential order bit-for-bit."""
             est = _ball_est_dense(self.regs)
-            return int(np.sum((est * 1e6).astype(np.int64)))
+            return int_sum_exact((est * 1e6).astype(np.int64))
 
         def hll_write(self, out_dir: str) -> list[dict]:
             """Scale-path register sink: one Parquet file of long-form

@@ -1054,7 +1054,13 @@ def events_retention(sf_dir: str):
     so the cohort min and the offsets are partition-local vectorized
     numpy (lexsort + boundary sweep, no per-user Python); (3) the
     per-partition (cohort, offset) count partials meet in a final
-    small ``coarse_agg``.  Nothing is O(users) on the driver."""
+    small ``coarse_agg``.  Nothing is O(users) on the driver.
+
+    Day-bucket contract (shared with ``distinct_users_daily`` /
+    ``events_type_daily_rollup``): ts >= epoch — numpy ``//`` floors
+    while DuckDB's integer ``//`` truncates toward zero, so the engine
+    and SQL mirror agree on negative (pre-1970) microseconds only up
+    to that rounding; the events table is post-epoch by contract."""
     from ..context import derive_num_groups
     from ..stages.agg import coarse_agg, coarse_distinct
 

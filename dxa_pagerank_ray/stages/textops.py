@@ -489,39 +489,13 @@ def bpe_token_counts(docs_ds, text_col: str = "text",
 
 def doc_bigram_rows(batch: pa.Table, text_col: str = "text",
                     id_col: str = "doc_id") -> pa.Table:
-    """(doc_id, bg) rows: consecutive lowercased ``\\w+`` token pairs
-    per document, joined by one space — empty tokens dropped BEFORE
-    pairing (same tokenizer contract as ``term_frequencies``, so the
-    SQL mirror is ``list_filter(regexp_split_to_array(...))`` +
-    ``list_zip``).  All-Arrow/numpy: flatten once, one boundary mask,
-    one vectorized join — no Python loop over tokens."""
-    import pyarrow.compute as pc
-
-    empty = pa.table({id_col: pa.array([], pa.int64()),
-                      "bg": pa.array([], pa.string())})
-    if batch.num_rows == 0:
-        return empty
-    text = pc.fill_null(batch[text_col].combine_chunks(), "")
-    lists = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\W+")
-    if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
-        lists = lists.combine_chunks()
-    flat = lists.flatten()
-    counts = pc.list_value_length(lists).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(keep))
-    docidx = docidx[keep]
-    if len(docidx) < 2:
-        return empty
-    same = docidx[1:] == docidx[:-1]
-    n = len(docidx)
-    left = flat.slice(0, n - 1).filter(pa.array(same))
-    right = flat.slice(1, n - 1).filter(pa.array(same))
-    bg = pc.binary_join_element_wise(left, right, " ")
-    ids = batch[id_col].to_numpy(zero_copy_only=False)
-    pair_doc = ids[docidx[:-1][same]]
-    return pa.table({id_col: pa.array(pair_doc, pa.int64()), "bg": bg})
+    """(doc_id, bg) rows: consecutive lowercased ``\\W+``-split token
+    pairs per document, joined by one space — the n=2 case of
+    ``doc_ngram_rows`` (ONE tokenizer/window implementation for the
+    bigram and n-gram query families; the SQL mirror is
+    ``list_filter(regexp_split_to_array(...))`` + ``list_zip``)."""
+    t = doc_ngram_rows(batch, 2, text_col, id_col)
+    return t.rename_columns([id_col, "bg"])
 
 
 BIGRAM_COUNT_CAP = 1000

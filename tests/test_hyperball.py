@@ -301,3 +301,16 @@ def test_neighborhood_function_matches_sequential_reference():
     assert 0 <= d <= ref_rounds * 1_000_000_000
     # flat curve (single isolated vertex): crossing at depth 0
     assert effective_diameter_nano([1_000_000]) == 0
+
+
+def test_int_sum_exact_beyond_int64():
+    """The nf_partial sum helper must not wrap where np.sum does —
+    shard ball mass can exceed 2^63 at scale."""
+    from dxa_pagerank_ray.pipelines.labels_csr import int_sum_exact
+
+    big = np.full(64, np.int64(1) << 58, dtype=np.int64)  # sum = 2^64
+    assert int_sum_exact(big) == 1 << 64  # np.sum wraps this to 0
+    assert int_sum_exact(np.array([], dtype=np.int64)) == 0
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 40, 1000)
+    assert int_sum_exact(a) == int(sum(int(x) for x in a))
