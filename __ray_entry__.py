@@ -1048,7 +1048,7 @@ def _media_expected_dir() -> str:
 # oracles below (same pattern as the media family) are materialized
 # from that directory's tables
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
-_SEQ_EXPECTED_V = 7  # bump to invalidate the cached expected dir
+_SEQ_EXPECTED_V = 8  # bump to invalidate the cached expected dir
 _WALK_LEN = 8
 _WALK_SEED = 42
 
@@ -1132,6 +1132,7 @@ def _seq_expected_dir() -> str:
     })
     from dxa_pagerank_ray.oracles.graph_oracles import hyperball_nf
     from dxa_pagerank_ray.pipelines.labels_csr import (
+        avg_distance_nano,
         effective_diameter_nano,
     )
     from dxa_pagerank_ray.pipelines.testdata_graph import NF_DEPTH
@@ -1140,6 +1141,8 @@ def _seq_expected_dir() -> str:
                                  num_registers=HB_REGISTERS, seed=HB_SEED)
     tables["effective_diameter"] = pa.table({
         "eff_diameter_nano": pa.array([effective_diameter_nano(nf)],
+                                      pa.int64()),
+        "avg_distance_nano": pa.array([avg_distance_nano(nf)],
                                       pa.int64()),
         "rounds": pa.array([nf_rounds], pa.int64()),
         "nf_final_micro": pa.array([nf[-1]], pa.int64()),

@@ -102,6 +102,17 @@ def int_sum_exact(arr: np.ndarray) -> int:
     return (hi << 30) + lo
 
 
+def avg_distance_nano(nf: list[int]) -> int:
+    """Mean finite-pair distance from a HyperANF curve: sum_d d *
+    (N(d) - N(d-1)) over the reachable-pair mass N(max) - N(0)
+    (N(0) counts the self-pairs), nano-quantized — pure Python-int
+    arithmetic shared between query and oracle.  0 when no vertex
+    reaches another (den == 0)."""
+    num = sum(d * (nf[d] - nf[d - 1]) for d in range(1, len(nf)))
+    den = nf[-1] - nf[0]
+    return num * 1_000_000_000 // den if den > 0 else 0
+
+
 def effective_diameter_nano(nf: list[int]) -> int:
     """90% effective diameter from a HyperANF neighborhood-function
     curve (integer-micro N(d) values, ``neighborhood_function``):

@@ -565,11 +565,17 @@ def q_effective_diameter(sf_dir: str):
     Rosa & Vigna 2011 — the "four degrees of separation" measurement):
     the neighborhood function N(d) per depth from the HyperBall
     registers, integer-micro quantized (order-free sums), then the
-    interpolated depth where N reaches 90% of N(max), nano-quantized.
-    Oracle = the sequential replay ``graph_oracles.hyperball_nf`` +
-    the SAME ``effective_diameter_nano`` integer arithmetic.  One
-    driver row; everything heavy is the register superstep loop."""
-    from .labels_csr import LabelCSR, effective_diameter_nano
+    interpolated depth where N reaches 90% of N(max) plus the mean
+    finite-pair distance, both nano-quantized.  Oracle = the
+    sequential replay ``graph_oracles.hyperball_nf`` + the SAME
+    ``effective_diameter_nano`` / ``avg_distance_nano`` integer
+    arithmetic.  One driver row; everything heavy is the register
+    superstep loop."""
+    from .labels_csr import (
+        LabelCSR,
+        avg_distance_nano,
+        effective_diameter_nano,
+    )
 
     edges = customer_edges(sf_dir).materialize()
     n = _num_vertices(edges)
@@ -584,6 +590,8 @@ def q_effective_diameter(sf_dir: str):
     eng.shutdown()
     return pa.table({
         "eff_diameter_nano": pa.array([effective_diameter_nano(nf)],
+                                      pa.int64()),
+        "avg_distance_nano": pa.array([avg_distance_nano(nf)],
                                       pa.int64()),
         "rounds": pa.array([rounds], pa.int64()),
         "nf_final_micro": pa.array([nf[-1]], pa.int64()),

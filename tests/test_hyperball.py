@@ -314,3 +314,13 @@ def test_int_sum_exact_beyond_int64():
     rng = np.random.default_rng(3)
     a = rng.integers(0, 1 << 40, 1000)
     assert int_sum_exact(a) == int(sum(int(x) for x in a))
+
+
+def test_avg_distance_nano_known_curve():
+    from dxa_pagerank_ray.pipelines.labels_csr import avg_distance_nano
+
+    # 3-vertex path a->b->c: N(0)=3 (self), N(1)=5, N(2)=6 (a reaches c)
+    nf = [3_000_000, 5_000_000, 6_000_000]
+    # distances: two at 1, one at 2 -> mean 4/3
+    assert avg_distance_nano(nf) == 4_000_000 * 1_000_000_000 // 3_000_000
+    assert avg_distance_nano([7_000_000]) == 0  # no reachable pairs
