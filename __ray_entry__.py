@@ -294,6 +294,30 @@ FROM events GROUP BY day ORDER BY day
 """
 
 
+def _q_longest_docs_per_lang(sf_dir: str):
+    """Top-3 documents by length PER LANGUAGE — the group-wise top-k
+    shape ("best pages per host") via ``stages.agg.coarse_topk``:
+    algebraic per-batch k-row partials, one coarse group shuffle,
+    final per-partition top-k — whole groups never move."""
+    from dxa_pagerank_ray.stages.agg import coarse_topk
+
+    docs = _rpq(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "n_chars"])
+    return coarse_topk(docs, "lang", "n_chars", "doc_id", k=3)
+
+
+_LONGEST_PER_LANG_SQL = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS "rank"
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, "rank" FROM r WHERE "rank" <= 3
+ORDER BY lang, "rank"
+"""
+
+
 def _q_docs_sample(sf_dir: str):
     from dxa_pagerank_ray.stages.sampling import hash_sample
 
@@ -1354,6 +1378,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "customers_order_stats": rel.customers_order_stats,
         "events_type_daily_rollup": rel.events_type_daily_rollup,
         "events_retention": rel.events_retention,
+        "longest_docs_per_lang": _q_longest_docs_per_lang,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
         "vocab_stats": _q_vocab_stats,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
@@ -1855,6 +1880,7 @@ GROUP BY d.doc_id
         "dup_cluster_histogram": _DUP_HISTOGRAM_SQL,
         "distinct_users_daily": _DISTINCT_USERS_SQL,
         "events_retention": rel.EVENTS_RETENTION_SQL,
+        "longest_docs_per_lang": _LONGEST_PER_LANG_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,

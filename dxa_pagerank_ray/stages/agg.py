@@ -349,3 +349,72 @@ def exact_quantiles_by_group(ds, group_col: str, col: str,
     return pa.table({group_col: pa.array(out_g, pa.string()),
                      "pct": pa.array(out_p, pa.int64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def coarse_topk(ds, group_col: str, order_col: str, id_col: str,
+                k: int, num_groups: int | None = None):
+    """Distributed TOP-K PER GROUP (the "3 longest docs per language" /
+    "best pages per host" shape).  Top-k is ALGEBRAIC — the top-k of a
+    union is the top-k of the partial top-ks — so the scale-stable
+    form mirrors ``coarse_agg``: (1) map-side per-batch top-k per
+    group (bounds every batch's output to k rows per group seen, no
+    shuffle); (2) ONE coarse shuffle on ``hash(group_col) % G``;
+    (3) per-partition final top-k.  Whole groups never move — only
+    k-row partials do, which is what survives a 100-TB corpus with
+    hot groups.
+
+    Ordering contract (mirrored by a SQL ``row_number() OVER
+    (PARTITION BY group ORDER BY order_col DESC, id_col ASC)``):
+    ``order_col`` DESC, ``id_col`` ASC tiebreak — deterministic at any
+    partitioning.  Returns (group_col, id_col, order_col, rank)."""
+    small = num_groups is None and _fits_one_group(ds)
+    G = 1 if small else (num_groups or derive_num_groups(ds))
+
+    def topk(t: pa.Table, with_part: bool) -> pa.Table:
+        # group by per-batch dictionary CODES (string groups stay in
+        # C kernels; any consistent order groups equal keys — only
+        # the within-group order is contractual)
+        gcol = t[group_col].combine_chunks() if isinstance(
+            t[group_col], pa.ChunkedArray) else t[group_col]
+        import pyarrow.compute as pc
+
+        codes = pc.dictionary_encode(gcol)
+        if isinstance(codes, pa.ChunkedArray):  # pragma: no cover
+            codes = codes.combine_chunks()
+        gc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[order_col].to_numpy(zero_copy_only=False)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -v, gc))
+        g = gcol.take(pa.array(order, pa.int64()))
+        gc, v, i = gc[order], v[order], i[order]
+        starts = np.r_[True, gc[1:] != gc[:-1]] if len(gc) else \
+            np.array([], dtype=bool)
+        # rank within group = index - index of group start
+        start_idx = np.maximum.accumulate(
+            np.where(starts, np.arange(len(gc)), 0))
+        rank = np.arange(len(gc)) - start_idx
+        keep = rank < k
+        gk = g.filter(pa.array(keep))
+        out = {group_col: gk,
+               id_col: pa.array(i[keep], pa.int64()),
+               order_col: pa.array(v[keep], pa.int64()),
+               "rank": pa.array(rank[keep] + 1, pa.int64())}
+        if with_part:
+            out["part"] = pa.array(
+                _part_for(pa.chunked_array([gk]), G), pa.int64())
+        return pa.table(out)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return topk(b, with_part=not small)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if not small:
+            t = t.drop_columns(["part"])
+        return topk(t, with_part=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if small:
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None)
+    return partials.groupby("part").map_groups(
+        combine, batch_format="pyarrow")

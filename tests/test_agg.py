@@ -153,3 +153,30 @@ def test_exact_quantiles_by_group_rejects_null_groups(ray_session):
                   "x": pa.array([1, 2, 3], pa.int64())})
     with pytest.raises(ValueError, match="NULL"):
         exact_quantiles_by_group(rd.from_arrow(t), "g", "x", [50])
+
+
+def test_coarse_topk_partition_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.agg import coarse_topk
+
+    rows = pa.table({
+        "grp": pa.array(["a", "b", "a", "a", "b", "c", "a"], pa.string()),
+        "val": pa.array([5, 9, 7, 7, 1, 4, 2], pa.int64()),
+        "id": pa.array([10, 20, 30, 40, 50, 60, 70], pa.int64()),
+    })
+
+    def run(ds, **kw):
+        t = coarse_topk(ds, "grp", "val", "id", k=2, **kw).to_pandas()
+        return sorted(map(tuple, t[["grp", "id", "val", "rank"]]
+                          .values.tolist()))
+
+    got = run(rd.from_arrow(rows))
+    # a: 7@30 then 7@40 (id-asc tiebreak); b: 9@20 then 1@50; c: 4@60
+    assert got == [("a", 30, 7, 1), ("a", 40, 7, 2),
+                   ("b", 20, 9, 1), ("b", 50, 1, 2),
+                   ("c", 60, 4, 1)]
+    # invariant to partitioning and to the forced coarse path
+    assert run(rd.from_arrow(rows).repartition(4)) == got
+    assert run(rd.from_arrow(rows).repartition(3), num_groups=2) == got
