@@ -294,6 +294,41 @@ FROM events GROUP BY day ORDER BY day
 """
 
 
+def _q_corpus_composition(sf_dir: str):
+    """Corpus composition report — (source, lang, n_docs, total_chars):
+    the per-provenance mix every training-data pipeline audits before
+    sampling weights are chosen.  One map-side-combined coarse_agg;
+    streams, nothing O(corpus) anywhere."""
+    import pyarrow as pa
+
+    from dxa_pagerank_ray.stages.agg import coarse_agg
+
+    docs = _rpq(f"{sf_dir}/documents.parquet",
+                columns=["source", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return pa.table({
+            "source": g["source"], "lang": g["lang"],
+            "n_docs": g["n_chars_count"].cast(pa.int64()),
+            "total_chars": g["n_chars_sum"].cast(pa.int64()),
+        })
+
+    return coarse_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        [("n_docs", "sum", "n_docs"), ("total_chars", "sum", "total_chars")],
+    )
+
+
+_CORPUS_COMPOSITION_SQL = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+
 def _q_longest_docs_per_lang(sf_dir: str):
     """Top-3 documents by length PER LANGUAGE — the group-wise top-k
     shape ("best pages per host") via ``stages.agg.coarse_topk``:
@@ -1379,6 +1414,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_type_daily_rollup": rel.events_type_daily_rollup,
         "events_retention": rel.events_retention,
         "longest_docs_per_lang": _q_longest_docs_per_lang,
+        "corpus_composition": _q_corpus_composition,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
         "vocab_stats": _q_vocab_stats,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
@@ -1881,6 +1917,7 @@ GROUP BY d.doc_id
         "distinct_users_daily": _DISTINCT_USERS_SQL,
         "events_retention": rel.EVENTS_RETENTION_SQL,
         "longest_docs_per_lang": _LONGEST_PER_LANG_SQL,
+        "corpus_composition": _CORPUS_COMPOSITION_SQL,
         "top_customers_revenue": rel.TOP_CUSTOMERS_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,

@@ -169,6 +169,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "postings_top25", "tfidf_top3_per_doc",
                  "customers_order_stats", "events_type_daily_rollup",
                  "events_retention", "longest_docs_per_lang",
+                 "corpus_composition",
                  "doc_length_quantiles_by_lang", "vocab_stats",
                  "dup_cluster_histogram", "distinct_users_daily",
                  "scc_condensation_edges", "dag_levels",
