@@ -1448,6 +1448,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
         "degree_distribution": tg.q_degree_distribution,
+        "indegree_distribution": tg.q_indegree_distribution,
         "host_pagerank_weighted": _q_host_pagerank_weighted,
         "random_walks_weighted": _q_random_walks_weighted,
         # relational operator coverage
@@ -1843,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         "global_clustering": tg.SQL["global_clustering"],
         "trustrank_fixed4": tg.SQL["trustrank_fixed4"],
         "degree_distribution": tg.SQL["degree_distribution"],
+        "indegree_distribution": tg.SQL["indegree_distribution"],
         "host_graph": _host_graph_oracle_sql(),
         "host_pagerank_fixed4": _host_pagerank_oracle_sql(),
         "host_pagerank_weighted": _host_pagerank_weighted_oracle_sql(),

@@ -148,7 +148,8 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
     for name in ["q1_pricing_summary", "top_customers_revenue", "events_hourly",
                  "doc_token_counts", "docs_exact_dedup", "ann_cosine_top10",
                  "triangle_count", "cc_sizes", "pagerank_top20",
-                 "kcore_numbers", "degree_distribution", "hits_fixed4",
+                 "kcore_numbers", "degree_distribution",
+                 "indegree_distribution", "hits_fixed4",
                  "ppr_fixed4", "host_pagerank_weighted", "anchor_texts",
                  "cc_sizes_star", "random_walks", "bfs_depths",
                  "cocitation_top20", "coupling_top20",

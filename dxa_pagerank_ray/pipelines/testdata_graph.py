@@ -489,6 +489,39 @@ def q_degree_distribution(sf_dir: str):
     return hist
 
 
+def q_indegree_distribution(sf_dir: str):
+    """(indeg, n_vertices) histogram of the supplier->part graph —
+    in-degree is the web-fame axis of the crawl diagnostic (the
+    classically power-law one); same coarse-aggregate shape as
+    ``q_degree_distribution`` over the REVERSED edge set, including
+    the in-degree-0 (source-only) vertices."""
+    import ray.data as rd
+
+    from ..stages.agg import coarse_agg, coarse_distinct
+    from .graph_build import out_degree_table
+
+    edges = supplier_part_edges(sf_dir).materialize()
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    redges = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    ind = out_degree_table(redges).rename_columns(
+        {"outdeg": "indeg"}).materialize()
+    hist = coarse_agg(ind, ["indeg"], [("indeg", "count", "n_vertices")])
+    src_u = edges.select_columns(["src"]).rename_columns({"src": "v"})
+    dst_u = edges.select_columns(["dst"]).rename_columns({"dst": "v"})
+    n_total = coarse_distinct(src_u.union(dst_u), ["v"]).count()
+    n_zero = int(n_total) - int(ind.count())
+    if n_zero > 0:
+        zero = rd.from_arrow(pa.table({
+            "indeg": pa.array([0], pa.int64()),
+            "n_vertices": pa.array([n_zero], pa.int64()),
+        }))
+        hist = hist.union(zero)
+    return hist
+
+
 BFS_SEEDS = (1, 2, 3)
 BFS_MAX_DEPTH = 16
 COCITE_MAX_OUTDEG = 4096
@@ -964,6 +997,14 @@ SQL = {
         "od AS (SELECT src AS v, count(*) AS outdeg FROM e GROUP BY src) "
         "SELECT COALESCE(od.outdeg, 0) AS outdeg, count(*) AS n_vertices "
         "FROM verts LEFT JOIN od ON od.v = verts.v GROUP BY 1"
+    ),
+    "indegree_distribution": (
+        "WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst "
+        "FROM lineitem), "
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e), "
+        "ind AS (SELECT dst AS v, count(*) AS indeg FROM e GROUP BY dst) "
+        "SELECT COALESCE(ind.indeg, 0) AS indeg, count(*) AS n_vertices "
+        "FROM verts LEFT JOIN ind ON ind.v = verts.v GROUP BY 1"
     ),
     # depth-bounded multi-source BFS: the recursive CTE enumerates
     # (v, depth) pairs only to BFS_MAX_DEPTH - 1 expansions (cycles make
