@@ -875,6 +875,50 @@ resolved AS (
 )"""
 
 
+def _q_host_top_pages(sf_dir: str):
+    """PER-DOMAIN PAGE CAP — "keep the K largest pages per host", the
+    standard web-corpus domain-quota step (no single site dominates
+    the training mix) — over the pages fixture's real URLs:
+    vectorized host slice (``hosts_of``) + raw-html byte size, then
+    ``stages.agg.coarse_topk`` (algebraic per-batch k-row partials,
+    ONE coarse group shuffle, per-partition final top-k — whole hosts
+    never move, which is what survives hub domains at 100 TB).
+    String id tiebreak (url ASC) — ASCII URLs, so Python/Arrow
+    codepoint order == DuckDB binary collation by construction."""
+    import pyarrow.compute as pc
+
+    from dxa_pagerank_ray.pipelines.graph_build import hosts_of
+    from dxa_pagerank_ray.stages.agg import coarse_topk
+
+    pages = _rpq(_pages_fixture_dir(), columns=["url", "html"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": hosts_of(b["url"]),
+            "url": b["url"],
+            "n_bytes": pc.binary_length(b["html"]).cast(pa.int64()),
+        })
+
+    return coarse_topk(pages.map_batches(prep, batch_format="pyarrow"),
+                       "host", "n_bytes", "url", k=2)
+
+
+def _host_top_pages_oracle_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, url,
+         CAST(octet_length(html) AS BIGINT) AS n_bytes
+  FROM read_parquet('{_pages_fixture_dir()}/*.parquet')
+), r AS (
+  SELECT host, url, n_bytes,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_bytes DESC, url ASC) AS "rank"
+  FROM p
+)
+SELECT host, url, n_bytes, "rank" FROM r WHERE "rank" <= 2
+"""
+
+
 def _q_host_pagerank_fixed4(sf_dir: str):
     """Lump PageRank (4 rounds + dangling restore, integer nano) over
     the HOST graph collapsed from the pages fixture — the full web
@@ -1107,7 +1151,7 @@ def _media_expected_dir() -> str:
 # oracles below (same pattern as the media family) are materialized
 # from that directory's tables
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
-_SEQ_EXPECTED_V = 8  # bump to invalidate the cached expected dir
+_SEQ_EXPECTED_V = 9  # bump to invalidate the cached expected dir
 _WALK_LEN = 8
 _WALK_SEED = 42
 
@@ -1188,6 +1232,19 @@ def _seq_expected_dir() -> str:
     tables["harmonic_top20"] = pa.table({
         "v": pa.array(top.astype(np.int64), pa.int64()),
         "hc_nano": pa.array(hc_nano[top], pa.int64()),
+    })
+    # sequential replay of the Lin's-index closeness inputs (same
+    # register evolution; shared lin_nano arithmetic)
+    from dxa_pagerank_ray.oracles.graph_oracles import hyperball_lin
+    from dxa_pagerank_ray.pipelines.labels_csr import lin_nano
+
+    sdist, reach = hyperball_lin(src, dst, n, depth=HB_DEPTH,
+                                 num_registers=HB_REGISTERS, seed=HB_SEED)
+    ln = lin_nano(reach, sdist)
+    topl = np.lexsort((np.arange(n, dtype=np.int64), -ln))[:20]
+    tables["closeness_top20"] = pa.table({
+        "v": pa.array(topl.astype(np.int64), pa.int64()),
+        "lin_nano": pa.array(ln[topl], pa.int64()),
     })
     from dxa_pagerank_ray.oracles.graph_oracles import hyperball_nf
     from dxa_pagerank_ray.pipelines.labels_csr import (
@@ -1444,6 +1501,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "edge_reciprocity": tg.q_edge_reciprocity,
         "hyperball_registers": tg.q_hyperball_registers,
         "harmonic_top20": tg.q_harmonic_top20,
+        "closeness_top20": tg.q_closeness_top20,
         "effective_diameter": tg.q_effective_diameter,
         "labelprop_sizes": tg.q_labelprop_sizes,
         "kcore_numbers": tg.q_kcore_numbers,
@@ -1493,6 +1551,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # the gate window automatically)
         "doc_chunks": _q_doc_chunks,
         "corpus_shard_stats": _q_corpus_shard_stats,
+        "host_top_pages": _q_host_top_pages,
     }
 
 
@@ -1846,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_distribution": tg.SQL["degree_distribution"],
         "indegree_distribution": tg.SQL["indegree_distribution"],
         "host_graph": _host_graph_oracle_sql(),
+        "host_top_pages": _host_top_pages_oracle_sql(),
         "host_pagerank_fixed4": _host_pagerank_oracle_sql(),
         "host_pagerank_weighted": _host_pagerank_weighted_oracle_sql(),
         "anchor_texts": _anchor_texts_oracle_sql(),
@@ -2029,6 +2089,10 @@ SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         "harmonic_top20": (
             "SELECT * FROM "
             f"read_parquet('{_seq_expected_dir()}/harmonic_top20.parquet')"
+        ),
+        "closeness_top20": (
+            "SELECT * FROM "
+            f"read_parquet('{_seq_expected_dir()}/closeness_top20.parquet')"
         ),
         "effective_diameter": (
             "SELECT * FROM read_parquet("

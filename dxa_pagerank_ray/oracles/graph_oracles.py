@@ -412,6 +412,29 @@ def hyperball_harmonic(src: np.ndarray, dst: np.ndarray, n: int,
     return hc
 
 
+def hyperball_lin(src: np.ndarray, dst: np.ndarray, n: int,
+                  depth: int, num_registers: int,
+                  seed: int) -> tuple:
+    """Sequential single-batch replay of ``LabelCSR.lin_centrality``
+    (HyperBall Lin's-index inputs, Boldi & Vigna 2014): the shared
+    register evolution, the same per-depth delta accumulation
+    sd += (|B(v,d)| - |B(v,d-1)|) * d and the final reachable-ball
+    estimate — all row-local float64 in identical order, so the
+    distributed run must match BIT-FOR-BIT.  Returns (sumdist [n],
+    reach [n])."""
+    from ..pipelines.labels_csr import _ball_est_dense
+
+    sd = np.zeros(n, dtype=np.float64)
+    prev = None
+    for d, regs, changed in _hyperball_replay(src, dst, n, depth,
+                                              num_registers, seed):
+        cur = _ball_est_dense(regs)
+        if d > 0:
+            sd += (cur - prev) * float(d)
+        prev = cur
+    return sd, prev
+
+
 def hyperball_nf(src: np.ndarray, dst: np.ndarray, n: int,
                  depth: int, num_registers: int,
                  seed: int) -> tuple:

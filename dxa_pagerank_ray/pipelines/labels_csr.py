@@ -130,6 +130,20 @@ def effective_diameter_nano(nf: list[int]) -> int:
     return (d - 1) * 1_000_000_000 + num * 1_000_000_000 // den
 
 
+def lin_nano(reach: np.ndarray, sumdist: np.ndarray) -> np.ndarray:
+    """Lin's index r(v)^2 / sd(v) (Boldi & Vigna 2014 §3.2: reachable
+    count squared over sum of finite distances — closeness that
+    rewards, not punishes, large reachable sets), nano-quantized
+    int64.  Vertices reaching nothing (sd == 0) get 1.0 by the
+    paper's convention.  Row-local float64 in one fixed expression —
+    shared verbatim by ``LabelCSR.lin_centrality`` callers and the
+    sequential oracle, so the two quantize bit-identically."""
+    lin = np.ones_like(sumdist)
+    m = sumdist > 0
+    lin[m] = (reach[m] * reach[m]) / sumdist[m]
+    return (lin * 1e9).astype(np.int64)
+
+
 def _unique_pairs(s: np.ndarray, d: np.ndarray,
                   n: int) -> tuple[np.ndarray, np.ndarray]:
     """Distinct (s, d) rows, both int64 in [0, n).  Packed-key unique
@@ -529,22 +543,32 @@ def _make_label_actor_cls():
             return vi + self.lo, bi, self.regs[vi, bi]
 
         def hc_reset(self) -> None:
-            """Start harmonic-centrality accumulation from the current
-            (seeded, depth-0) registers."""
+            """Start geometric-centrality accumulation from the current
+            (seeded, depth-0) registers: harmonic (``hc``) and
+            sum-of-distances (``sd``, the Lin's-index denominator)
+            ride the SAME ball-delta stream."""
             self.hc = np.zeros(self.size, dtype=np.float64)
+            self.sd = np.zeros(self.size, dtype=np.float64)
             self._prev_est = _ball_est_dense(self.regs)
 
         def hc_accumulate(self, d: int) -> None:
             """After the superstep for depth d: hc += (|B(v,d)| -
-            |B(v,d-1)|) / d, both sizes HLL-estimated from the local
-            registers — no extra message volume, pure shard-local
-            math."""
+            |B(v,d-1)|) / d and sd += (|B(v,d)| - |B(v,d-1)|) * d,
+            sizes HLL-estimated from the local registers — no extra
+            message volume, pure shard-local math."""
             cur = _ball_est_dense(self.regs)
-            self.hc += (cur - self._prev_est) / float(d)
+            delta = cur - self._prev_est
+            self.hc += delta / float(d)
+            self.sd += delta * float(d)
             self._prev_est = cur
 
         def hc_emit(self):
             return self.lo, self.hc
+
+        def cl_emit(self):
+            """(lo, sum-of-distances, final reachable-ball estimate) —
+            the two Lin's-index inputs (Boldi & Vigna 2014 §3.2)."""
+            return self.lo, self.sd, self._prev_est
 
         def nf_partial(self) -> int:
             """Shard partial of the HyperANF neighborhood function
@@ -1370,6 +1394,20 @@ class LabelCSR:
         changed_per_round)."""
         import ray
 
+        rounds, hist = self._geometric_loop(depth, num_registers, seed)
+        out = np.zeros(self.n, dtype=np.float64)
+        for lo, sl in ray.get([a.hc_emit.remote() for a in self.actors]):
+            out[lo : lo + len(sl)] = sl
+        return out, rounds, hist
+
+    def _geometric_loop(self, depth: int, num_registers: int, seed: int):
+        """The shared HyperBall centrality superstep loop: seed
+        registers, run register max-merge supersteps, accumulate the
+        per-depth ball deltas shard-locally after each one (both the
+        harmonic and the sum-of-distances series — one run serves both
+        emit surfaces)."""
+        import ray
+
         if num_registers < 2 or num_registers > 256 or \
                 (num_registers & (num_registers - 1)):
             raise ValueError("num_registers must be a power of two in "
@@ -1385,10 +1423,34 @@ class LabelCSR:
             hist.append(changed)
             if changed == 0:
                 break
-        out = np.zeros(self.n, dtype=np.float64)
-        for lo, sl in ray.get([a.hc_emit.remote() for a in self.actors]):
-            out[lo : lo + len(sl)] = sl
-        return out, rounds, hist
+        return rounds, hist
+
+    def lin_centrality(self, depth: int = 8, num_registers: int = 64,
+                       seed: int = 13):
+        """LIN'S-INDEX closeness inputs via the same HyperBall ball
+        deltas as ``harmonic_centrality`` (Boldi & Vigna 2014,
+        "Axioms for centrality" §3.2 — the closeness variant that
+        stays meaningful on disconnected web graphs): sum-of-distances
+        sd(v) ~= sum_d d * (|B(v,d)| - |B(v,d-1)|) and reachable-set
+        size r(v) ~= |B(v, conv)|.  Lin's index itself is
+        ``lin_nano(reach, sumdist)`` — row-local arithmetic shared
+        verbatim with the sequential oracle
+        (``graph_oracles.hyperball_lin``).  Same engine contract as
+        ``hyperball`` (REVERSED edges for outgoing distances);
+        deterministic given (seed, R).
+
+        Returns (np.ndarray sumdist [n], np.ndarray reach [n], rounds,
+        changed_per_round)."""
+        import ray
+
+        rounds, hist = self._geometric_loop(depth, num_registers, seed)
+        sd = np.zeros(self.n, dtype=np.float64)
+        reach = np.zeros(self.n, dtype=np.float64)
+        for lo, s, r in ray.get([a.cl_emit.remote()
+                                 for a in self.actors]):
+            sd[lo : lo + len(s)] = s
+            reach[lo : lo + len(r)] = r
+        return sd, reach, rounds, hist
 
     def core_decomposition(self, max_rounds: int = 10_000,
                            checkpoint_dir: str | None = None,

@@ -590,6 +590,39 @@ def q_harmonic_top20(sf_dir: str):
                      "hc_nano": pa.array(hc_nano[top], pa.int64())})
 
 
+def q_closeness_top20(sf_dir: str):
+    """Top-20 vertices by HyperBall LIN'S-INDEX closeness estimate
+    (Boldi & Vigna 2014 — the closeness variant defined on
+    disconnected graphs, r(v)^2 / sum-of-distances) on the customer
+    graph, outgoing-distance variant (same reversed-edge contract as
+    ``q_hyperball_registers``).  Scores are nano-quantized via the
+    shared ``lin_nano`` and the oracle is the sequential replay
+    ``graph_oracles.hyperball_lin`` — per-vertex inputs are row-local
+    float64 over SQL-oracled registers, so a hash match proves the
+    distributed register exchange is partition-independent.  The O(V)
+    driver collect is the engine's gate-scale return surface; the
+    scale path streams per-shard (``cl_emit`` slices -> partitioned
+    parquet, the ``write_labels`` protocol)."""
+    from .labels_csr import LabelCSR, lin_nano
+
+    edges = customer_edges(sf_dir).materialize()
+    n = _num_vertices(edges)
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    rev_ds = edges.map_batches(rev, batch_format="pyarrow").materialize()
+    eng = LabelCSR(rev_ds, n, num_partitions=8)
+    sd, reach, _, _ = eng.lin_centrality(depth=HB_DEPTH,
+                                         num_registers=HB_REGISTERS,
+                                         seed=HB_SEED)
+    eng.shutdown()
+    ln = lin_nano(reach, sd)
+    top = np.lexsort((np.arange(n, dtype=np.int64), -ln))[:20]
+    return pa.table({"v": pa.array(top.astype(np.int64), pa.int64()),
+                     "lin_nano": pa.array(ln[top], pa.int64())})
+
+
 NF_DEPTH = 16  # HyperANF depth cap; the run stops at convergence
 
 

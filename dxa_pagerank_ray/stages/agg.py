@@ -366,7 +366,10 @@ def coarse_topk(ds, group_col: str, order_col: str, id_col: str,
     Ordering contract (mirrored by a SQL ``row_number() OVER
     (PARTITION BY group ORDER BY order_col DESC, id_col ASC)``):
     ``order_col`` DESC, ``id_col`` ASC tiebreak — deterministic at any
-    partitioning.  Returns (group_col, id_col, order_col, rank)."""
+    partitioning.  ``order_col`` must be integer; ``id_col`` may be
+    integer OR string (ASCII byte order == DuckDB binary collation;
+    its type is preserved in the output).  Returns (group_col,
+    id_col, order_col, rank)."""
     small = num_groups is None and _fits_one_group(ds)
     G = 1 if small else (num_groups or derive_num_groups(ds))
 
@@ -396,7 +399,8 @@ def coarse_topk(ds, group_col: str, order_col: str, id_col: str,
         keep = rank < k
         gk = g.filter(pa.array(keep))
         out = {group_col: gk,
-               id_col: pa.array(i[keep], pa.int64()),
+               id_col: pa.array(i[keep],
+                                type=t.schema.field(id_col).type),
                order_col: pa.array(v[keep], pa.int64()),
                "rank": pa.array(rank[keep] + 1, pa.int64())}
         if with_part:

@@ -180,3 +180,32 @@ def test_coarse_topk_partition_invariance(ray_session):
     # invariant to partitioning and to the forced coarse path
     assert run(rd.from_arrow(rows).repartition(4)) == got
     assert run(rd.from_arrow(rows).repartition(3), num_groups=2) == got
+
+
+def test_coarse_topk_string_ids(ray_session):
+    """String id columns (the 'best pages per host' shape): ascending
+    codepoint tiebreak, id type preserved, partition-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.agg import coarse_topk
+
+    rows = pa.table({
+        "host": pa.array(["h1", "h1", "h1", "h2", "h2"], pa.string()),
+        "n": pa.array([7, 7, 9, 3, 3], pa.int64()),
+        "url": pa.array(["u/b", "u/a", "u/c", "u/z", "u/y"], pa.string()),
+    })
+
+    def run(ds, **kw):
+        t = coarse_topk(ds, "host", "n", "url", k=2, **kw)
+        pt = pa.concat_tables(t.iter_batches(batch_size=None,
+                                             batch_format="pyarrow"))
+        assert pt.schema.field("url").type == pa.string()
+        return sorted(map(tuple, pt.to_pandas()[
+            ["host", "url", "n", "rank"]].values.tolist()))
+
+    got = run(rd.from_arrow(rows))
+    assert got == [("h1", "u/a", 7, 2), ("h1", "u/c", 9, 1),
+                   ("h2", "u/y", 3, 1), ("h2", "u/z", 3, 2)]
+    assert run(rd.from_arrow(rows).repartition(4)) == got
+    assert run(rd.from_arrow(rows).repartition(3), num_groups=2) == got

@@ -324,3 +324,71 @@ def test_avg_distance_nano_known_curve():
     # distances: two at 1, one at 2 -> mean 4/3
     assert avg_distance_nano(nf) == 4_000_000 * 1_000_000_000 // 3_000_000
     assert avg_distance_nano([7_000_000]) == 0  # no reachable pairs
+
+
+def test_lin_centrality_matches_sequential_reference():
+    """The distributed Lin's-index inputs (sum-of-distances + final
+    reach) must be BIT-identical to the sequential replay
+    (oracles.graph_oracles.hyperball_lin) at any actor count, and the
+    shared lin_nano quantization must agree — the closeness_top20
+    oracle contract."""
+    from dxa_pagerank_ray.oracles.graph_oracles import hyperball_lin
+    from dxa_pagerank_ray.pipelines.labels_csr import lin_nano
+
+    rng = np.random.default_rng(7)
+    n = 300
+    src = rng.integers(0, n, 2000).astype(np.int64)
+    dst = rng.integers(0, n, 2000).astype(np.int64)
+    ref_sd, ref_reach = hyperball_lin(src, dst, n, depth=6,
+                                      num_registers=R, seed=13)
+    for a in (1, 4):
+        eng = LabelCSR(_rev_ds(src, dst), n, num_partitions=8,
+                       num_actors=a)
+        sd, reach, rounds, _ = eng.lin_centrality(depth=6,
+                                                  num_registers=R,
+                                                  seed=13)
+        eng.shutdown()
+        np.testing.assert_array_equal(sd, ref_sd)  # bitwise
+        np.testing.assert_array_equal(reach, ref_reach)
+    np.testing.assert_array_equal(lin_nano(reach, sd),
+                                  lin_nano(ref_reach, ref_sd))
+
+
+def test_lin_centrality_accuracy_vs_exact_bfs():
+    """HyperBall Lin's-index estimates vs the exact BFS quantity
+    r(v)^2 / sumdist(v) — deterministic given (seed, R), so bounds
+    are pinned (measured: mean rel 0.025, max 0.070, top-20
+    overlap 15)."""
+    from dxa_pagerank_ray.pipelines.labels_csr import lin_nano
+
+    rng = np.random.default_rng(5)
+    n = 400
+    src = rng.integers(0, n, 3000).astype(np.int64)
+    dst = rng.integers(0, n, 3000).astype(np.int64)
+    eng = LabelCSR(_rev_ds(src, dst), n, num_partitions=8, num_actors=4)
+    sd, reach, _, _ = eng.lin_centrality(depth=10, num_registers=R,
+                                         seed=13)
+    eng.shutdown()
+    est = lin_nano(reach, sd).astype(np.float64) / 1e9
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    exact = np.zeros(n)
+    for v in range(n):
+        dist = {v: 0}
+        frontier, dd = [v], 0
+        while frontier:
+            dd += 1
+            nxt = [w for u in frontier for w in adj.get(u, ())
+                   if w not in dist]
+            for w in nxt:
+                dist[w] = dd
+            frontier = nxt
+        sumd = sum(dist.values())
+        # reach counts the whole ball incl. v (the HLL ball does too)
+        exact[v] = (len(dist) ** 2) / sumd if sumd > 0 else 1.0
+    rel = np.abs(est - exact) / np.maximum(exact, 1e-9)
+    top_true = set(np.argsort(-exact)[:20])
+    top_est = set(np.argsort(-est)[:20])
+    assert rel.mean() < 0.05 and rel.max() < 0.12
+    assert len(top_true & top_est) >= 13
