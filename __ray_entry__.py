@@ -919,6 +919,102 @@ SELECT host, url, n_bytes, "rank" FROM r WHERE "rank" <= 2
 """
 
 
+# deterministic messy-URL variant selector: page number modulo the
+# variant count — the fixture's URLs are already canonical, so the
+# query derives the crawl-realistic spellings (fragment, uppercase
+# host + default port, utm tracking params, trailing slash) itself,
+# IDENTICALLY on the Ray and SQL sides, then proves the canonicalizer
+# collapses each pair
+_URL_VARIANTS = 5
+
+
+def _q_url_canonical_dups(sf_dir: str):
+    """URL CANONICALIZATION DEDUP — the web-corpus step that collapses
+    cosmetic URL spellings (fragments, host case, default ports,
+    ``utm_*`` tracking params, trailing slashes) onto one canonical
+    form before any url-keyed dedup (``functions/urls.py``: ONE RE2
+    rule list executed by Arrow kernels here and by DuckDB
+    ``regexp_replace`` in the oracle — both engines are RE2, so the
+    hash match proves rule-for-rule parity).  Each fixture page emits
+    its original URL plus one deterministic messy variant (page number
+    mod 5 selects the spelling); output is per canonical URL the
+    number of DISTINCT raw spellings observed (1 for the exact-copy
+    variant, 2 for the cosmetic ones).  Shape: stateless vectorized
+    map -> exact distinct on (canonical, raw) -> count per canonical —
+    two ``coarse_*`` exchanges on the canonical-url key, raw HTML
+    never read (column-pruned to ``url``)."""
+    import pyarrow.compute as pc
+
+    from dxa_pagerank_ray.functions.urls import canonicalize_urls
+    from dxa_pagerank_ray.stages.agg import coarse_agg, coarse_distinct
+
+    pages = _rpq(_pages_fixture_dir(), columns=["url"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        url = b["url"].combine_chunks()
+        n = pc.cast(pc.replace_substring_regex(
+            url, pattern=r"^.*/p/(\d+)$", replacement=r"\1"), pa.int64())
+        sel = pa.array(n.to_numpy(zero_copy_only=False) % _URL_VARIANTS,
+                       pa.int64())
+        v1 = pc.binary_join_element_wise(url, "#section-2", "")
+        host_up = pc.utf8_upper(pc.replace_substring_regex(
+            url, pattern=r"^https://([^/]+).*$", replacement=r"\1"))
+        rest = pc.replace_substring_regex(
+            url, pattern=r"^https://[^/]+", replacement="")
+        v2 = pc.binary_join_element_wise(
+            "https://", host_up, ":443", rest, "")
+        v3 = pc.binary_join_element_wise(
+            url, "?utm_source=feed&utm_medium=rss", "")
+        v4 = pc.binary_join_element_wise(url, "/", "")
+        variant = pc.case_when(
+            pc.make_struct(pc.equal(sel, 1), pc.equal(sel, 2),
+                           pc.equal(sel, 3), pc.equal(sel, 4)),
+            v1, v2, v3, v4, url)
+        raw = pa.concat_arrays([url, variant.combine_chunks()
+                                if isinstance(variant, pa.ChunkedArray)
+                                else variant])
+        return pa.table({
+            "canonical_url": canonicalize_urls(raw),
+            "raw": raw,
+        })
+
+    spellings = coarse_distinct(
+        pages.map_batches(prep, batch_format="pyarrow"),
+        ["canonical_url", "raw"])
+    return coarse_agg(spellings, ["canonical_url"],
+                      [("raw", "count", "n_urls")])
+
+
+def _url_canonical_dups_oracle_sql() -> str:
+    from dxa_pagerank_ray.functions.urls import canonicalize_sql
+
+    return f"""
+WITH p AS (
+  SELECT url,
+         CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
+             % {_URL_VARIANTS} AS sel
+  FROM read_parquet('{_pages_fixture_dir()}/*.parquet')
+), raws AS (
+  SELECT url AS raw FROM p
+  UNION ALL
+  SELECT CASE sel
+    WHEN 1 THEN url || '#section-2'
+    WHEN 2 THEN 'https://' ||
+                upper(regexp_extract(url, '^https://([^/]+)', 1)) ||
+                ':443' || regexp_replace(url, '^https://[^/]+', '')
+    WHEN 3 THEN url || '?utm_source=feed&utm_medium=rss'
+    WHEN 4 THEN url || '/'
+    ELSE url END AS raw
+  FROM p
+), c AS (
+  SELECT DISTINCT {canonicalize_sql('raw')} AS canonical_url, raw
+  FROM raws
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls
+FROM c GROUP BY canonical_url
+"""
+
+
 def _q_host_pagerank_fixed4(sf_dir: str):
     """Lump PageRank (4 rounds + dangling restore, integer nano) over
     the HOST graph collapsed from the pages fixture — the full web
@@ -1552,6 +1648,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "corpus_shard_stats": _q_corpus_shard_stats,
         "host_top_pages": _q_host_top_pages,
+        "url_canonical_dups": _q_url_canonical_dups,
     }
 
 
@@ -1906,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "indegree_distribution": tg.SQL["indegree_distribution"],
         "host_graph": _host_graph_oracle_sql(),
         "host_top_pages": _host_top_pages_oracle_sql(),
+        "url_canonical_dups": _url_canonical_dups_oracle_sql(),
         "host_pagerank_fixed4": _host_pagerank_oracle_sql(),
         "host_pagerank_weighted": _host_pagerank_weighted_oracle_sql(),
         "anchor_texts": _anchor_texts_oracle_sql(),

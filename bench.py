@@ -155,6 +155,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "cocitation_top20", "coupling_top20",
                  "degree_assortativity", "edge_reciprocity",
                  "hyperball_registers", "harmonic_top20",
+                 "closeness_top20", "host_top_pages",
                  "effective_diameter", "salsa_fixed4",
                  "random_walks_weighted", "doc_repetition",
                  "doc_contamination", "sssp_costs", "bowtie_regions",
@@ -174,7 +175,8 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "doc_length_quantiles_by_lang", "vocab_stats",
                  "dup_cluster_histogram", "distinct_users_daily",
                  "scc_condensation_edges", "dag_levels",
-                 "doc_chunks", "corpus_shard_stats"]:
+                 "doc_chunks", "corpus_shard_stats",
+                 "url_canonical_dups"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):
