@@ -66,6 +66,38 @@ def _q_doc_token_counts(sf_dir: str):
     return token_counts(docs)
 
 
+def _q_doc_ttr(sf_dir: str):
+    """Per-document TYPE-TOKEN RATIO (lexical diversity — the classic
+    low-TTR-equals-templated-text quality filter axis): lowercased
+    ``\\W+`` tokens, exact within-batch dictionary codes (no hash
+    approximation), ``ttr_nano`` integer-exact.  Stateless vectorized
+    map over the documents table — no shuffle, nothing driver-side."""
+    from dxa_pagerank_ray.stages.textops import ttr_scores
+
+    docs = _rpq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ttr_scores(docs)
+
+
+_DOC_TTR_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(coalesce(text, '')), '\\W+'),
+    x -> x <> '')) AS tok
+  FROM documents
+), a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_types, 0) AS n_types,
+       CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
+            ELSE a.n_types * 1000000000 // a.n_tokens END AS ttr_nano
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
+
 def _q_top_terms(sf_dir: str):
     import ray.data as rd
 
@@ -1609,6 +1641,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats": rel.lang_doc_stats,
         # training-data ops (graft-added)
         "doc_token_counts": _q_doc_token_counts,
+        "doc_ttr": _q_doc_ttr,
         "doc_repetition": _q_doc_repetition,
         "top_terms": _q_top_terms,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -2085,6 +2118,7 @@ GROUP BY d.doc_id
         "events_running_totals": rel.EVENTS_RUNNING_SQL,
         "events_asof_last_error": rel.EVENTS_ASOF_SQL,
         "lang_doc_stats": rel.LANG_DOC_STATS_SQL,
+        "doc_ttr": _DOC_TTR_SQL,
         "doc_token_counts": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens "
             "FROM documents"

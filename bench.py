@@ -176,7 +176,7 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "dup_cluster_histogram", "distinct_users_daily",
                  "scc_condensation_edges", "dag_levels",
                  "doc_chunks", "corpus_shard_stats",
-                 "url_canonical_dups"]:
+                 "url_canonical_dups", "doc_ttr"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):

@@ -58,6 +58,58 @@ def token_counts(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def ttr_batch(batch: pa.Table, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_tokens, n_types, ttr_nano) — per-document
+    type-token ratio, the classic lexical-diversity quality signal
+    (low TTR = templated/repetitive text; a standard web-corpus
+    filter axis alongside the Gopher repetition rules).  Tokens are
+    lowercased ``\\W+`` splits with empties dropped (the repo-wide
+    split contract shared with ``bigram_familiarity`` and the SQL
+    oracles); ``ttr_nano = n_types * 1e9 // n_tokens`` (0 for empty
+    docs) keeps the ratio integer-exact for the hash gate.
+
+    Fully vectorized and EXACT: the flat token array is
+    ``dictionary_encode``d (within-batch integer codes, no hashing —
+    a hash collision would silently undercount types), then distinct
+    (row, code) pairs come from one ``np.unique`` over
+    ``row * dict_size + code``.  Stateless per-batch map — no
+    shuffle, nothing on the driver; int64-safe while
+    batch_rows * batch_distinct_tokens < 2^63."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    text = pc.fill_null(batch[text_col].combine_chunks(), "")
+    lists = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\W+")
+    if isinstance(lists, pa.ChunkedArray):  # pragma: no cover
+        lists = lists.combine_chunks()
+    parent = lists.value_parent_indices().to_numpy(zero_copy_only=False)
+    flat = lists.flatten()
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parent = parent[nonempty].astype(np.int64)
+    flat = flat.filter(pa.array(nonempty))
+    n_tokens = np.bincount(parent, minlength=n).astype(np.int64)[:n]
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):  # pragma: no cover
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    stride = np.int64(len(enc.dictionary)) or np.int64(1)
+    urow = np.unique(parent * stride + codes) // stride
+    n_types = np.bincount(urow, minlength=n).astype(np.int64)[:n]
+    ttr = np.where(n_tokens > 0,
+                   n_types * np.int64(1_000_000_000)
+                   // np.maximum(n_tokens, 1), np.int64(0))
+    return pa.table({id_col: batch[id_col],
+                     "n_tokens": pa.array(n_tokens, pa.int64()),
+                     "n_types": pa.array(n_types, pa.int64()),
+                     "ttr_nano": pa.array(ttr, pa.int64())})
+
+
+def ttr_scores(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    return docs_ds.map_batches(
+        lambda b: ttr_batch(b, text_col, id_col), batch_format="pyarrow")
+
+
 def repetition_batch(batch: pa.Table, text_col: str = "text",
                      id_col: str = "doc_id") -> pa.Table:
     """(doc_id, n_bigrams, n_dup_bigrams) — intra-document repetition:

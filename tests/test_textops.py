@@ -284,3 +284,27 @@ def test_duplicated_ngram_stats_small_corpus(ray_session):
         rd.from_arrow(docs).repartition(3), n=3, num_groups=5) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got2.equals(got)
+
+
+def test_ttr_scores_known_and_edge_cases():
+    """Hand-checkable type-token ratios: repeats lower TTR, case folds
+    ("The"=="the"), punctuation splits, empty/null docs emit zeros."""
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import ttr_scores
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "buy now buy now buy now",        # 6 tokens, 2 types
+            "The quick brown fox, the fox!",  # 6 tokens, 4 types
+            "unique",                         # 1 token, 1 type
+            "",                               # empty
+            None,                             # null
+        ], pa.string()),
+    })).materialize()
+    t = ttr_scores(docs).to_pandas().sort_values("doc_id")
+    assert t["n_tokens"].tolist() == [6, 6, 1, 0, 0]
+    assert t["n_types"].tolist() == [2, 4, 1, 0, 0]
+    assert t["ttr_nano"].tolist() == [
+        2 * 10**9 // 6, 4 * 10**9 // 6, 10**9, 0, 0]
