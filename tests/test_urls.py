@@ -60,3 +60,45 @@ def test_rules_are_sql_safe():
     # canonicalize_sql passes patterns into single-quoted literals
     for pat, rep, _ in CANON_RULES:
         assert "'" not in pat and "'" not in rep
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_HOST = st.builds(
+    lambda a, b: f"{a}.{b}",
+    st.text("abcDEF01-", min_size=1, max_size=8),
+    st.sampled_from(["example", "test", "EXAMPLE"]),
+)
+_URL = st.builds(
+    lambda scheme, host, port, segs, q, frag: (
+        f"{scheme}://{host}{port}"
+        + "".join(f"/{s}" for s in segs)
+        + q + frag
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+    _HOST,
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(st.text("abXY09._~", min_size=0, max_size=6), max_size=4),
+    st.sampled_from(["", "?", "?a=1", "?utm_source=x", "?utm_x=1&b=2",
+                     "?a=1&utm_campaign=c&b=2", "?utm_a=1&utm_b=2"]),
+    st.sampled_from(["", "#", "#frag", "#a/b?c"]),
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(_URL, min_size=1, max_size=8))
+def test_sql_parity_fuzz(urls):
+    """Dual-executor contract under fuzz: the DuckDB fold and the
+    Arrow fold agree byte-for-byte on generated URLs (host case,
+    default/non-default ports, empty segments, utm mixes, bare '?'
+    and '#'), and the Arrow result is idempotent."""
+    got = canonicalize_urls(pa.array(urls, pa.string()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(i INT, x VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)",
+                    list(enumerate(urls)))
+    sql = [r[0] for r in con.execute(
+        f"SELECT {canonicalize_sql('x')} FROM u ORDER BY i").fetchall()]
+    assert got.to_pylist() == sql
+    assert canonicalize_urls(got).to_pylist() == got.to_pylist()
