@@ -312,10 +312,15 @@ def link_prediction_topk(edges_ds, k: int = 20,
        the common-neighbor count; vertices above ``max_degree`` are
        dropped under the operator's hub contract (a celebrity node
        implies deg² spurious candidate pairs);
-    3. existing edges removed by a co-grouped ANTI-join: canonical
-       (lo < hi) edges and candidate pairs hash-partition on ``a``,
-       each partition resolves with one vectorized Arrow anti-join —
-       the edge table never lands on the driver.
+    3. existing edges removed INSIDE the pair-count aggregate: the
+       canonical (lo < hi) edge set rides the SAME coarse shuffle as
+       the pair incidences, as marker rows ``(a, b, v=0, e=1)`` next
+       to pair rows ``(a, b, v=score, e=0)``; the per-key combine
+       yields ``(sum v, sum e)`` and keys with ``e > 0`` are dropped —
+       the anti-join costs ZERO extra shuffles (the r4 design
+       reshuffled the aggregated count table a second time for a
+       co-grouped anti-join; folding it removes one all-to-all over
+       the largest keyed intermediate, the dominant volume at scale).
 
     Returns ``(a, b, n)`` Arrow table, total order (n desc, a, b).
     """
@@ -342,42 +347,54 @@ def link_prediction_topk(edges_ds, k: int = 20,
         num_groups=num_groups,
     ).materialize()
 
-    counts = cocitation_counts(und, max_outdeg=max_degree,
-                               num_groups=num_groups,
-                               ra_nano=(score == "ra"))
+    def add_part(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (s % np.int64(num_groups) + np.int64(num_groups)) \
+            % np.int64(num_groups)
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "part": pa.array(part, pa.int64())})
 
-    G = num_groups
+    # materialized for the same true-bytes dispatch reason documented
+    # in cocitation_counts: the sweep's pair volume is invisible to
+    # the metadata size estimator.
+    pairs = (
+        und.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(functools.partial(_cocite_sweep, max_outdeg=max_degree,
+                                      ra_nano=(score == "ra")),
+                    batch_format="pyarrow")
+    ).materialize()
 
-    def tag_pairs(b: pa.Table) -> pa.Table:
-        a = b["a"].to_numpy(zero_copy_only=False)
-        return pa.table({"part": pa.array(a % G, pa.int64()),
-                         "a": b["a"], "b": b["b"], nc: b[nc]})
+    def mark_pairs(b: pa.Table) -> pa.Table:
+        v = b["w"] if score == "ra" else pa.array(
+            np.ones(b.num_rows, dtype=np.int64), pa.int64())
+        return pa.table({"a": b["a"], "b": b["b"], "v": v,
+                         "e": pa.array(np.zeros(b.num_rows, np.int64),
+                                       pa.int64())})
 
-    def tag_edges(b: pa.Table) -> pa.Table:
+    def mark_edges(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)
         d = b["dst"].to_numpy(zero_copy_only=False)
         keep = s < d  # canonical direction only — und holds both
         lo, hi = s[keep], d[keep]
-        return pa.table({"part": pa.array(lo % G, pa.int64()),
-                         "a": pa.array(lo, pa.int64()),
+        return pa.table({"a": pa.array(lo, pa.int64()),
                          "b": pa.array(hi, pa.int64()),
-                         nc: pa.nulls(len(lo), pa.int64())})
+                         "v": pa.array(np.zeros(len(lo), np.int64),
+                                       pa.int64()),
+                         "e": pa.array(np.ones(len(lo), np.int64),
+                                       pa.int64())})
 
-    both = counts.map_batches(tag_pairs, batch_format="pyarrow").union(
-        und.map_batches(tag_edges, batch_format="pyarrow"))
+    both = pairs.map_batches(mark_pairs, batch_format="pyarrow").union(
+        und.map_batches(mark_edges, batch_format="pyarrow"))
+    agg = coarse_agg(both, ["a", "b"],
+                     [("v", "sum", nc), ("e", "sum", "e")])
 
-    def minus_edges(t: pa.Table) -> pa.Table:
+    def drop_edges(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        have = pc.is_valid(t[nc])
-        cand = t.filter(have).select(["a", "b", nc])
-        edges = t.filter(pc.invert(have)).select(["a", "b"])
-        if edges.num_rows == 0 or cand.num_rows == 0:
-            return cand
-        return cand.join(edges, keys=["a", "b"], join_type="left anti")
+        return t.filter(pc.equal(t["e"], 0)).drop_columns(["e"])
 
-    nonedge = both.groupby("part").map_groups(minus_edges,
-                                              batch_format="pyarrow")
+    nonedge = agg.map_batches(drop_edges, batch_format="pyarrow")
 
     def local_topk(t: pa.Table) -> pa.Table:
         n = t[nc].to_numpy(zero_copy_only=False)
