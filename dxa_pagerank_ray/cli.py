@@ -546,6 +546,14 @@ def cmd_textops(args) -> None:
             res = rd.from_arrow(textops.top_terms(docs, k=args.top_k))
         elif op == "pii":
             res = textops.pii_scrub(docs)
+        elif op == "ttr":
+            res = textops.ttr_scores(docs)
+        elif op == "repetition":
+            res = textops.repetition_scores(docs)
+        elif op == "normalize":
+            res = textops.normalize_text(docs)
+        elif op == "bpe":
+            res = textops.bpe_token_counts(docs)
         elif op == "paradedup":
             from .stages.paradedup import paragraph_dedup
 

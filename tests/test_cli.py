@@ -155,9 +155,12 @@ def test_cli_ann_and_textops(tmp_path):
 
     out2 = str(tmp_path / "tx")
     main(["textops", "--docs", SF_DOCS, "--out", out2,
-          "--ops", "tokens,lang"])
+          "--ops", "tokens,lang,ttr,repetition"])
     stats = json.load(open(os.path.join(out2, "statistics.json")))
-    assert stats["ROWS"] == {"tokens": 500, "lang": 500}
+    assert stats["ROWS"] == {"tokens": 500, "lang": 500,
+                             "ttr": 500, "repetition": 500}
+    t = pq.read_table(os.path.join(out2, "ttr"))
+    assert t.column_names == ["doc_id", "n_tokens", "n_types", "ttr_nano"]
 
 
 def test_cli_partition_edges_roundtrip(pages_dir, tmp_path):
