@@ -594,6 +594,34 @@ def cmd_partition_edges(args) -> None:
                       "input_time_s": round(input_time, 3)}))
 
 
+def cmd_canonicalize(args) -> None:
+    """URL canonicalization over a pages (or any url-column) Parquet:
+    writes ``(url, canonical_url)`` partitioned Parquet — the pre-dedup
+    normalization pass (``functions/urls.py`` shared RE2 rule list).
+    Stateless vectorized map; only the url column leaves storage."""
+    import shutil
+
+    from .context import read_parquet_clean
+    from .functions.urls import canonicalize_urls
+
+    t0 = time.perf_counter()
+    ds = read_parquet_clean(args.pages, columns=[args.column])
+
+    def canon(b):
+        u = b[args.column].combine_chunks()
+        return pa.table({args.column: u,
+                         "canonical_url": canonicalize_urls(u)})
+
+    shutil.rmtree(args.out, ignore_errors=True)
+    os.makedirs(args.out, exist_ok=True)
+    res = ds.map_batches(canon, batch_format="pyarrow")
+    res.write_parquet(args.out)
+    rows = sum(f.metadata.num_rows for f in _pq_files(args.out))
+    print(json.dumps({"out": args.out, "rows": rows,
+                      "execution_time_s":
+                          round(time.perf_counter() - t0, 3)}))
+
+
 def cmd_synth_pages(args) -> None:
     from .sources.pages import write_pages_parquet
 
@@ -761,6 +789,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=50,
                    help="k for the 'terms' corpus top-k op")
     p.set_defaults(fn=cmd_textops)
+
+    p = sub.add_parser("canonicalize", help="URL canonicalization: "
+                       "(url, canonical_url) Parquet from a pages dir")
+    p.add_argument("--pages", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--column", default="url")
+    p.set_defaults(fn=cmd_canonicalize)
     return ap
 
 

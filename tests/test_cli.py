@@ -192,3 +192,14 @@ def test_cli_partition_edges_roundtrip(pages_dir, tmp_path):
           "--partitions", "2", "--threshold", "1e-8"])
     pr_c = _read_vertex_col(out_slow, "ranks", "pr")
     np.testing.assert_allclose(pr_c, pr_a, atol=1e-12, rtol=0)
+
+
+def test_cli_canonicalize(pages_dir, tmp_path):
+    out = str(tmp_path / "canon")
+    main(["canonicalize", "--pages", pages_dir, "--out", out])
+    t = pq.read_table(out)
+    assert t.column_names == ["url", "canonical_url"]
+    assert t.num_rows > 0
+    from dxa_pagerank_ray.functions.urls import canonicalize_urls
+    assert (t["canonical_url"].to_pylist()
+            == canonicalize_urls(t["url"]).to_pylist())
