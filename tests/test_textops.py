@@ -308,3 +308,36 @@ def test_ttr_scores_known_and_edge_cases():
     assert t["n_types"].tolist() == [2, 4, 1, 0, 0]
     assert t["ttr_nano"].tolist() == [
         2 * 10**9 // 6, 4 * 10**9 // 6, 10**9, 0, 0]
+
+
+def test_ttr_batch_vs_python_reference_fuzz():
+    """Property check: the vectorized dictionary-encode distinct count
+    matches a per-doc Python set over the same ``\\W+``/lower split,
+    across punctuation, unicode, repeats, empties and nulls."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dxa_pagerank_ray.stages.textops import ttr_batch
+
+    texts = st.lists(
+        st.one_of(st.none(), st.text(
+            "aAbB 01.,!?\t\né中-", max_size=60)),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(texts)
+    def run(ts):
+        batch = pa.table({
+            "doc_id": pa.array(range(len(ts)), pa.int64()),
+            "text": pa.array(ts, pa.string()),
+        })
+        got = ttr_batch(batch)
+        for i, t in enumerate(ts):
+            toks = [w for w in re.split(r"\W+", (t or "").lower(),
+                                        flags=re.ASCII) if w]
+            assert got["n_tokens"][i].as_py() == len(toks)
+            assert got["n_types"][i].as_py() == len(set(toks))
+
+    run()
