@@ -1592,6 +1592,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "postings_top25": _q_postings_top25,
         "tfidf_top3_per_doc": _q_tfidf_top3,
         "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "doc_length_quantiles": rel.doc_length_quantiles,
         "events_funnel": rel.events_funnel,
@@ -2100,6 +2101,7 @@ GROUP BY d.doc_id
         ),
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_shipping_priority": rel.Q3_SQL,
+        "q5_local_supplier_volume": rel.Q5_SQL,
         "q6_forecast_revenue": rel.Q6_SQL,
         "doc_length_quantiles": rel.DOC_LENGTH_QUANTILES_SQL,
         "customers_order_stats": rel.CUSTOMERS_ORDER_STATS_SQL,

@@ -176,7 +176,8 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "dup_cluster_histogram", "distinct_users_daily",
                  "scc_condensation_edges", "dag_levels",
                  "doc_chunks", "corpus_shard_stats",
-                 "url_canonical_dups", "doc_ttr"]:
+                 "url_canonical_dups", "doc_ttr",
+                 "q5_local_supplier_volume"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):

@@ -425,6 +425,219 @@ LIMIT 10
 """
 
 
+Q5_REGION = "ASIA"
+Q5_RANGE = ((1996, 1, 1), (1997, 1, 1))  # o_orderdate in [lo, hi)
+
+
+def q5_local_supplier_volume(sf_dir: str, broadcast_limit: int | None = None):
+    """TPC-H Q5-style local supplier volume: the classic 6-table join —
+    region(name) ⨝ nation ⨝ supplier ⨝ lineitem ⨝ orders(date range)
+    ⨝ customer with the LOCAL constraint ``c_nationkey = s_nationkey``
+    — revenue per nation, in integer c4 (hash-exact vs SQL).
+
+    Plan (scale shape):
+
+    - region + nation are FIXED CATALOGS (≤ a few hundred rows by
+      construction of the schema) — collected once on the driver and
+      folded into the two fact-side lookups; never shuffled;
+    - supplier → (s_suppkey, s_nationkey) and customer →
+      (c_custkey, c_nationkey), both pre-filtered to the region's
+      nations at the scan (the semi-join against the nation catalog
+      happens inside the projection batch, so only qualifying keys
+      leave the read);
+    - below ``broadcast_limit`` rows the three key maps (supplier,
+      customer, date-filtered orders) broadcast via ``ray.put`` and
+      every lineitem batch resolves supplier-nation, order-customer
+      and customer-nation locally — lineitem, the dominant table,
+      streams with ZERO shuffles;
+    - above it, the same joins run distributed: orders attach
+      c_nationkey by ``cogroup_attach(on_missing="drop")``, lineitem
+      attaches s_nationkey (suppkey co-group) then c_nationkey
+      (orderkey co-group), the local filter ``s_nat == c_nat`` applies
+      per partition — both tiers pinned identical by
+      ``test_q5_join_fallback_matches_broadcast``;
+    - final aggregate is per-nation (≤ catalog size): map-side partial
+      sums then one driver-sized reduce.
+
+    Returns ``(n_name, revenue_c4)`` ordered (revenue desc, name).
+    """
+    import datetime as _dt
+
+    import ray
+
+    from ..context import derive_num_groups
+    from ..stages.agg import coarse_agg
+    from ..stages.dedup import cogroup_attach
+
+    limit = BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
+    lo = pa.scalar(_dt.datetime(*Q5_RANGE[0]), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(*Q5_RANGE[1]), type=pa.timestamp("us"))
+
+    # fixed catalogs -> asian nation key set + names (driver-side by
+    # design: the nation table is bounded by the schema, not the data)
+    region = pa.concat_tables(list(_read(
+        sf_dir, "region", ["r_regionkey", "r_name"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+    nation = pa.concat_tables(list(_read(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    rkeys = region.filter(pc.equal(region["r_name"], Q5_REGION))
+    nat = nation.filter(pc.is_in(
+        nation["n_regionkey"], value_set=rkeys["r_regionkey"]))
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy(zero_copy_only=False))
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    nat_ref = ray.put(nat_keys)
+
+    def _nat_member(col) -> pa.Array:
+        ks = ray.get(nat_ref)
+        v = col.to_numpy(zero_copy_only=False)
+        i = np.clip(np.searchsorted(ks, v), 0, max(len(ks) - 1, 0))
+        return pa.array(ks[i] == v if len(ks)
+                        else np.zeros(len(v), dtype=bool))
+
+    def sup_proj(b: pa.Table) -> pa.Table:
+        b = b.filter(_nat_member(b["s_nationkey"]))
+        return pa.table({"s_suppkey": b["s_suppkey"],
+                         "s_nationkey": b["s_nationkey"]})
+
+    def cust_proj(b: pa.Table) -> pa.Table:
+        b = b.filter(_nat_member(b["c_nationkey"]))
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "c_nationkey": b["c_nationkey"]})
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                       pc.less(b["o_orderdate"], hi))
+        b = b.filter(keep)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]})
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(sup_proj, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_proj, batch_format="pyarrow")
+    o_filt = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_proj, batch_format="pyarrow")
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+
+    def _sorted_map(t: pa.Table, k: str, v: str):
+        key = t[k].to_numpy(zero_copy_only=False)
+        val = t[v].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        return key[order], val[order]
+
+    def _lookup(keys_s: np.ndarray, vals_s: np.ndarray, q: np.ndarray):
+        """(values, hit-mask) for query keys against a sorted map."""
+        if not len(keys_s):
+            return np.empty(0, vals_s.dtype), np.zeros(len(q), dtype=bool)
+        i = np.clip(np.searchsorted(keys_s, q), 0, len(keys_s) - 1)
+        hit = keys_s[i] == q
+        return vals_s[i[hit]], hit
+
+    big = max(_read(sf_dir, "orders", ["o_orderkey"]).count(),
+              _read(sf_dir, "customer", ["c_custkey"]).count(),
+              _read(sf_dir, "supplier", ["s_suppkey"]).count())
+    if big <= limit:
+        def collect(ds, k, v):
+            t = pa.concat_tables(list(ds.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow")))
+            return _sorted_map(t, k, v)
+
+        maps_ref = ray.put({
+            "sup": collect(sup, "s_suppkey", "s_nationkey"),
+            "cust": collect(cust, "c_custkey", "c_nationkey"),
+            "ord": collect(o_filt, "o_orderkey", "o_custkey"),
+        })
+
+        def li_resolve(b: pa.Table) -> pa.Table:
+            m = ray.get(maps_ref)
+            snat, hit = _lookup(*m["sup"],
+                                b["l_suppkey"].to_numpy(
+                                    zero_copy_only=False))
+            b = b.filter(pa.array(hit))
+            ocust, hit = _lookup(*m["ord"],
+                                 b["l_orderkey"].to_numpy(
+                                     zero_copy_only=False))
+            b, snat = b.filter(pa.array(hit)), snat[hit]
+            cnat, hit = _lookup(*m["cust"], ocust)
+            b, snat = b.filter(pa.array(hit)), snat[hit]
+            local = snat == cnat
+            b, snat = b.filter(pa.array(local)), snat[local]
+            rev = _cents(b["l_extendedprice"]) * (
+                100 - _cents(b["l_discount"]))
+            t = pa.table({"nat": pa.array(snat, pa.int64()),
+                          "rev": pa.array(rev, pa.int64())})
+            return t.group_by("nat").aggregate(
+                [("rev", "sum")]).rename_columns(["nat", "rev"])
+
+        scored = lineitem.map_batches(li_resolve, batch_format="pyarrow")
+    else:
+        G = derive_num_groups(lineitem)
+        o_schema = pa.schema([("o_orderkey", pa.int64()),
+                              ("o_custkey", pa.int64())])
+        o_nat = cogroup_attach(
+            o_filt, "o_custkey", cust, "c_custkey", "c_nationkey",
+            "c_nat", o_schema, pa.int64(), num_groups=G,
+            on_missing="drop").drop_columns(["o_custkey"]).materialize()
+
+        def li_proj(b: pa.Table) -> pa.Table:
+            rev = _cents(b["l_extendedprice"]) * (
+                100 - _cents(b["l_discount"]))
+            return pa.table({"l_orderkey": b["l_orderkey"],
+                             "l_suppkey": b["l_suppkey"],
+                             "rev": pa.array(rev, pa.int64())})
+
+        li = lineitem.map_batches(li_proj, batch_format="pyarrow")
+        li_schema = pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("rev", pa.int64())])
+        j1 = cogroup_attach(li, "l_suppkey", sup, "s_suppkey",
+                            "s_nationkey", "s_nat", li_schema,
+                            pa.int64(), num_groups=G, on_missing="drop")
+        j2 = cogroup_attach(
+            j1, "l_orderkey", o_nat, "o_orderkey", "c_nat", "c_nat",
+            li_schema.append(pa.field("s_nat", pa.int64())),
+            pa.int64(), num_groups=G, on_missing="drop")
+
+        def local_filter(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["s_nat"], b["c_nat"]))
+            return pa.table({"nat": b["s_nat"], "rev": b["rev"]})
+
+        scored = j2.map_batches(local_filter, batch_format="pyarrow")
+
+    agg = coarse_agg(scored, ["nat"], [("rev", "sum", "revenue_c4")])
+    rows = agg.take_all()  # <= nation-catalog size by construction
+    out = sorted(((name_of[r["nat"]], int(r["revenue_c4"]))
+                  for r in rows), key=lambda r: (-r[1], r[0]))
+    return pa.table({
+        "n_name": pa.array([r[0] for r in out], pa.string()),
+        "revenue_c4": pa.array([r[1] for r in out], pa.int64()),
+    })
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{"%04d-%02d-%02d" % Q5_RANGE[0]}'
+  AND o_orderdate < TIMESTAMP '{"%04d-%02d-%02d" % Q5_RANGE[1]}'
+GROUP BY n_name
+ORDER BY revenue_c4 DESC, n_name ASC
+"""
+
+
 def q6_forecast_revenue(sf_dir: str):
     """TPC-H Q6-style forecast revenue: pure filter + global aggregate
     over lineitem — shipped in 1997, discount in [0.03, 0.07] (exact

@@ -149,6 +149,19 @@ def test_q3_join_fallback_matches_broadcast():
     pd.testing.assert_frame_equal(bcast, joined, check_exact=True)
 
 
+def test_q5_join_fallback_matches_broadcast():
+    """Force broadcast_limit=0 so q5's fully-distributed tier runs
+    (orders⨝customer co-group, lineitem⨝supplier then ⨝orders
+    co-groups, per-partition local filter); it must equal the
+    (oracle-green) broadcast path exactly."""
+    from dxa_pagerank_ray.pipelines import relational as rel
+
+    bcast = _canon(_to_pandas(rel.q5_local_supplier_volume(SF_DIR)))
+    joined = _canon(_to_pandas(
+        rel.q5_local_supplier_volume(SF_DIR, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(bcast, joined, check_exact=True)
+
+
 def test_event_windows_invariant_to_num_groups(con):
     """Coarse-key windowed operators must be partition-count invariant
     (verdict item 7: oracles green at two different group counts)."""
