@@ -612,12 +612,16 @@ def cmd_canonicalize(args) -> None:
         return pa.table({args.column: u,
                          "canonical_url": canonicalize_urls(u)})
 
-    shutil.rmtree(args.out, ignore_errors=True)
-    os.makedirs(args.out, exist_ok=True)
+    # clear only OUR named subdir (the repo-wide CLI contract — an
+    # --out pointing at a directory with other runs' outputs must
+    # never be wiped wholesale)
+    dest = os.path.join(args.out, "canonical")
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
     res = ds.map_batches(canon, batch_format="pyarrow")
-    res.write_parquet(args.out)
-    rows = sum(f.metadata.num_rows for f in _pq_files(args.out))
-    print(json.dumps({"out": args.out, "rows": rows,
+    res.write_parquet(dest)
+    rows = sum(f.metadata.num_rows for f in _pq_files(dest))
+    print(json.dumps({"out": dest, "rows": rows,
                       "execution_time_s":
                           round(time.perf_counter() - t0, 3)}))
 

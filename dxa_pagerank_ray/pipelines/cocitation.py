@@ -113,6 +113,44 @@ def _cocite_sweep(t: pa.Table, max_outdeg: int,
     return pa.table(cols)
 
 
+def swept_pairs(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
+                num_groups: int | None = None, ra_nano: bool = False):
+    """The MATERIALIZED co-citation pair-incidence dataset: one coarse
+    ``src``-hash shuffle, the hub-bounded ``_cocite_sweep`` per
+    partition — shared by ``cocitation_counts`` and the
+    ``link_prediction_topk`` anti-join fold so the partition math and
+    dispatch rationale live in exactly one place.
+
+    MATERIALIZE before any downstream aggregate: the sweep expands
+    every degree-d group into d(d-1)/2 pair rows — the one transform
+    in this engine whose output size the metadata-only estimate cannot
+    predict from the source footprint.  Left lazy, ``coarse_agg``
+    would dispatch off the (small) edge-table estimate and run the
+    whole pair combine on one core (measured: 2.3s single-task combine
+    over 7.1M coupling pairs at sf0.1); forcing a wide combine instead
+    penalizes the genuinely-small pair sets (jaccard's forward counts
+    paid ~1.8s of sort fixed cost for 18 MB of pairs).  A materialized
+    dataset exposes its TRUE bytes, so the dispatch is right on both
+    sides — worth the pipeline barrier."""
+    if num_groups is None:
+        num_groups = derive_num_groups(edges_ds)
+    G = num_groups
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (s % np.int64(G) + np.int64(G)) % np.int64(G)
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "part": pa.array(part, pa.int64())})
+
+    return (
+        edges_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(functools.partial(_cocite_sweep, max_outdeg=max_outdeg,
+                                      ra_nano=ra_nano),
+                    batch_format="pyarrow")
+    ).materialize()
+
+
 def cocitation_counts(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
                       num_groups: int | None = None,
                       ra_nano: bool = False):
@@ -121,34 +159,8 @@ def cocitation_counts(edges_ds, max_outdeg: int = DEFAULT_MAX_OUTDEG,
     counting only sources with out-degree <= ``max_outdeg``.  With
     ``ra_nano``: (a, b, ra_nano) resource-allocation sums instead
     (sum over common sources u of ``1e9 // outdeg(u)``)."""
-    if num_groups is None:
-        num_groups = derive_num_groups(edges_ds)
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = (s % np.int64(num_groups) + np.int64(num_groups)) \
-            % np.int64(num_groups)
-        return pa.table({"src": batch["src"], "dst": batch["dst"],
-                         "part": pa.array(part, pa.int64())})
-
-    # MATERIALIZE the sweep output before the count aggregate: the
-    # sweep expands every degree-d group into d(d-1)/2 pair rows — the
-    # one transform in this engine whose output size the metadata-only
-    # estimate cannot predict from the source footprint.  Left lazy,
-    # coarse_agg would dispatch off the (small) edge-table estimate and
-    # run the whole pair combine on one core (measured: 2.3s
-    # single-task combine over 7.1M coupling pairs at sf0.1); forcing
-    # a wide combine instead penalizes the genuinely-small pair sets
-    # (jaccard's forward counts paid ~1.8s of sort fixed cost for 18 MB
-    # of pairs).  A materialized dataset exposes its TRUE bytes, so the
-    # dispatch is right on both sides — worth the pipeline barrier.
-    pairs = (
-        edges_ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(functools.partial(_cocite_sweep, max_outdeg=max_outdeg,
-                                      ra_nano=ra_nano),
-                    batch_format="pyarrow")
-    ).materialize()
+    pairs = swept_pairs(edges_ds, max_outdeg=max_outdeg,
+                        num_groups=num_groups, ra_nano=ra_nano)
     if ra_nano:
         return coarse_agg(pairs, ["a", "b"], [("w", "sum", "ra_nano")])
     return coarse_agg(pairs, ["a", "b"], [("a", "count", "n")])
@@ -347,23 +359,8 @@ def link_prediction_topk(edges_ds, k: int = 20,
         num_groups=num_groups,
     ).materialize()
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = (s % np.int64(num_groups) + np.int64(num_groups)) \
-            % np.int64(num_groups)
-        return pa.table({"src": batch["src"], "dst": batch["dst"],
-                         "part": pa.array(part, pa.int64())})
-
-    # materialized for the same true-bytes dispatch reason documented
-    # in cocitation_counts: the sweep's pair volume is invisible to
-    # the metadata size estimator.
-    pairs = (
-        und.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(functools.partial(_cocite_sweep, max_outdeg=max_degree,
-                                      ra_nano=(score == "ra")),
-                    batch_format="pyarrow")
-    ).materialize()
+    pairs = swept_pairs(und, max_outdeg=max_degree,
+                        num_groups=num_groups, ra_nano=(score == "ra"))
 
     def mark_pairs(b: pa.Table) -> pa.Table:
         v = b["w"] if score == "ra" else pa.array(

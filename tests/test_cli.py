@@ -196,8 +196,13 @@ def test_cli_partition_edges_roundtrip(pages_dir, tmp_path):
 
 def test_cli_canonicalize(pages_dir, tmp_path):
     out = str(tmp_path / "canon")
+    # pre-existing sibling output must SURVIVE (only out/canonical is
+    # cleared — the repo-wide CLI contract)
+    os.makedirs(os.path.join(out, "other"), exist_ok=True)
+    open(os.path.join(out, "other", "keep.txt"), "w").write("x")
     main(["canonicalize", "--pages", pages_dir, "--out", out])
-    t = pq.read_table(out)
+    assert os.path.exists(os.path.join(out, "other", "keep.txt"))
+    t = pq.read_table(os.path.join(out, "canonical"))
     assert t.column_names == ["url", "canonical_url"]
     assert t.num_rows > 0
     from dxa_pagerank_ray.functions.urls import canonicalize_urls

@@ -31,6 +31,15 @@ CASES = [
     # untouched urls pass through
     ("https://h.example/p?a=1", "https://h.example/p?a=1"),
     ("HTTPS://H.EXAMPLE/P", "https://h.example/P"),  # path case kept
+    # scheme-less: COMPLETELY unchanged (guarded head stage)
+    ("Example.com/Path", "Example.com/Path"),
+    # '&' in the path is data, not a query separator
+    ("https://h.example/p&x", "https://h.example/p&x"),
+    ("https://h.example/a&b?c=1", "https://h.example/a&b?c=1"),
+    # 'utm_' in the path is untouched (query-scoped strip)
+    ("https://h.example/a&utm_b=1/z", "https://h.example/a&utm_b=1/z"),
+    # generic stages still apply to scheme-less strings
+    ("ex.com/p?utm_source=x#f", "ex.com/p"),
 ]
 
 
@@ -72,14 +81,14 @@ _HOST = st.builds(
 )
 _URL = st.builds(
     lambda scheme, host, port, segs, q, frag: (
-        f"{scheme}://{host}{port}"
+        (f"{scheme}://{host}{port}" if scheme else host)
         + "".join(f"/{s}" for s in segs)
         + q + frag
     ),
-    st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+    st.sampled_from(["http", "https", "HTTP", "HTTPS", ""]),  # ""=schemeless
     _HOST,
     st.sampled_from(["", ":80", ":443", ":8080"]),
-    st.lists(st.text("abXY09._~", min_size=0, max_size=6), max_size=4),
+    st.lists(st.text("abXY09._~&", min_size=0, max_size=8), max_size=4),
     st.sampled_from(["", "?", "?a=1", "?utm_source=x", "?utm_x=1&b=2",
                      "?a=1&utm_campaign=c&b=2", "?utm_a=1&utm_b=2"]),
     st.sampled_from(["", "#", "#frag", "#a/b?c"]),
