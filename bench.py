@@ -177,7 +177,24 @@ def run_bench(ncpus: int, sf_dir: str) -> dict:
                  "scc_condensation_edges", "dag_levels",
                  "doc_chunks", "corpus_shard_stats",
                  "url_canonical_dups", "doc_ttr",
-                 "q5_local_supplier_volume"]:
+                 "q5_local_supplier_volume",
+                 # full-registry coverage (every remaining queries() entry,
+                 # so BENCH_r* carries a timing for all 105 oracled queries)
+                 "pagerank_fixed4", "labelprop_sizes", "out_degrees",
+                 "dangling_vertices", "edges_dedup", "host_graph",
+                 "host_pagerank_fixed4", "triangle_count_shuffle",
+                 "triangle_per_vertex", "clustering_coefficients",
+                 "global_clustering", "doc_quality", "doc_lang_id",
+                 "doc_fingerprints", "doc_bpe_token_counts",
+                 "docs_normalized", "docs_split_counts",
+                 "docs_stratified_sample", "lang_doc_stats",
+                 "ann_lsh_top10", "ann_ivf_top10", "embedding_clusters",
+                 "embedding_near_dups", "embedding_near_dups_lsh",
+                 "near_dup_clusters", "simhash_dup_pairs",
+                 "ngram_jaccard_dup_pairs", "paragraph_dedup_keep_first",
+                 "events_sessions", "events_running_totals",
+                 "events_asof_last_error", "media_decode",
+                 "media_audio_features", "media_frame_sample"]:
         t0 = time.perf_counter()
         r = qs[name](sf_dir)
         if hasattr(r, "materialize"):
