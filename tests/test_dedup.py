@@ -397,3 +397,23 @@ def test_near_dup_keeper_driver_sweep_equals_superstep(ray_session):
     assert k[9] == k[8] == k[7] == k[6] == 6      # chain collapses to min
     assert k[0] == k[1] == 0 and k[2] == k[3] == 2
     assert k[4] == 4 and k[5] == 5                # isolated keep selves
+
+
+def test_minhash_signatures_concurrency_invariant(ray_session):
+    """Signatures are row-pure: the actor-pool size (and therefore the
+    cluster-sized default introduced in r5m) is scheduling-only — the
+    output rows are bit-identical at ANY concurrency and block layout.
+    This is the value-invariance contract behind the gate's accepted
+    outside-window entry (tests/test_gate_rotation.py)."""
+    docs = _docs_with_dups()
+
+    def rows(concurrency, blocks):
+        ds = rd.from_arrow(docs).repartition(blocks)
+        sig = minhash_signatures(ds, num_perm=64, concurrency=concurrency)
+        out = [(r["doc_id"], tuple(r["sig"])) for r in sig.take_all()]
+        return sorted(out)
+
+    ref = rows(1, 1)
+    assert rows(2, 3) == ref
+    assert rows(8, 9) == ref
+    assert rows(None, 4) == ref  # cluster-sized default path
