@@ -399,35 +399,114 @@ def verify_pairs_by_signature(pairs_ds, sigs_ds, threshold: float = 0.7,
                               num_groups: int | None = None):
     """Estimate Jaccard as signature agreement; keep pairs >= threshold.
 
-    Fully distributed: ``sig_a`` / ``sig_b`` are attached by two
-    co-grouped equi-joins (``cogroup_attach``) and the agreement mean is
-    one vectorized comparison per batch — the signature table never
-    leaves the cluster (at 100 TB it alone dwarfs driver RAM).
+    Fully distributed and DEMAND-ROUTED (round-5m): pairs are
+    partitioned by the coarse key ``a % G`` and each doc's signature
+    is shipped once per (doc, partition) that references it — NOT
+    attached to every pair row.  The previous two-``cogroup_attach``
+    shape re-shuffled ``sig_a`` (8 × num_perm bytes) on every pair
+    through the second exchange: at the 100k-doc profile's 2.17M
+    candidate pairs that is ~1.1 GB moved where the demand set needs
+    ~0.1 GB (BASELINE.md round-5m).  Same routing mechanics as
+    ``jaccard_verified_pairs``'s shingle shipping; the signature table
+    never leaves the cluster (at 100 TB it alone dwarfs driver RAM).
     Returns a Dataset ``(a, b, est_jaccard)``.
     """
+    import ray.data as rd
+
+    from .agg import coarse_distinct
+
     if num_groups is None:
         num_groups = derive_num_groups(sigs_ds)
+    G = num_groups
     sig_t = pa.list_(pa.int64())
-    p1 = cogroup_attach(pairs_ds, "a", sigs_ds, id_col, "sig", "sig_a",
-                        _PAIRS_SCHEMA, sig_t, num_groups)
-    s1 = _PAIRS_SCHEMA.append(pa.field("sig_a", sig_t))
-    p2 = cogroup_attach(p1, "b", sigs_ds, id_col, "sig", "sig_b",
-                        s1, sig_t, num_groups)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return rd.from_arrow(empty)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sa = _list_matrix(batch["sig_a"], num_perm)
-        sb = _list_matrix(batch["sig_b"], num_perm)
-        sim = (sa == sb).mean(axis=1) if len(sa) else np.zeros(0)
+    def need_rows(b: pa.Table) -> pa.Table:
+        av = b["a"].to_numpy(zero_copy_only=False)
+        bv = b["b"].to_numpy(zero_copy_only=False)
+        part = av % G
+        # routing column named vpart: coarse_distinct adds its own
+        # internal "part" key and the names must not collide
+        return pa.table({
+            id_col: pa.array(np.concatenate([av, bv]), pa.int64()),
+            "vpart": pa.array(np.concatenate([part, part]), pa.int64()),
+        })
+
+    needs = coarse_distinct(
+        pairs_ds.map_batches(need_rows, batch_format="pyarrow"),
+        [id_col, "vpart"], num_groups=G,
+    )
+    needs_schema = pa.schema([(id_col, pa.int64()), ("vpart", pa.int64())])
+    sig_routed = cogroup_attach(needs, id_col, sigs_ds, id_col, "sig",
+                                "sig", needs_schema, sig_t, G)
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        av = b["a"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vpart": pa.array(av % G, pa.int64()),
+            "kind": pa.array(np.zeros(b.num_rows, np.int64)),
+            "a": b["a"], "b": b["b"],
+            id_col: pa.nulls(b.num_rows, pa.int64()),
+            "sig": pa.nulls(b.num_rows, sig_t),
+        })
+
+    def tag_sigs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vpart": b["vpart"],
+            "kind": pa.array(np.ones(b.num_rows, np.int64)),
+            "a": pa.nulls(b.num_rows, pa.int64()),
+            "b": pa.nulls(b.num_rows, pa.int64()),
+            id_col: b[id_col], "sig": b["sig"],
+        })
+
+    both = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sig_routed.map_batches(tag_sigs, batch_format="pyarrow")
+    )
+
+    def verify_group(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kmask = pc.equal(t["kind"], 1)
+        sg = t.filter(kmask)
+        prs = t.filter(pc.invert(kmask))
+        if prs.num_rows == 0:
+            return empty
+        ids = sg[id_col].to_numpy(zero_copy_only=False)
+        M = _list_matrix(sg["sig"], num_perm)
+        order = np.argsort(ids, kind="stable")
+        sid, M = ids[order], M[order]
+        av = prs["a"].to_numpy(zero_copy_only=False)
+        bv = prs["b"].to_numpy(zero_copy_only=False)
+        ia = np.clip(np.searchsorted(sid, av), 0, max(len(sid) - 1, 0))
+        ib = np.clip(np.searchsorted(sid, bv), 0, max(len(sid) - 1, 0))
+        if len(sid) == 0 or not np.array_equal(sid[ia], av) \
+                or not np.array_equal(sid[ib], bv):
+            raise ValueError(
+                "verify_pairs_by_signature: endpoint signature missing "
+                "from its demand partition"
+            )
+        n = len(av)
+        sim = np.empty(n, dtype=np.float64)
+        step = 1 << 16  # bound transient (chunk, num_perm) compares
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            sim[s:e] = (M[ia[s:e]] == M[ib[s:e]]).mean(axis=1)
         keep = sim >= threshold
         return pa.table(
             {
-                "a": batch["a"].filter(pa.array(keep)),
-                "b": batch["b"].filter(pa.array(keep)),
+                "a": prs["a"].filter(pa.array(keep)),
+                "b": prs["b"].filter(pa.array(keep)),
                 "est_jaccard": pa.array(sim[keep], pa.float64()),
             }
         )
 
-    return p2.map_batches(verify, batch_format="pyarrow")
+    return both.groupby("vpart").map_groups(verify_group,
+                                            batch_format="pyarrow")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
