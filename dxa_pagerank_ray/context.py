@@ -141,3 +141,17 @@ def quiet_data_context() -> None:
         ctx.execution_options.verbose_progress = False
     except AttributeError:  # pragma: no cover
         pass
+    # Per-operator CPU reservation starves the hot stage of a long
+    # streaming DAG when the cluster is small: a 6-operator pipeline
+    # (read -> map -> sort -> map_groups -> distinct) measured 16.0 s
+    # at 8 CPUs with reservation on vs 2.85 s with it off — the busy
+    # map stage was granted ~1 CPU while idle downstream operators
+    # held reservations (BASELINE.md round-5m; neutral at 32 CPUs,
+    # where the shared pool has slack).  Our operators are skinny
+    # Arrow columns with bounded per-task memory, so memory-based
+    # backpressure (a separate mechanism) still protects the object
+    # store.
+    try:  # knob present on Ray >= 2.10
+        ctx.op_resource_reservation_enabled = False
+    except AttributeError:  # pragma: no cover
+        pass
