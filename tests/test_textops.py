@@ -341,3 +341,36 @@ def test_ttr_batch_vs_python_reference_fuzz():
             assert got["n_types"][i].as_py() == len(set(toks))
 
     run()
+
+
+def test_lang_id_concurrency_invariant(ray_session):
+    """lang_id is a row-pure map: the task-pool concurrency (and the
+    r5m task-pool conversion itself) is scheduling-only — identical
+    rows at any concurrency and block layout.  The value-invariance
+    contract behind the gate's accepted outside-window entry."""
+    import ray.data as rd
+
+    from dxa_pagerank_ray.stages.textops import lang_id
+
+    t = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array([
+            "the of and to a in is it",          # en stopwords
+            "der die und das ist nicht ein",     # de
+            "le la et les des un une est",       # fr
+            "el la de que y en los se",          # es
+            "xyzzy qwerty asdf",                 # no stopword hits
+            "the der le el",                     # cross-language tie
+            "", "the the the the",
+        ], pa.string()),
+    })
+
+    def rows(concurrency, blocks):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out = lang_id(ds, concurrency=concurrency).take_all()
+        return sorted((r["doc_id"], r["lang_pred"]) for r in out)
+
+    ref = rows(1, 1)
+    assert rows(2, 3) == ref
+    assert rows(None, 4) == ref  # unbounded task-pool default
+    assert len({lp for _i, lp in ref}) >= 3  # the fixture exercises real variety
