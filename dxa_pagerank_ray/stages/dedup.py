@@ -662,13 +662,43 @@ def jaccard_verified_pairs(docs_ds, threshold: float = 0.8, k: int = 5,
             )
         ra, rb = order[ia], order[ib]
         n = len(av)
+        # shingle lists are SORTED UNIQUE in UNSIGNED order (np.unique
+        # on uint64 in _base_shingle_hashes) but stored as int64 — the
+        # uint64 view restores the sort order searchsorted needs.
+        # Pairs are processed GROUPED BY LEFT DOC (a doc averages many
+        # partners in a near-dup corpus), so the Python-level loop runs
+        # once per distinct left doc, not once per pair: one partner
+        # concat + one binary search + one segment bincount per group.
+        # The old per-pair intersect1d loop spent more time in loop
+        # mechanics than in C at millions of candidates (~2.17M pairs:
+        # 15 s of loop overhead at 32 CPUs, BASELINE.md round-5m).
+        uflat = flat.view(np.uint64)
+        porder = np.argsort(ra, kind="stable")
+        ra_s, rb_s = ra[porder], rb[porder]
+        la_s = off[ra_s + 1] - off[ra_s]
+        lb_s = off[rb_s + 1] - off[rb_s]
+        bounds = np.flatnonzero(np.r_[True, ra_s[1:] != ra_s[:-1]])
+        seg_ends = np.r_[bounds[1:], n]
+        inter = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds, seg_ends):
+            a0 = int(ra_s[s])
+            sa = uflat[off[a0]:off[a0 + 1]]
+            parts = [uflat[off[int(r)]:off[int(r) + 1]] for r in rb_s[s:e]]
+            v = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+            seg = e - s
+            if len(sa) == 0 or len(v) == 0:
+                inter[s:e] = 0
+                continue
+            pos = np.minimum(np.searchsorted(sa, v), len(sa) - 1)
+            hits = (sa[pos] == v)
+            pair_of = np.repeat(np.arange(seg), lb_s[s:e])
+            inter[s:e] = np.bincount(
+                pair_of, weights=hits, minlength=seg
+            ).astype(np.int64)
+        union = la_s + lb_s - inter
+        jac_s = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         jac = np.empty(n, dtype=np.float64)
-        for i in range(n):  # per-pair, but each step is one C intersect
-            sa = flat[off[ra[i]]:off[ra[i] + 1]]
-            sb = flat[off[rb[i]]:off[rb[i] + 1]]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[i] = inter / union if union else 1.0
+        jac[porder] = jac_s
         keep = jac >= threshold
         return pa.table(
             {
