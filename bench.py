@@ -81,9 +81,10 @@ def _cache_docs(n: int) -> str:
 
     # 4k docs (~3.4 MB) per file: enough read blocks that map-side
     # parallelism is input-layout-limited the way a real many-file
-    # corpus is, not capped at files-per-read like one fat file
+    # corpus is, not capped at files-per-read like one fat file.
+    # v2: paragraph structure + source-keyed boilerplate headers
     step = 4_000
-    path = f"{CACHE}/docs_n{n}_s7_c{step}"
+    path = f"{CACHE}/docs_n{n}_s7_c{step}_v2"
     marker = f"{path}/_COMPLETE"
     if not os.path.exists(marker):
         import shutil

@@ -22,7 +22,13 @@ Corpus properties (so the dedup/quality operators have real work):
   positions independently perturbed (MinHash/SimHash/Jaccard land in
   the planted bands; short copies can draw zero flips, leaving a small
   exact-duplicate tail for exact dedup — like real web text);
-- ``lang`` / ``source`` drawn per doc (4 langs, 10 sources).
+- ``lang`` / ``source`` drawn per doc (4 langs, 10 sources);
+- text has PARAGRAPH structure: words group into ``"\\n\\n"``-joined
+  paragraphs of ``para_words`` words, and the first ``boiler_words``
+  words of every doc are drawn from its SOURCE's key — a boilerplate
+  header paragraph shared by every doc of that source (the CCNet
+  shape paragraph-dedup exists for: ~10 hub paragraphs repeated
+  n/10 times each).
 
 All assembly is vectorized: one hash pass for the word-index matrix,
 one vocabulary ``take``, one ``pyarrow.compute.binary_join`` per
@@ -53,6 +59,15 @@ def _doc_vocab(vocab_size: int) -> pa.Array:
     return pa.array(words[:vocab_size], pa.string())
 
 
+#: words per paragraph / per source-keyed boilerplate header (module
+#: constants, part of the corpus definition — bump the bench cache
+#: version when changing).  The header length EQUALS the paragraph
+#: length so the boilerplate lands as exactly the first paragraph —
+#: a hub paragraph repeated by every long-enough doc of its source.
+_PARA_WORDS = 40
+_BOILER_WORDS = _PARA_WORDS
+
+
 def _docs_for_ids(ids: np.ndarray, seed: int, mean_words: float,
                   vocab: pa.Array, dup_rate: float, stripe: int,
                   perturb: float) -> pa.Table:
@@ -76,6 +91,9 @@ def _docs_for_ids(ids: np.ndarray, seed: int, mean_words: float,
         5, 4000).astype(np.int64)
     total = int(length.sum())
 
+    h_src = _splitmix64(ids * _GOLD ^ s ^ np.uint64(3))
+    si = np.floor(_u01(h_src) * 10).astype(np.int64)
+
     rep_draw = np.repeat(draw_id, length)
     rep_self = np.repeat(ids, length)
     starts = np.cumsum(length) - length
@@ -86,32 +104,60 @@ def _docs_for_ids(ids: np.ndarray, seed: int, mean_words: float,
     widx = np.floor(_u01(hw) ** 2 * vocab_size).astype(np.int64)
     widx = np.minimum(widx, vocab_size - 1)
 
+    # source-keyed boilerplate header: the first _BOILER_WORDS words of
+    # every doc are a function of its SOURCE alone — one hub paragraph
+    # per source, repeated by every doc of that source (CCNet shape).
+    # Only docs with > 3x the header length carry it, so short docs
+    # don't degenerate into header-only texts (which would collide
+    # exactly within a source and swamp the planted dup structure).
+    rep_src = np.repeat(si.astype(np.uint64), length)
+    rep_len = np.repeat(length, length)
+    bmask = (j < np.uint64(_BOILER_WORDS)) \
+        & (rep_len > 3 * _BOILER_WORDS)
+    hb = _splitmix64(rep_src * _GOLD ^ (j + np.uint64(1)) * _SALT_WORD
+                     ^ s ^ np.uint64(4))
+    bidx = np.minimum(np.floor(_u01(hb) ** 2 * vocab_size)
+                      .astype(np.int64), vocab_size - 1)
+    widx = np.where(bmask, bidx, widx)
+
     # dup perturbation: keyed by the doc's OWN id so each copy diverges
     # independently of its anchor
     rep_dup = np.repeat(is_dup, length)
     if rep_dup.any():
         hp = _splitmix64(rep_self * _GOLD ^ (j + np.uint64(1))
                          ^ _SALT_PERTURB ^ s)
-        flip = rep_dup & (_u01(hp) < perturb)
+        flip = rep_dup & ~bmask & (_u01(hp) < perturb)  # headers stay exact
         alt = np.minimum(
             np.floor(_u01(_splitmix64(hp ^ _GOLD)) ** 2 * vocab_size)
             .astype(np.int64), vocab_size - 1)
         widx = np.where(flip, alt, widx)
 
     words = vocab.take(pa.array(widx, pa.int64()))
-    offsets = np.empty(n + 1, dtype=np.int32)
-    offsets[0] = 0
-    np.cumsum(length, out=offsets[1:])
-    word_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                          words)
-    text = pc.binary_join(word_lists, " ")
+    # two-level join: words -> " "-joined paragraphs of _PARA_WORDS,
+    # paragraphs -> "\n\n"-joined doc text (all Arrow C kernels)
+    P = (length + _PARA_WORDS - 1) // _PARA_WORDS
+    totp = int(P.sum())
+    pdoc = np.repeat(np.arange(n), P)
+    pstarts = np.cumsum(P) - P
+    ppos = np.arange(totp, dtype=np.int64) - np.repeat(pstarts, P)
+    plen = np.where(ppos < P[pdoc] - 1, _PARA_WORDS,
+                    length[pdoc] - _PARA_WORDS * (P[pdoc] - 1))
+    w_off = np.empty(totp + 1, dtype=np.int32)
+    w_off[0] = 0
+    np.cumsum(plen, out=w_off[1:])
+    paras = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(w_off, pa.int32()), words), " ")
+    d_off = np.empty(n + 1, dtype=np.int32)
+    d_off[0] = 0
+    np.cumsum(P, out=d_off[1:])
+    text = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(d_off, pa.int32()), paras),
+        "\n\n")
 
     h_lang = _splitmix64(ids * _GOLD ^ s ^ np.uint64(2))
     lang = _LANGS[np.searchsorted(_LANG_CUM, _u01(h_lang), side="right")
                   .clip(0, len(_LANGS) - 1)]
-    h_src = _splitmix64(ids * _GOLD ^ s ^ np.uint64(3))
-    source = np.char.add("src", np.floor(_u01(h_src) * 10)
-                         .astype(np.int64).astype("U1"))
+    source = np.char.add("src", si.astype("U1"))
 
     return pa.table({
         "doc_id": pa.array(ids.astype(np.int64), pa.int64()),

@@ -67,6 +67,16 @@ def test_n_chars_and_langs_and_dups():
     # (like real web text; gives exact dedup work too)
     n_exact_dups = 2000 - len(set(text))
     assert 10 <= n_exact_dups <= 300, n_exact_dups
+    # paragraph structure: the source-keyed boilerplate header is
+    # exactly one hub paragraph per source, repeated by every
+    # long-enough doc of that source (paragraph-dedup's reason to
+    # exist); body paragraphs are doc-keyed and mostly unique
+    import collections
+
+    paras = collections.Counter(p for tx in text for p in tx.split("\n\n"))
+    top = [c for _p, c in paras.most_common(10)]
+    assert top[0] > 40, top  # hub paragraphs
+    assert sum(1 for c in paras.values() if c == 1) > 3000  # unique body
 
 
 def test_write_documents_parquet_slots_in_as_sf_dir(ray_session, tmp_path):
