@@ -99,6 +99,32 @@ def _cache_docs(n: int) -> str:
     return path
 
 
+def _cache_embs(n: int) -> str:
+    """Synthetic embeddings table at n rows (sources/synth_embeddings
+    .py), cached as chunked ``embeddings.parquet/`` so the dir slots
+    in as GRAFT_SF_DIR for embeddings-only queries."""
+    import pyarrow.parquet as pq
+
+    from dxa_pagerank_ray.sources.synth_embeddings import (
+        embeddings_table_for_range,
+    )
+
+    step = 20_000  # ~5.3 MB per file at dim=64
+    path = f"{CACHE}/embs_n{n}_s9_c{step}"
+    marker = f"{path}/_COMPLETE"
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        tbl_dir = f"{path}/embeddings.parquet"
+        os.makedirs(tbl_dir)
+        for i, lo in enumerate(range(0, n, step)):
+            t = embeddings_table_for_range(lo, min(lo + step, n))
+            pq.write_table(t, f"{tbl_dir}/part-{i:05d}.parquet")
+        open(marker, "w").write("ok")
+    return path
+
+
 def run_bench(ncpus: int, sf_dir: str) -> dict:
     import ray
 
@@ -246,6 +272,9 @@ def main() -> None:
     # sf0.1 table is 5k rows — too small to exercise parallelism)
     if os.environ.get("GRAFT_DOCS_N"):
         sf_dir = _cache_docs(int(os.environ["GRAFT_DOCS_N"]))
+    # GRAFT_EMBS_N: same, for the embeddings-only queries
+    if os.environ.get("GRAFT_EMBS_N"):
+        sf_dir = _cache_embs(int(os.environ["GRAFT_EMBS_N"]))
 
     if os.environ.get("GRAFT_QUERY_BENCH"):
         # child mode for --scaling-query: time ONE registry query in a
