@@ -125,6 +125,30 @@ def _cache_embs(n: int) -> str:
     return path
 
 
+def _cache_events(n: int) -> str:
+    """Synthetic events table at n rows (sources/synth_events.py),
+    cached as chunked ``events.parquet/`` so the dir slots in as
+    GRAFT_SF_DIR for events-only queries."""
+    import pyarrow.parquet as pq
+
+    from dxa_pagerank_ray.sources.synth_events import events_table_for_range
+
+    step = 100_000  # ~6 MB per file
+    path = f"{CACHE}/events_n{n}_s11_c{step}"
+    marker = f"{path}/_COMPLETE"
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        tbl_dir = f"{path}/events.parquet"
+        os.makedirs(tbl_dir)
+        for i, lo in enumerate(range(0, n, step)):
+            t = events_table_for_range(lo, min(lo + step, n), n_total=n)
+            pq.write_table(t, f"{tbl_dir}/part-{i:05d}.parquet")
+        open(marker, "w").write("ok")
+    return path
+
+
 def run_bench(ncpus: int, sf_dir: str) -> dict:
     import ray
 
@@ -272,9 +296,12 @@ def main() -> None:
     # sf0.1 table is 5k rows — too small to exercise parallelism)
     if os.environ.get("GRAFT_DOCS_N"):
         sf_dir = _cache_docs(int(os.environ["GRAFT_DOCS_N"]))
-    # GRAFT_EMBS_N: same, for the embeddings-only queries
+    # GRAFT_EMBS_N / GRAFT_EVENTS_N: same, for the embeddings-only /
+    # events-only queries
     if os.environ.get("GRAFT_EMBS_N"):
         sf_dir = _cache_embs(int(os.environ["GRAFT_EMBS_N"]))
+    if os.environ.get("GRAFT_EVENTS_N"):
+        sf_dir = _cache_events(int(os.environ["GRAFT_EVENTS_N"]))
 
     if os.environ.get("GRAFT_QUERY_BENCH"):
         # child mode for --scaling-query: time ONE registry query in a
