@@ -89,9 +89,83 @@ def run_one(num_nodes: int) -> dict:
     return out
 
 
+def run_one_query(num_nodes: int, query: str, sf_dir: str) -> dict:
+    """Child-process entry: build a num_nodes-raylet cluster and run
+    ONE registry query (a Ray Data map/shuffle pipeline) across it —
+    functional evidence the data operators run unchanged when blocks
+    live on different nodes and every exchange crosses object-store
+    boundaries."""
+    import ray
+    from ray.cluster_utils import Cluster
+
+    store = int(os.environ.get("GRAFT_NODES_STORE_GB", 8)) << 30
+    cluster = Cluster(
+        initialize_head=True,
+        head_node_args={"num_cpus": CPUS_PER_NODE,
+                        "object_store_memory": store,
+                        "include_dashboard": False},
+    )
+    for _ in range(num_nodes - 1):
+        cluster.add_node(num_cpus=CPUS_PER_NODE, object_store_memory=store)
+    ray.init(address=cluster.address, include_dashboard=False,
+             logging_level="ERROR")
+    from dxa_pagerank_ray.context import quiet_data_context
+
+    quiet_data_context()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    t0 = time.time()
+    r = entrymod.queries()[query](sf_dir)
+    if hasattr(r, "materialize"):
+        r = r.materialize()
+    sec = time.time() - t0
+    rows = int(r.count() if hasattr(r, "count")
+               else getattr(r, "num_rows", len(r)))
+    out = {
+        "nodes": num_nodes,
+        "cpus_per_node": CPUS_PER_NODE,
+        "query": query,
+        "sec": round(sec, 3),
+        "rows": rows,
+        "ray_nodes_seen": len([n for n in ray.nodes() if n["Alive"]]),
+    }
+    ray.shutdown()
+    cluster.shutdown()
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--child-query="):
+        nodes = int(sys.argv[1].split("=")[1])
+        print(json.dumps(run_one_query(
+            nodes, os.environ["GRAFT_NODES_QUERY"],
+            os.environ["GRAFT_NODES_SF"])))
+        return
     if len(sys.argv) > 1 and sys.argv[1].startswith("--child="):
         print(json.dumps(run_one(int(sys.argv[1].split("=")[1]))))
+        return
+    if os.environ.get("GRAFT_NODES_QUERY"):
+        # data-operator topology check: same query, 1 vs 4 raylets,
+        # row counts must MATCH (the hard signal; timing is secondary
+        # on one shared-DRAM host)
+        results = {}
+        for nodes in (1, 4):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 f"--child-query={nodes}"],
+                capture_output=True, text=True, env=dict(os.environ))
+            if p.returncode != 0:
+                sys.stderr.write(p.stderr[-2000:])
+                raise SystemExit(p.returncode)
+            line = [ln for ln in p.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            results[nodes] = json.loads(line)
+            print(line)
+        print(json.dumps({
+            "pair": "1x%d vs 4x%d nodes" % (CPUS_PER_NODE, CPUS_PER_NODE),
+            "rows_match": results[1]["rows"] == results[4]["rows"],
+        }))
         return
     results = {}
     for nodes in (1, 4):
