@@ -417,3 +417,41 @@ def test_minhash_signatures_concurrency_invariant(ray_session):
     assert rows(2, 3) == ref
     assert rows(8, 9) == ref
     assert rows(None, 4) == ref  # cluster-sized default path
+
+
+def test_verify_pairs_demand_routing_matches_reference(ray_session):
+    """Randomized check of the r5m demand-routed verify against a
+    driver-side per-pair reference: arbitrary signature tables and
+    arbitrary candidate pair sets (including pairs whose agreement
+    straddles the threshold, multi-partner docs, and cross-partition
+    endpoints) must produce exactly the reference's kept set and
+    estimates, at several num_groups."""
+    rng = np.random.default_rng(7)
+    n_docs, num_perm = 120, 16
+    sigs_np = rng.integers(0, 5, size=(n_docs, num_perm))  # small
+    # domain -> plenty of partial agreement around any threshold
+    ids = np.arange(n_docs, dtype=np.int64)
+    sig_tbl = pa.table({
+        "doc_id": pa.array(ids),
+        "sig": pa.array([row.tolist() for row in sigs_np],
+                        pa.list_(pa.int64())),
+    })
+    m = 400
+    a = rng.integers(0, n_docs - 1, m)
+    b = a + 1 + rng.integers(0, n_docs - 1 - a, m)  # a < b
+    pairs_tbl = pa.table({"a": pa.array(a, pa.int64()),
+                          "b": pa.array(b, pa.int64())})
+    thr = 0.5
+    agree = (sigs_np[a] == sigs_np[b]).mean(axis=1)
+    keep = agree >= thr
+    expected = sorted(zip(a[keep].tolist(), b[keep].tolist(),
+                          agree[keep].tolist()))
+
+    for G in (1, 3, 16):
+        got = verify_pairs_by_signature(
+            rd.from_arrow(pairs_tbl).repartition(5),
+            rd.from_arrow(sig_tbl).repartition(4),
+            threshold=thr, num_perm=num_perm, num_groups=G,
+        ).take_all()
+        got_t = sorted((r["a"], r["b"], r["est_jaccard"]) for r in got)
+        assert got_t == expected, f"num_groups={G}"
